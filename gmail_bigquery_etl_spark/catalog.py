@@ -1,0 +1,48 @@
+"""Fixture-table loading and temp-view registration.
+
+All declared queries take (spark, sf_dir); this module centralizes parquet
+loading so predicate pushdown / column pruning happen at the scan (verified
+in tests via .explain -- PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import FIXTURE_TABLES
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read it as int64 nanos (legacy conf, runtime-settable)
+    and truncate to microseconds -- bit-identical to what DuckDB does when it
+    reads the same file as TIMESTAMP (verified: epoch_us(ts) == ts div 1000).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view; return the DataFrames."""
+    out: dict[str, DataFrame] = {}
+    for name in FIXTURE_TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            df = load_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

@@ -1,0 +1,41 @@
+"""Vector (embedding) column functions over ArrayType(FloatType).
+
+Pure higher-order-function arithmetic -- zip_with/aggregate run JVM-side, so
+a brute-force cosine scan at 100 TB is a single codegen'd projection with no
+Python in the hot path. Accumulation is float64 regardless of the (float32)
+storage type, matching what the DuckDB oracle computes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    prods = F.zip_with(
+        _c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    denom = F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+    return dot(a, b) / denom
+
+
+def normalize(a: Column | str) -> Column:
+    """Unit-normalize; zero vectors come back unchanged (not NULL/NaN)."""
+    col = _c(a)
+    nrm = F.nullif(l2_norm(col), F.lit(0.0))
+    return F.when(nrm.isNull(), col).otherwise(
+        F.transform(col, lambda x: (x.cast("double") / nrm).cast("float"))
+    )

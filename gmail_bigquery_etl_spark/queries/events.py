@@ -1,0 +1,241 @@
+"""Event-stream queries (batch form).
+
+The streaming module (gmail_bigquery_etl_spark/streaming/) runs the same
+aggregations under Structured Streaming with watermarks; these batch
+versions are the oracle-checkable equivalents (cross-checked against the
+streaming results in tests, SURVEY.md §5.5).
+
+Scale notes:
+  * time-window aggs are groupBy over a derived bucket column -- one shuffle,
+    partial aggregation map-side;
+  * sessionization is a per-user window (shuffle on user_id), the standard
+    gaps-and-islands plan; skewed users would need salting, noted inline;
+  * the range join is the bucketed-equi-join pattern (bucket by day, then
+    refine), NOT a nested-loop -- the only shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+def _dec(col: F.Column) -> F.Column:
+    return col.cast("decimal(18,4)")
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "events_tumbling_hourly",
+    oracle="""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "events_sliding_6h_3h",
+    oracle="""
+WITH buckets AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, value,
+         to_timestamp(3600 * 3 * CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / (3600 * 3)) AS BIGINT)) AS aligned
+  FROM events
+), expanded AS (
+  SELECT CAST(aligned - INTERVAL 3 HOUR AS TIMESTAMP) AS window_start, value FROM buckets
+  UNION ALL
+  SELECT CAST(aligned AS TIMESTAMP) AS window_start, value FROM buckets
+)
+SELECT window_start, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM expanded
+GROUP BY window_start
+""",
+)
+def events_sliding_6h_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (6h length, 3h slide): each event lands in 2 windows.
+    F.window emits a struct; we project window.start so the oracle can
+    reproduce it relationally (explode-to-slides is exactly what Spark's
+    physical plan does for sliding windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM ordered
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30 min inactivity gap).
+
+    Scale: shuffles once on user_id; a pathological power-user key would
+    need salting (split the user's timeline, stitch boundary sessions) --
+    the streaming module's session_window handles this incrementally.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new_session"),
+    )
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = tagged.withColumn("session_seq", F.sum("is_new_session").over(wrun))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "events_asof_last_purchase",
+    oracle="""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+       LAST_VALUE(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts
+FROM events
+""",
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (most recent purchase at or before each event) expressed as a
+    running last_value(ignorenulls) -- the single-pass formulation of an
+    as-of join against the same keyed stream. One shuffle on user_id; no
+    per-row probe. For two distinct streams, union them with a side tag and
+    apply the same window (operators/asof.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(purchase_ts, ignorenulls=True).over(w).alias("last_purchase_ts"),
+    )
+
+
+@query(
+    "events_range_join_daily",
+    oracle="""
+SELECT o.o_orderkey AS orderkey, COUNT(e.event_id) AS n_events
+FROM (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 100 = 0) o
+LEFT JOIN events e
+  ON CAST(e.ts AS TIMESTAMP) >= o.o_orderdate + INTERVAL 9496 DAY
+ AND CAST(e.ts AS TIMESTAMP) <  o.o_orderdate + INTERVAL 9497 DAY
+GROUP BY o.o_orderkey
+""",
+)
+def events_range_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via the bucketed-equi-join pattern: both sides bucket to
+    the calendar day, equi-join on the bucket, then refine with the exact
+    range predicate. The interval width (1 day) == bucket width, so each
+    probe row joins at most 2 buckets -- at 100 TB this stays a hash join,
+    never a nested loop. (Order dates are 1995-2001, events 2024: the probe
+    window is shifted by 9496 days to land in event time.)"""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_orderdate") + F.expr("INTERVAL 9496 DAY")).alias("win_start"),
+        )
+        .withColumn("win_end", F.col("win_start") + F.expr("INTERVAL 1 DAY"))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    # Bucket both sides by day; a window spanning a day boundary probes both
+    # buckets via explode of the (at most 2) covered days.
+    o_b = o.withColumn(
+        "day",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.date_trunc("day", "win_start"),
+                    F.date_trunc("day", F.col("win_end") - F.expr("INTERVAL 1 SECOND")),
+                )
+            )
+        ),
+    )
+    ev_b = ev.withColumn("day", F.date_trunc("day", "ts"))
+    joined = o_b.join(
+        ev_b,
+        (o_b.day == ev_b.day) & (ev_b.ts >= o_b.win_start) & (ev_b.ts < o_b.win_end),
+        "left",
+    )
+    return joined.groupBy(F.col("o_orderkey").alias("orderkey")).agg(
+        F.count("event_id").alias("n_events")
+    )

@@ -1,0 +1,92 @@
+"""Reference-parity ingest queries.
+
+These exercise the reference's entire semantic surface (SURVEY.md §2.1-§2.6)
+over the Gmail-shaped messages synthesized from ``events``:
+
+  ingest_incremental  -- the flagship: source label predicate (T1) ->
+                         broadcast anti-join vs sink (J1) -> header
+                         extraction HOFs (T3) -> label flatten (F2) ->
+                         per-id dedup (A1). Reference etl_service/main.py:
+                         160,175,196-205.
+  header_extraction   -- first-match / case-insensitive / NULL-default
+                         header semantics on every message, including the
+                         dropped-Subject and UPPERCASED-header edge rows.
+  ingest_idempotent   -- re-running the increment against a sink that
+                         already contains it yields zero rows (ST1).
+
+The DuckDB oracles derive the expected output directly from ``events`` --
+they are the semantic spec, independent of the Spark implementation path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.incremental import extract_email_records, ingest_increment
+from ..sources.synthetic import existing_sink_ids, gmail_messages_from_events
+from .registry import query
+
+# Shared oracle CTE: the message universe as DuckDB sees it.
+_MSG_CTE = """
+WITH msgs AS (
+  SELECT 'm' || CAST(event_id AS VARCHAR) AS id,
+         't' || CAST(user_id AS VARCHAR) AS threadId,
+         event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         CASE event_type
+           WHEN 'error' THEN 'SPAM,INBOX'
+           WHEN 'signup' THEN 'INBOX'
+           WHEN 'purchase' THEN 'SENT,INBOX'
+           WHEN 'click' THEN 'TRASH'
+           ELSE 'DRAFT' END AS combined_labels,
+         CASE WHEN event_id % 11 = 0 THEN NULL
+              ELSE event_type || ' #' || CAST(event_id AS VARCHAR) END AS subject,
+         'user' || CAST(user_id AS VARCHAR) || '@example.com' AS sender,
+         'etl@example.com' AS recipient,
+         strftime(CAST(ts AS TIMESTAMP), '%a, %d %b %Y %H:%M:%S +0000') AS "timestamp"
+  FROM events
+)
+"""
+
+
+@query(
+    "ingest_incremental",
+    oracle=_MSG_CTE
+    + """
+SELECT id, threadId, subject, sender, recipient, "timestamp", combined_labels
+FROM msgs
+WHERE event_type IN ('signup', 'purchase', 'click')
+  AND event_id % 3 <> 0
+""",
+)
+def ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = gmail_messages_from_events(spark, sf_dir)
+    existing = existing_sink_ids(spark, sf_dir)
+    return ingest_increment(msgs, existing)
+
+
+@query(
+    "header_extraction",
+    oracle=_MSG_CTE
+    + """
+SELECT id, threadId, subject, sender, recipient, "timestamp", combined_labels
+FROM msgs
+""",
+)
+def header_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record build over ALL messages (no predicate/anti-join), deduped --
+    covers the %11 missing-Subject and %13 uppercase-header edge rows."""
+    msgs = gmail_messages_from_events(spark, sf_dir)
+    return extract_email_records(msgs).dropDuplicates(["id"])
+
+
+@query(
+    "ingest_idempotent",
+    oracle="SELECT count(*) AS n_new FROM events WHERE 1 = 0",
+)
+def ingest_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-run: when the sink already holds every message id,
+    the increment is empty (exactly-once-ish semantics, SURVEY §2.7 ST1)."""
+    msgs = gmail_messages_from_events(spark, sf_dir)
+    all_ids = msgs.select("id")
+    return ingest_increment(msgs, all_ids).agg(F.count("*").alias("n_new"))

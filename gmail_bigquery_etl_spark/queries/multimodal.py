@@ -1,0 +1,57 @@
+"""Multimodal-column queries (SURVEY.md §2.10).
+
+``documents`` stands in as the media corpus: utf-8 payload bytes in a
+BinaryType column with a typed metadata struct. Feature extraction runs
+through the real Arrow/mapInPandas plumbing (operators/multimodal.py); the
+codec decode itself is a deterministic md5-derived fake (the real decode is
+stubbed behind NotImplementedError -- no codec libs in this container).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.multimodal import decode_features, documents_as_media
+from .registry import query
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS digest,
+       CAST(CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 640 + 1 AS INT) AS width,
+       CAST(CAST(('0x' || substring(md5(text), 5, 4)) AS BIGINT) % 480 + 1 AS INT) AS height
+FROM documents
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(documents_as_media(docs), fake=True)
+
+
+@query(
+    "multimodal_metadata_stats",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_media,
+       SUM(octet_length(encode(text))) AS total_bytes,
+       MAX(octet_length(encode(text))) AS max_bytes
+FROM documents
+GROUP BY source
+""",
+)
+def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation: Catalyst prunes the payload column out of
+    the scan entirely (verified via ReadSchema in tests) -- the reason the
+    payload/metadata split matters at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return media.groupBy(F.col("meta.source").alias("source")).agg(
+        F.count("*").alias("n_media"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+        F.max("meta.n_bytes").alias("max_bytes"),
+    )

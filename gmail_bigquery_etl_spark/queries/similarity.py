@@ -1,0 +1,144 @@
+"""Similarity-search queries over ``embeddings`` (SURVEY.md §2.10).
+
+Float determinism: both engines compute dot products as a sequential
+left-fold over float32-widened-to-float64 elements, so the raw doubles are
+bit-identical; ranking uses the raw score and only the emitted score is
+rounded. The oracle uses an explicit list_reduce fold (not DuckDB's native
+list_dot_product) to pin the accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.similarity import (
+    brute_force_topk,
+    hyperplane_bucket,
+    label_centroids,
+    lsh_bucket_ann,
+)
+from .registry import query
+
+# Sequential double dot product of DuckDB lists {a} x {b}.
+_SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+_SQL_COSINE = (
+    "(" + _SQL_DOT.format(a="{a}", b="{b}") + " / NULLIF(sqrt("
+    + _SQL_DOT.format(a="{a}", b="{a}") + ") * sqrt("
+    + _SQL_DOT.format(a="{b}", b="{b}") + "), 0))"
+)
+
+
+@query(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS match_id,
+         {_SQL_COSINE.format(a='q.q_vec', b='c.embedding')} AS score
+  FROM embeddings c, q
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, match_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, match_id) AS rank
+  FROM scored
+)
+SELECT query_id, match_id, rank, ROUND(score, 6) AS score
+FROM ranked WHERE rank <= 5
+""",
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "ann_lsh_buckets",
+    oracle=f"""
+WITH planes AS (
+  SELECT p, list_transform(generate_series(0, 63),
+           j -> CAST((CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000) AS DOUBLE) / 1000.0) AS w
+  FROM generate_series(0, 7) AS t(p)
+),
+bits AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN {_SQL_DOT.format(a='e.embedding', b='pl.w')} >= 0 THEN '1' ELSE '0' END AS bit
+  FROM embeddings e, planes pl
+)
+SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+FROM bits GROUP BY vec_id
+""",
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketing half of hyperplane-LSH ANN, correctness-gated on the
+    exact bucket assignment; end-to-end ANN recall is pytest-verified
+    (lsh_bucket_ann) since recall, not bucket bits, is its contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", hyperplane_bucket("embedding", n_planes=8, dim=64).alias("bucket")
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+SELECT label, j - 1 AS dim,
+       ROUND(AVG(CAST(embedding[j] AS DOUBLE)), 6) AS centroid,
+       COUNT(*) AS n
+FROM embeddings, generate_series(1, 64) AS t(j)
+GROUP BY label, j
+""",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb)
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+  FROM embeddings WHERE vec_id % 20 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_SQL_COSINE.format(a='a.v', b='b.v')}, 6) AS score
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE {_SQL_COSINE.format(a='a.v', b='b.v')} >= 0.999
+""",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection over an augmented corpus
+    (scaled copies of every 20th vector are exact directional dupes).
+    Brute-force pairwise is the correctness baseline; ann_lsh_buckets is
+    the scale path (bucket first, pairwise within bucket)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    scaled = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.5).alias("v"),
+    )
+    corpus = base.unionAll(scaled)
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    from ..functions.vectors import cosine_similarity
+
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", cosine_similarity("va", "vb").alias("raw_score")
+    )
+    return scored.filter(F.col("raw_score") >= 0.999).select(
+        "id_a", "id_b", F.round("raw_score", 6).alias("score")
+    )

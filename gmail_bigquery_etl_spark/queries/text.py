@@ -1,0 +1,305 @@
+"""Text-analysis + dedup queries over ``documents`` (SURVEY.md §2.10).
+
+The fixture corpus has no natural duplicates (every text distinct), so the
+dedup queries build an AUGMENTED corpus inside the query -- exact copies of
+every 10th doc and near-copies (a 2-token tail appended) of every 25th --
+deterministically in both engines. This makes the dedup outputs non-empty
+and correctness-gated rather than vacuously-empty.
+
+All hashing is md5-derived (portable across Spark and DuckDB); tokenization
+is lowercase whitespace split; shingles are word trigrams. See
+functions/text.py for the scale rationale (per-row HOFs, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import (
+    doc_fingerprint,
+    predicted_lang,
+    quality_columns,
+    token_count,
+)
+from ..operators.dedup import exact_dedup, jaccard_pairs, lsh_candidate_pairs, simhash
+from .registry import query
+
+# DuckDB fragments mirroring functions/text.py primitives.
+_SQL_TOKS = r"regexp_split_to_array(trim(lower({c})), '\s+')"
+_SQL_HASH = "CAST(('0x' || substring(md5({s}), 1, 15)) AS BIGINT)"
+
+# Word-trigram shingles of column {c} (matches ngram_shingles(..., 3)).
+_SQL_SHINGLES = (
+    "CASE WHEN len(" + _SQL_TOKS + ") >= 3 THEN "
+    "list_transform(generate_series(1, len(" + _SQL_TOKS + ") - 2), "
+    "i -> array_to_string((" + _SQL_TOKS + ")[i:i+2], ' ')) "
+    "ELSE [array_to_string(" + _SQL_TOKS + ", ' ')] END"
+)
+
+
+def _augmented_corpus(docs: DataFrame) -> DataFrame:
+    """documents + exact copies (%10, id+100000) + near copies (%25,
+    id+200000, ' near dup' tail)."""
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    near = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.select("doc_id", "text", "lang", "source", "n_chars").unionAll(
+        exact
+    ).unionAll(near)
+
+
+_SQL_AUGMENTED = """
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang, source, n_chars FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' near dup', lang, source, n_chars
+  FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(len({_SQL_TOKS.format(c='text')})) AS total_tokens,
+       MIN(len({_SQL_TOKS.format(c='text')})) AS min_tokens,
+       MAX(len({_SQL_TOKS.format(c='text')})) AS max_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = token_count("text")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tc.cast("bigint")).alias("total_tokens"),
+        F.min(tc.cast("bigint")).alias("min_tokens"),
+        F.max(tc.cast("bigint")).alias("max_tokens"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars_m,
+       len({_SQL_TOKS.format(c='text')}) AS n_tokens,
+       ROUND(LENGTH(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+             / CAST(len({_SQL_TOKS.format(c='text')}) AS DOUBLE), 6) AS avg_token_len,
+       ROUND(LENGTH(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))
+             / CAST(LENGTH(text) AS DOUBLE), 6) AS punct_ratio,
+       ROUND(LENGTH(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+             / CAST(LENGTH(text) AS DOUBLE), 6) AS alpha_ratio,
+       ROUND(len(list_filter({_SQL_TOKS.format(c='text')},
+                 t -> t IN ('the','a','of','and','to','in','is','it','on','for')))
+             / CAST(len({_SQL_TOKS.format(c='text')}) AS DOUBLE), 6) AS stopword_ratio
+FROM documents
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars_m"),
+        q["n_tokens"].alias("n_tokens"),
+        F.round(q["avg_token_len"], 6).alias("avg_token_len"),
+        F.round(q["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(q["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+_SQL_LANG_SCORE = (
+    "len(list_filter(" + _SQL_TOKS.format(c="text") + ", t -> t IN ({m})))"
+)
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_SQL_LANG_SCORE.format(m="'the','and','of','to','is'")} AS s_en,
+         {_SQL_LANG_SCORE.format(m="'el','la','de','que','los'")} AS s_es,
+         {_SQL_LANG_SCORE.format(m="'der','die','und','das','ist'")} AS s_de,
+         {_SQL_LANG_SCORE.format(m="'le','la','les','des','est'")} AS s_fr,
+         {_SQL_LANG_SCORE.format(m="'de5','shi4','le5','zai4','he2'")} AS s_zh
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN GREATEST(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+            WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+            WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+            WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+            WHEN s_fr = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+            ELSE 'zh' END AS pred_lang
+FROM scored
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", predicted_lang("text").alias("pred_lang"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({_SQL_SHINGLES.format(c='text')},
+                          s -> {_SQL_HASH.format(s='s')})),
+         (acc, h) -> (acc * 31 + h % 1000000007) % 1000000007) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text", 3).alias("fingerprint"))
+
+
+@query(
+    "dedup_exact_groups",
+    oracle=f"""
+WITH corpus AS ({_SQL_AUGMENTED})
+SELECT md5(text) AS content_key, COUNT(*) AS n_copies, MIN(doc_id) AS survivor_id
+FROM corpus
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+""",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    return (
+        corpus.groupBy(F.md5("text").alias("content_key"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("survivor_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "dedup_exact_survivors_count",
+    oracle=f"""
+WITH corpus AS ({_SQL_AUGMENTED})
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT md5(text)) AS n_distinct
+FROM corpus
+""",
+)
+def dedup_exact_survivors_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    deduped = exact_dedup(corpus)
+    return corpus.agg(F.count("*").alias("n_rows")).crossJoin(
+        deduped.agg(F.count("*").alias("n_distinct"))
+    )
+
+
+# MinHash signatures, long form. Salted-hash trick: h_i(s) = md5(s || '#i').
+_SQL_MINHASH = f"""
+WITH corpus AS ({_SQL_AUGMENTED}),
+shingled AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES.format(c='text')}) AS grams FROM corpus
+)
+SELECT doc_id, i AS h_idx,
+       list_min(list_transform(grams,
+         s -> {_SQL_HASH.format(s="s || '#' || CAST(i AS VARCHAR)")})) AS minhash
+FROM shingled, generate_series(0, 7) AS t(i)
+"""
+
+
+@query("dedup_minhash_signatures", oracle=_SQL_MINHASH)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_signature
+
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    return minhash_signature(corpus, num_hashes=8)
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+WITH corpus AS ({_SQL_AUGMENTED}),
+shingled AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES.format(c='text')}) AS grams FROM corpus
+),
+sigs AS (
+  SELECT doc_id, i,
+         list_min(list_transform(grams,
+           s -> {_SQL_HASH.format(s="s || '#' || CAST(i AS VARCHAR)")})) AS mh
+  FROM shingled, generate_series(0, 15) AS t(i)
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS band_key
+  FROM sigs GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sh AS (SELECT doc_id, unnest(grams) AS s FROM shingled),
+verified AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY c.id_a, c.id_b
+),
+sizes AS (SELECT doc_id, len(grams) AS n_sh FROM shingled)
+SELECT v.id_a, v.id_b,
+       ROUND(CAST(v.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - v.n_inter), 6) AS jaccard
+FROM verified v
+JOIN sizes sa ON sa.doc_id = v.id_a
+JOIN sizes sb ON sb.doc_id = v.id_b
+WHERE CAST(v.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - v.n_inter) >= 0.5
+""",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates -> exact-Jaccard verify -> near-dup pairs.
+    16 hashes, 4 bands of 4: band collision prob = j^4 (j=.8 -> .41/band,
+    .88 overall). Exact copies and tail-mutated near-copies both surface."""
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    cand = lsh_candidate_pairs(corpus, num_hashes=16, bands=4)
+    scored = jaccard_pairs(corpus, cand)
+    return scored.filter(F.col("jaccard") >= 0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH corpus AS ({_SQL_AUGMENTED}),
+tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS t FROM corpus
+),
+bits AS (
+  SELECT doc_id, j,
+         SUM(((({_SQL_HASH.format(s='t')}) >> j) & 1) * 2 - 1) AS s
+  FROM tok, generate_series(0, 31) AS g(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    return corpus.select("doc_id", simhash("text", bits=32).alias("simhash"))

@@ -1,0 +1,753 @@
+"""Analytics query corpus over the TPC-H-ish star schema.
+
+This is the query layer the reference outsources wholesale to BigQuery
+(its one SQL statement, etl_service/main.py:97); here it is Spark SQL /
+DataFrame + Catalyst. Coverage targets SURVEY.md §2.3-§2.6 "absent ->
+built-in" lists: every join type, multi-aggregate group-bys, rollup/cube/
+grouping sets, ranking/analytic/frame windows, sorts/top-k, set ops,
+subqueries, scalar function families.
+
+Scale notes (100 TB posture), verified via .explain in tests:
+  * dimension joins (region/nation/supplier/part) are broadcast -- no
+    shuffle of the fact table for them;
+  * fact-fact joins (orders-lineitem) shuffle on the join key once and AQE
+    coalesces partitions;
+  * filters/projections push into the parquet scan (PushedFilters/
+    ReadSchema);
+  * numeric aggregates run partial-then-final (map-side combine).
+
+Exactness: double measures are summed as DECIMAL (associative, engine-
+independent) and cast back to double; see registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+def _dec(col: F.Column, prec: int = 18, scale: int = 4) -> F.Column:
+    return col.cast(f"decimal({prec},{scale})")
+
+
+def _dsum(col: F.Column) -> F.Column:
+    """Exact, order-independent sum of a 2-dp double column -> double."""
+    return F.sum(_dec(col)).cast("double")
+
+
+# --- Q1-style pricing summary -------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(10,4)) * (1 - CAST(l_discount AS DECIMAL(10,4))) * (1 + CAST(l_tax AS DECIMAL(10,4)))), 2) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec(F.col("l_extendedprice"), 12) * (1 - _dec(F.col("l_discount"), 12))
+    # Three-factor product: precision 10 keeps the result type within
+    # DECIMAL(38) in BOTH engines (no precision-loss rounding divergence).
+    charge = (
+        _dec(F.col("l_extendedprice"), 10)
+        * (1 - _dec(F.col("l_discount"), 10))
+        * (1 + _dec(F.col("l_tax"), 10))
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (_dsum(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- Q3-style shipping priority (3-way join + top-k) --------------------------
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey AS orderkey,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l.l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS revenue,
+       o.o_orderdate AS orderdate, o.o_orderpriority AS orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = _dec(F.col("l_extendedprice"), 12) * (1 - _dec(F.col("l_discount"), 12))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+# --- Q5-style local-supplier revenue (6-way join) ------------------------------
+
+@query(
+    "q5_local_supplier",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l.l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _dec(F.col("l_extendedprice"), 12) * (1 - _dec(F.col("l_discount"), 12))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+# --- Q10-style returned items --------------------------------------------------
+
+@query(
+    "q10_returned_items",
+    oracle="""
+SELECT c.c_custkey AS custkey, c.c_name AS name,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l.l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS revenue,
+       CAST(c.c_acctbal AS DOUBLE) AS acctbal, n.n_name AS nation
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = _dec(F.col("l_extendedprice"), 12) * (1 - _dec(F.col("l_discount"), 12))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .select("custkey", "name", "revenue", "acctbal", "nation")
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+# --- Join-type coverage ---------------------------------------------------------
+
+@query(
+    "join_semi_exists",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+""",
+)
+def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_anti_not_exists",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_left_outer_agg",
+    oracle="""
+SELECT c.c_custkey AS custkey, COUNT(o.o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_spend
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+""",
+)
+def join_left_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec(F.col("o_totalprice"))), F.lit(0).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+       COALESCE(cn.n_cust, 0) AS n_cust, COALESCE(sn.n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) cn
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) sn
+ON cn.nationkey = sn.nationkey
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            F.col("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "join_cross_theta",
+    oracle="""
+SELECT r.r_name AS region, n.n_name AS nation
+FROM region r CROSS JOIN nation n
+WHERE n.n_regionkey <> r.r_regionkey AND r.r_name < n.n_name
+""",
+)
+def join_cross_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join + theta (non-equi) predicate -> BroadcastNestedLoopJoin.
+    Kept to dimension tables: NLJ over facts does not survive scale."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(n)
+        .filter((F.col("n_regionkey") != F.col("r_regionkey")) & (F.col("r_name") < F.col("n_name")))
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+    )
+
+
+# --- Grouping sets / rollup / cube ---------------------------------------------
+
+@query(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+       COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") + 2 * F.grouping("l_linestatus")).alias("gid"),
+        F.count("*").alias("n"),
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+
+
+@query(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid,
+       COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        (F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority")).alias("gid"),
+        F.count("*").alias("n"),
+        _dsum(F.col("o_totalprice")).alias("total"),
+    ).select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_distinct_multi",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(DISTINCT l_partkey) AS n_part,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --- Windows ---------------------------------------------------------------------
+
+@query(
+    "window_rank_topn",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_totalprice AS totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+         DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS drnk
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+SELECT l_suppkey AS suppkey, l_orderkey AS orderkey, l_linenumber AS linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+FROM lineitem
+""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.sum(_dec(F.col("l_quantity"))).over(w).cast("double").alias("running_qty"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       LAG(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+       LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey,
+       CAST(date_diff('day',
+           LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS BIGINT) AS days_since_prev
+FROM orders
+""",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint")
+        .alias("days_since_prev"),
+    )
+
+
+@query(
+    "window_ntile_stats",
+    oracle="""
+SELECT c_custkey AS custkey,
+       NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+       ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 9) AS pct_rank,
+       ROUND(CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey), 9) AS cume
+FROM customer
+""",
+)
+def window_ntile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+# --- Sorts / top-k / set ops ------------------------------------------------------
+
+@query(
+    "sort_topk_global",
+    oracle="""
+SELECT l_orderkey AS orderkey, l_linenumber AS linenumber, l_extendedprice AS price
+FROM lineitem
+ORDER BY price DESC, orderkey, linenumber
+LIMIT 100
+""",
+)
+def sort_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject -- per-partition
+    heap + driver merge, no full sort, the right shape at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .orderBy(F.desc("price"), "orderkey", "linenumber")
+        .limit(100)
+    )
+
+
+@query(
+    "set_ops",
+    oracle="""
+SELECT n_nationkey AS nationkey, 'both' AS tag FROM (
+  SELECT c_nationkey AS n_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
+UNION ALL
+SELECT n_nationkey, 'only_building' AS tag FROM (
+  SELECT c_nationkey AS n_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
+""",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bld = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    both = bld.intersect(auto).withColumn("tag", F.lit("both"))
+    only = bld.subtract(auto).withColumn("tag", F.lit("only_building"))
+    return both.unionAll(only)
+
+
+# --- Subqueries --------------------------------------------------------------------
+
+@query(
+    "subquery_scalar_corr",
+    oracle="""
+SELECT p_partkey AS partkey, p_retailprice AS retailprice
+FROM part p
+WHERE p_retailprice > (SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+""",
+)
+def subquery_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    p.createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey AS partkey, p_retailprice AS retailprice
+        FROM part p
+        WHERE p_retailprice > (SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
+@query(
+    "subquery_in",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+""",
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    return o.join(
+        F.broadcast(c.select(F.col("c_custkey").alias("o_custkey")).distinct()),
+        "o_custkey",
+        "left_semi",
+    ).select("o_orderkey", "o_totalprice")
+
+
+# --- Scalar function families -------------------------------------------------------
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+SELECT p_partkey AS partkey,
+       UPPER(p_name) AS uname,
+       LOWER(p_brand) AS lbrand,
+       LENGTH(p_name) AS name_len,
+       SUBSTRING(p_name, 1, 5) AS prefix5,
+       REPLACE(p_type, ' ', '_') AS type_snake,
+       TRIM(CONCAT('  ', p_name, '  ')) AS trimmed,
+       LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       STRPOS(p_name, 'a') AS first_a,
+       regexp_extract(p_type, '[A-Z]+', 0) AS type_caps,
+       CASE WHEN p_name LIKE '%steel%' THEN 1 ELSE 0 END AS has_steel,
+       split_part(p_type, ' ', 1) AS type_head
+FROM part
+""",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.regexp_extract("p_type", "[A-Z]+", 0).alias("type_caps"),
+        F.when(F.col("p_name").like("%steel%"), 1).otherwise(0).alias("has_steel"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+SELECT o_orderkey AS orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mon,
+       CAST(day(o_orderdate) AS INT) AS dom,
+       CAST(dayofweek(o_orderdate) AS INT) + 1 AS dow,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       o_orderdate + INTERVAL 3 MONTH AS plus3m,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_95,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+""",
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("plus3m"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("days_since_95"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+       ROUND(l_extendedprice, 1) AS price_r1,
+       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+       ABS(l_discount - 0.05) AS disc_dev,
+       ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+       ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+       ROUND(POW(l_quantity, 2), 6) AS qty_sq,
+       CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+       CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign
+FROM lineitem
+""",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@query(
+    "conditional_funcs",
+    oracle="""
+SELECT o_orderkey AS orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_decoded,
+       IF(o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%', 1, 0) AS urgent,
+       GREATEST(o_totalprice, 150000.0) AS floor_price,
+       LEAST(CAST(o_orderkey % 10 AS DOUBLE), 5.0) AS capped
+FROM orders
+""",
+)
+def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_decoded"
+        ),
+        F.when(
+            F.col("o_orderpriority").like("1%") | F.col("o_orderpriority").like("2%"), 1
+        )
+        .otherwise(0)
+        .alias("urgent"),
+        F.greatest(F.col("o_totalprice"), F.lit(150000.0)).alias("floor_price"),
+        F.least((F.col("o_orderkey") % 10).cast("double"), F.lit(5.0)).alias("capped"),
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return piv.select(
+        "priority",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_filled"),
+        F.coalesce("P", F.lit(0)).alias("n_partial"),
+    )
