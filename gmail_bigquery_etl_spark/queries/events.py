@@ -120,8 +120,8 @@ WITH ordered AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
   SELECT user_id, ts, event_id,
-         SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM ordered
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,

@@ -38,7 +38,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT source,
        COUNT(*) AS n_media,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        MAX(octet_length(encode(text))) AS max_bytes
 FROM documents
 GROUP BY source

@@ -75,7 +75,7 @@ _SQL_AUGMENTED = """
     "text_token_stats",
     oracle=f"""
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(len({_SQL_TOKS.format(c='text')})) AS total_tokens,
+       CAST(SUM(len({_SQL_TOKS.format(c='text')})) AS BIGINT) AS total_tokens,
        MIN(len({_SQL_TOKS.format(c='text')})) AS min_tokens,
        MAX(len({_SQL_TOKS.format(c='text')})) AS max_tokens,
        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
@@ -296,7 +296,7 @@ bits AS (
   GROUP BY doc_id, j
 )
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """,
 )
