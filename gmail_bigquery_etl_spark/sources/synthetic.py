@@ -35,7 +35,13 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def gmail_messages_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _load_events(spark, sf_dir)
+    return messages_from_events_df(_load_events(spark, sf_dir))
+
+
+def messages_from_events_df(ev: DataFrame) -> DataFrame:
+    """The events->messages mapping as a pure DataFrame transform, usable on
+    batch AND streaming inputs (the streaming ingest tests replay ``events``
+    as a file stream and pipe it through this same function)."""
     subject_hdr = F.struct(
         F.when(F.col("event_id") % 13 == 0, F.lit("SUBJECT"))
         .otherwise(F.lit("Subject"))

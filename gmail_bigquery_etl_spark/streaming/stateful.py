@@ -1,0 +1,83 @@
+"""Custom stateful streaming operator: per-user running aggregates.
+
+The reference accumulates per-user state in plain dicts inside one process
+(email_data keyed by msg id, counters -- etl_service/main.py:158-214). The
+Spark-native equivalent is applyInPandasWithState: state lives in the state
+store, partitioned by key across executors, Arrow-batched in and out of
+Python -- the same logic survives a 1000-executor cluster because Spark owns
+the partitioning and fault tolerance, not a process-local dict.
+
+Emits, per user and micro-batch, the updated running totals (update mode).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_event_type", StringType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_event_type", StringType()),
+    ]
+)
+
+
+def _update(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        n, total, last = state.get
+    else:
+        n, total, last = 0, 0.0, None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        ordered = pdf.sort_values("ts")
+        n += len(ordered)
+        total += float(ordered["value"].sum())
+        last = str(ordered["event_type"].iloc[-1])
+    state.update((n, total, last))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "last_event_type": [last],
+        }
+    )
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, total_value, last_event_type); one output
+    row per user per micro-batch in update mode."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,188 @@
+"""Structured Streaming tests (SURVEY.md §5 item 5).
+
+Strategy: replay the ``events`` fixture as a time-ordered file stream
+(one chunk per micro-batch), run the SAME window/ingest/stateful code the
+batch corpus uses, and diff the streamed result against the batch result
+computed directly on the static fixture. Uses sf0.001 so the full replay
+fits in seconds.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmail_bigquery_etl_spark.catalog import load_table
+from gmail_bigquery_etl_spark.sources.synthetic import (
+    gmail_messages_from_events,
+    messages_from_events_df,
+)
+from gmail_bigquery_etl_spark.streaming import (
+    replay_events_stream,
+    running_user_counts,
+    session_counts,
+    sliding_counts,
+    start_incremental_ingest,
+    tumbling_counts,
+    write_replay_dir,
+)
+
+SMOKE_SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("replay") / "events")
+    return write_replay_dir(spark, SMOKE_SF, out, chunks=6)
+
+
+def _rows(df, keys):
+    return sorted(df.collect(), key=lambda r: tuple(str(r[k]) for k in keys))
+
+
+def _run_to_completion(stream_df, sink_dir, checkpoint_dir):
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+
+@pytest.mark.parametrize(
+    "agg_fn,keys",
+    [
+        (tumbling_counts, ["window_start", "event_type"]),
+        (sliding_counts, ["window_start"]),
+        (session_counts, ["user_id", "session_start"]),
+    ],
+    ids=["tumbling", "sliding", "session"],
+)
+def test_windowed_agg_stream_matches_batch(
+    spark, replay_dir, tmp_path, agg_fn, keys
+):
+    """Streamed watermarked window agg == the same agg on the static fixture,
+    restricted to windows the final watermark has closed. Append mode only
+    emits a window once watermark (= global max ts - 30 min delay) passes its
+    end, so windows inside the final delay stay in state -- exact documented
+    late-data semantics, not a bug."""
+    stream = replay_events_stream(spark, replay_dir)
+    out = str(tmp_path / "out")
+    _run_to_completion(agg_fn(stream), out, str(tmp_path / "ckpt"))
+
+    events = load_table(spark, SMOKE_SF, "events")
+    cutoff = events.agg(
+        (F.max("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w")
+    ).collect()[0].w
+    end_col = "session_end" if "session_start" in keys else "window_end"
+
+    got = spark.read.parquet(out)
+    want = agg_fn(events).filter(F.col(end_col) <= F.lit(cutoff))
+    assert got.filter(F.col(end_col) > F.lit(cutoff)).count() == 0
+    assert _rows(got, keys) == _rows(want, keys)
+
+
+def test_streaming_ingest_matches_batch_and_is_idempotent(spark, tmp_path):
+    """foreachBatch incremental ingest over a replayed messages stream ends
+    with exactly the batch-ingest result; a second full replay (fresh
+    checkpoint, same sink) adds zero rows -- the reference's read-side dedup
+    semantics (etl_service/main.py:175) under Structured Streaming."""
+    msgs_replay = str(tmp_path / "msgs")
+    gmail_messages_from_events(spark, SMOKE_SF).orderBy("id").coalesce(
+        4
+    ).write.parquet(msgs_replay)
+
+    schema = spark.read.parquet(msgs_replay).schema
+    sink = str(tmp_path / "sink")
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(msgs_replay)
+        )
+        q = start_incremental_ingest(stream, sink, str(tmp_path / ckpt))
+        q.awaitTermination(300)
+        assert not q.isActive
+
+    run("ckpt1")
+    result = spark.read.parquet(sink)
+    ids = [r.id for r in result.select("id").collect()]
+    assert len(ids) == len(set(ids)), "duplicate ids in streaming sink"
+
+    batch_msgs = gmail_messages_from_events(spark, SMOKE_SF)
+    from gmail_bigquery_etl_spark.operators.incremental import ingest_increment
+
+    want = ingest_increment(
+        batch_msgs, spark.createDataFrame([], "id string")
+    )
+    assert sorted(ids) == sorted(r.id for r in want.select("id").collect())
+
+    # replay again from scratch: anti-join vs the now-populated sink => no-op
+    run("ckpt2")
+    assert spark.read.parquet(sink).count() == len(ids)
+
+
+def test_stateful_running_counts_final_state_matches_batch(
+    spark, replay_dir, tmp_path
+):
+    """applyInPandasWithState per-user running totals: the LAST update emitted
+    per user equals the batch groupBy over the whole fixture."""
+    stream = replay_events_stream(spark, replay_dir)
+    updates = running_user_counts(stream)
+    out = str(tmp_path / "out")
+
+    # update-mode operator: land each micro-batch's updates via foreachBatch
+    # (parquet sinks don't take update mode directly)
+    def save_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        updates.writeStream.foreachBatch(save_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = spark.read.parquet(out)
+    # last emitted update per user = the one with the max running count
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select("user_id", "s.n_events", "s.total_value")
+    )
+    want = (
+        load_table(spark, SMOKE_SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    got_rows = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in final.collect()
+    }
+    want_rows = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in want.collect()
+    }
+    assert got_rows == want_rows
+
+
+def test_messages_transform_is_stream_capable(spark, replay_dir):
+    """The events->messages mapping used by ingest is a pure transform that
+    Spark accepts on a streaming DataFrame (no batch-only ops)."""
+    stream = replay_events_stream(spark, replay_dir)
+    msgs = messages_from_events_df(stream)
+    assert msgs.isStreaming
+    assert "headers" in msgs.columns and "id" in msgs.columns
