@@ -36,6 +36,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Decouple CPU-bound per-row stages from scan parallelism.
+
+    The local fixtures are single-row-group parquet files, so a scan yields
+    1-3 partitions no matter how many cores exist, serializing per-row-heavy
+    pipelines (md5-per-shingle, regex batteries, pandas tiles). Round-robin
+    repartition up to cores*factor ONLY when under-partitioned: on a real
+    cluster reading many files/row-groups this is a no-op, so no gratuitous
+    shuffle at scale -- and when it does fire, the shuffled bytes are tiny
+    relative to the per-row compute it unlocks.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every fixture table as a temp view; return the DataFrames."""
     out: dict[str, DataFrame] = {}

@@ -15,6 +15,27 @@ from pyspark.sql import functions as F
 
 MOD = 1_000_000_007  # fingerprint modulus; keeps rolling hash in int64 range
 
+# MinHash affine-family modulus. h_i(s) = (a_i * (H(s) % P) + b_i) % P with
+# H the 60-bit md5 hash: ONE md5 per shingle, then k cheap int64 rehashes
+# (a_i < P, h < P => a_i*h < 1e18 < 2^63, no ANSI overflow). 16x fewer md5
+# evaluations than salting the digest per hash index.
+MINHASH_P = 1_000_000_007
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the affine MinHash family, from a
+    fixed-seed LCG so Spark and the DuckDB oracle share one source of truth
+    (queries/text.py formats these same ints into the oracle SQL)."""
+    x = 123456789
+    out = []
+    for _ in range(num_hashes):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = x % (MINHASH_P - 1) + 1
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = x % MINHASH_P
+        out.append((a, b))
+    return out
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -50,19 +71,31 @@ def bpe_ish_tokens(col: Column | str) -> Column:
     )
 
 
-def ngram_shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (space-joined), the MinHash/Jaccard unit.
+def ngram_shingles_from_tokens(toks_col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined) over a PRE-MATERIALIZED token
+    array column. Callers on the hot path should stage the token split as
+    its own projection and pass the attribute here: the slice lambda
+    references ``toks`` per element, and if ``toks`` is an inline expression
+    (not an attribute) Catalyst re-evaluates the whole split per shingle --
+    HOF lambdas get neither codegen nor CSE.
 
     Texts shorter than n tokens yield a single shingle of the whole text so
     no document silently drops out of dedup.
     """
-    toks = whitespace_tokens(col)
+    toks = _c(toks_col)
     k = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
     return F.when(k >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def ngram_shingles(col: Column | str, n: int = 3) -> Column:
+    """Shingles straight from a text column. Convenience form: fine for
+    one-shot use, but O(tokens) re-splitting per shingle -- prefer staging
+    ``whitespace_tokens`` and calling ``ngram_shingles_from_tokens``."""
+    return ngram_shingles_from_tokens(whitespace_tokens(col), n)
 
 
 def quality_columns(col: Column | str) -> dict[str, Column]:
@@ -127,15 +160,22 @@ def predicted_lang(col: Column | str) -> Column:
     return F.when(best_score > 0, pred).otherwise(F.lit("und"))
 
 
-def doc_fingerprint(col: Column | str, n: int = 3) -> Column:
+def doc_fingerprint_from_tokens(toks_col: Column | str, n: int = 3) -> Column:
     """Order-sensitive rolling hash over word shingles, mod 1e9+7.
 
     fp = fold(shingles, 0, (acc, s) -> (acc * 31 + h(s) % MOD) % MOD)
     Reproducible in DuckDB via list_reduce over the same md5-based h().
+    Takes a staged token-array column (see ngram_shingles_from_tokens).
     """
-    grams = ngram_shingles(col, n)
+    grams = ngram_shingles_from_tokens(toks_col, n)
     return F.aggregate(
         grams,
         F.lit(0).cast("bigint"),
         lambda acc, s: (acc * 31 + portable_hash64(s) % MOD) % MOD,
     )
+
+
+def doc_fingerprint(col: Column | str, n: int = 3) -> Column:
+    """Fingerprint straight from text; prefer the staged-token form on the
+    hot path (same re-split caveat as ngram_shingles)."""
+    return doc_fingerprint_from_tokens(whitespace_tokens(col), n)

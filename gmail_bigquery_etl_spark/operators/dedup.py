@@ -28,12 +28,77 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import ngram_shingles, portable_hash64
+from ..functions.text import (
+    MINHASH_P,
+    minhash_coeffs,
+    ngram_shingles,
+    portable_hash64,
+)
 
 
 def content_key(text: Column | str) -> Column:
     col = F.col(text) if isinstance(text, str) else text
     return F.md5(col)
+
+
+def shingle_hash_stage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    out_col: str = "_hs",
+) -> DataFrame:
+    """(id, _hs): distinct word-shingles reduced to one 60-bit hash each,
+    mod P -- the single md5 pass every MinHash function affinely rehashes.
+
+    Built as THREE staged projections (tokens -> shingles -> hashes).
+    Staging matters: HOF lambdas are interpreted with no common-subexpression
+    elimination, so an inline token split referenced per shingle re-splits
+    the text O(shingles) times; a multi-referenced alias survives
+    CollapseProject and is computed once per row.
+    """
+    from ..functions.text import ngram_shingles_from_tokens, whitespace_tokens
+
+    toks = df.select(F.col(id_col), whitespace_tokens(text_col).alias("_toks"))
+    grams = toks.select(
+        id_col,
+        F.array_distinct(ngram_shingles_from_tokens("_toks", shingle_n)).alias(
+            "_grams"
+        ),
+    )
+    return grams.select(
+        id_col,
+        F.transform("_grams", lambda s: portable_hash64(s) % MINHASH_P).alias(
+            out_col
+        ),
+    )
+
+
+def _coeffs_df(df: DataFrame, num_hashes: int) -> DataFrame:
+    """The MinHash functions as a tiny broadcast dimension table (h_idx, a,
+    b). Joining against it replaces posexplode of a computed signature
+    array: Generate triggers InferFiltersFromGenerate, whose size()>0
+    filter pushes below the projections and re-inlines the whole hash
+    pipeline into a Filter condition -- a silent 2x (or worse) blowup."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(minhash_coeffs(num_hashes))]
+    return F.broadcast(
+        df.sparkSession.createDataFrame(rows, "h_idx int, a bigint, b bigint")
+    )
+
+
+def minhash_from_hashes(hs_col: Column | str, num_hashes: int) -> Column:
+    """k-wide MinHash signature array from a PRE-STAGED hash column
+    (attribute reference, not an inline expression -- see
+    shingle_hash_stage)."""
+    hs = F.col(hs_col) if isinstance(hs_col, str) else hs_col
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(hs, lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P)
+            )
+            for a, b in minhash_coeffs(num_hashes)
+        ]
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -44,20 +109,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def minhash_terms(text_col: str, num_hashes: int, shingle_n: int = 3) -> Column:
-    """Array of (h_idx -> min salted-hash over distinct shingles)."""
-    grams = F.array_distinct(ngram_shingles(text_col, shingle_n))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                grams,
-                lambda s: portable_hash64(F.concat(s, F.lit("#"), i.cast("string"))),
-            )
-        ),
-    )
-
-
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -65,12 +116,18 @@ def minhash_signature(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Long-form signatures: (id, h_idx, minhash). Pure projection."""
-    sig = df.select(
-        F.col(id_col), minhash_terms(text_col, num_hashes, shingle_n).alias("sig")
-    )
-    return sig.select(
-        id_col, F.posexplode("sig").alias("h_idx", "minhash")
+    """Long-form signatures: (id, h_idx, minhash). Shingle-hash once, then
+    broadcast-crossJoin the coeffs dimension: one affine-min per (row,
+    h_idx), no Generate in the plan."""
+    hashed = shingle_hash_stage(df, text_col, id_col, shingle_n)
+    return hashed.crossJoin(_coeffs_df(df, num_hashes)).select(
+        id_col,
+        "h_idx",
+        F.array_min(
+            F.transform(
+                "_hs", lambda h: (h * F.col("a") + F.col("b")) % MINHASH_P
+            )
+        ).alias("minhash"),
     )
 
 
@@ -91,30 +148,46 @@ def lsh_candidate_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_terms(text_col, num_hashes, shingle_n).alias("sig"),
+    hashed = shingle_hash_stage(df, text_col, id_col, shingle_n).select(
+        F.col(id_col).alias("_id"), "_hs"
     )
-    banded = sig.select(
+    sig = hashed.select(
+        "_id", minhash_from_hashes("_hs", num_hashes).alias("sig")
+    )
+    # Band ids as a broadcast dim (not posexplode -- see _coeffs_df note).
+    band_ids = F.broadcast(
+        df.sparkSession.createDataFrame([(b,) for b in range(bands)], "band int")
+    )
+    banded = sig.crossJoin(band_ids).select(
         "_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.array_join(F.slice("sig", b * r + 1, r), "_"),
-            )
-        ).alias("band", "band_key"),
+        "band",
+        F.array_join(F.slice("sig", F.col("band") * r + 1, r), "_").alias(
+            "band_key"
+        ),
     )
-    # Cap pathological buckets (boilerplate shingles) before the self-join.
-    counts = banded.groupBy("band", "band_key").agg(F.count("*").alias("_n"))
-    banded = banded.join(
-        counts.filter(F.col("_n") <= max_bucket).drop("_n"), ["band", "band_key"]
+    # One shuffle: gather each bucket's member ids, cap pathological
+    # buckets (boilerplate shingles), and generate in-bucket pairs with
+    # HOFs. This replaces the counts-join + bucket self-join shape, which
+    # consumed `banded` three times and recomputed the whole text pipeline
+    # per consumer (Spark re-executes shared lineage per DAG reference).
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.collect_list("_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(F.array_sort("ids").alias("ids"))
     )
-    a = banded.select("band", "band_key", F.col("_id").alias("id_a"))
-    b = banded.select("band", "band_key", F.col("_id").alias("id_b"))
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -127,11 +200,21 @@ def jaccard_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for given candidate (id_a, id_b) pairs."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(ngram_shingles(text_col, shingle_n))).alias("sh"),
-    ).distinct()
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
+    from ..functions.text import ngram_shingles_from_tokens, whitespace_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), whitespace_tokens(text_col).alias("_toks")
+    )
+    grams = toks.select(
+        "_id",
+        F.array_distinct(ngram_shingles_from_tokens("_toks", shingle_n)).alias(
+            "_grams"
+        ),
+    )
+    # array_distinct => (id, shingle) already unique after explode: no
+    # distinct() shuffle needed; set sizes read off the array, no groupBy.
+    sh = grams.select("_id", F.explode("_grams").alias("sh"))
+    sizes = grams.select("_id", F.size("_grams").cast("bigint").alias("n_sh"))
     # Intersection via composite-key equi-join (id_b, shingle): stays a hash
     # join; never materializes the per-pair shingle cross product.
     sh_a = sh.select(F.col("_id").alias("id_a"), "sh")
@@ -168,17 +251,20 @@ def simhash(text_col: Column | str, bits: int = 32) -> Column:
     """
     from ..functions.text import whitespace_tokens
 
-    toks = whitespace_tokens(text_col)
+    # Hash each token ONCE, then fold over the int64s: the bit expansion
+    # references the bound lambda variable (evaluated once per element), not
+    # a re-instantiated md5 expression per bit.
+    tok_hashes = F.transform(
+        whitespace_tokens(text_col), lambda t: portable_hash64(t)
+    )
     counts = F.aggregate(
-        toks,
+        tok_hashes,
         F.array_repeat(F.lit(0).cast("bigint"), bits),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
-                    (
-                        F.shiftright(portable_hash64(t), j).bitwiseAND(F.lit(1)) * 2 - 1
-                    ).cast("bigint")
+                    (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("bigint")
                     for j in range(bits)
                 ]
             ),

@@ -120,8 +120,15 @@ WHERE {_SQL_COSINE.format(a='a.v', b='b.v')} >= 0.999
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection over an augmented corpus
     (scaled copies of every 20th vector are exact directional dupes).
-    Brute-force pairwise is the correctness baseline; ann_lsh_buckets is
-    the scale path (bucket first, pairwise within bucket)."""
+
+    Exact all-pairs via blocked BLAS tiles (operators/similarity.py
+    allpairs_cosine): O(n^2) flops in numpy matmul instead of an
+    interpreted per-pair fold. Float note: numpy's pairwise summation and
+    the oracle's sequential fold differ at ~1e-13 relative -- near-dup
+    scores sit at ~1.0 and non-dup cosines concentrate well below 0.9 in
+    64-dim, so neither the 0.999 cut nor the 6dp rounding can flip."""
+    from ..operators.similarity import allpairs_cosine
+
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -131,14 +138,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double") * 1.5).alias("v"),
     )
     corpus = base.unionAll(scaled)
-    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    from ..functions.vectors import cosine_similarity
-
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
-        "id_a", "id_b", cosine_similarity("va", "vb").alias("raw_score")
-    )
-    return scored.filter(F.col("raw_score") >= 0.999).select(
-        "id_a", "id_b", F.round("raw_score", 6).alias("score")
+    scored = allpairs_cosine(corpus, threshold=0.999)
+    return scored.select(
+        "id_a", "id_b", F.round("score", 6).alias("score")
     )

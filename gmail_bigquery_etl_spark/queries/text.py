@@ -16,9 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..functions.text import (
+    MINHASH_P,
     doc_fingerprint,
+    minhash_coeffs,
     predicted_lang,
     quality_columns,
     token_count,
@@ -56,9 +58,11 @@ def _augmented_corpus(docs: DataFrame) -> DataFrame:
         "source",
         "n_chars",
     )
-    return docs.select("doc_id", "text", "lang", "source", "n_chars").unionAll(
-        exact
-    ).unionAll(near)
+    return spread(
+        docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .unionAll(exact)
+        .unionAll(near)
+    )
 
 
 _SQL_AUGMENTED = """
@@ -84,7 +88,7 @@ GROUP BY lang
 """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tc = token_count("text")
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -114,7 +118,7 @@ FROM documents
 """,
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     q = quality_columns(F.col("text"))
     return docs.select(
         "doc_id",
@@ -155,7 +159,7 @@ FROM scored
 """,
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", "lang", predicted_lang("text").alias("pred_lang"))
 
 
@@ -172,8 +176,13 @@ FROM documents
 """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", doc_fingerprint("text", 3).alias("fingerprint"))
+    from ..functions.text import doc_fingerprint_from_tokens, whitespace_tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", whitespace_tokens("text").alias("_toks"))
+    return toks.select(
+        "doc_id", doc_fingerprint_from_tokens("_toks", 3).alias("fingerprint")
+    )
 
 
 @query(
@@ -211,16 +220,29 @@ def dedup_exact_survivors_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# MinHash signatures, long form. Salted-hash trick: h_i(s) = md5(s || '#i').
+# MinHash affine family: ONE md5 per shingle, then h_i = (a_i*h + b_i) % P.
+# The (a_i, b_i) ints come from the same fixed-seed generator the Spark side
+# uses (functions/text.py minhash_coeffs) -- single source of truth.
+def _sql_coeffs(num_hashes: int) -> str:
+    rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    return f"SELECT * FROM (VALUES {rows}) t(i, a, b)"
+
+
+_SQL_HASHED = (
+    "SELECT doc_id, list_transform(list_distinct("
+    + _SQL_SHINGLES.format(c="text")
+    + f"), s -> {_SQL_HASH.format(s='s')} % {MINHASH_P}) AS hs FROM corpus"
+)
+
 _SQL_MINHASH = f"""
 WITH corpus AS ({_SQL_AUGMENTED}),
-shingled AS (
-  SELECT doc_id, list_distinct({_SQL_SHINGLES.format(c='text')}) AS grams FROM corpus
-)
+hashed AS ({_SQL_HASHED}),
+coeffs AS ({_sql_coeffs(8)})
 SELECT doc_id, i AS h_idx,
-       list_min(list_transform(grams,
-         s -> {_SQL_HASH.format(s="s || '#' || CAST(i AS VARCHAR)")})) AS minhash
-FROM shingled, generate_series(0, 7) AS t(i)
+       list_min(list_transform(hs, h -> (h * a + b) % {MINHASH_P})) AS minhash
+FROM hashed, coeffs
 """
 
 
@@ -239,11 +261,15 @@ WITH corpus AS ({_SQL_AUGMENTED}),
 shingled AS (
   SELECT doc_id, list_distinct({_SQL_SHINGLES.format(c='text')}) AS grams FROM corpus
 ),
+hashed AS (
+  SELECT doc_id, list_transform(grams, s -> {_SQL_HASH.format(s='s')} % {MINHASH_P}) AS hs
+  FROM shingled
+),
+coeffs AS ({_sql_coeffs(16)}),
 sigs AS (
   SELECT doc_id, i,
-         list_min(list_transform(grams,
-           s -> {_SQL_HASH.format(s="s || '#' || CAST(i AS VARCHAR)")})) AS mh
-  FROM shingled, generate_series(0, 15) AS t(i)
+         list_min(list_transform(hs, h -> (h * a + b) % {MINHASH_P})) AS mh
+  FROM hashed, coeffs
 ),
 bands AS (
   SELECT doc_id, i // 4 AS band,
