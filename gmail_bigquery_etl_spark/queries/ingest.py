@@ -81,6 +81,38 @@ def header_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ingest_via_datasource",
+    oracle=_MSG_CTE
+    + """
+SELECT id, threadId, subject, sender, recipient, "timestamp", combined_labels
+FROM msgs
+WHERE event_type IN ('signup', 'purchase', 'click')
+  AND event_id % 3 <> 0
+""",
+)
+def ingest_via_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same increment as ingest_incremental, but the messages arrive through
+    the custom paginated-API Python DataSource (sources/paginated.py): label
+    predicate pushed into the source via the q option (reference main.py:160),
+    per-token partitions, page-size batching. One oracle spec gates both the
+    DataFrame-synthetic and DataSource paths."""
+    import os
+
+    from ..sources.paginated import register
+
+    register(spark)
+    msgs = (
+        spark.read.format("paginated_api")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("q", "in:inbox OR in:sent OR in:trash -in:spam")
+        .option("tokens", "8")
+        .load()
+    )
+    existing = existing_sink_ids(spark, sf_dir)
+    return ingest_increment(msgs, existing)
+
+
+@query(
     "ingest_idempotent",
     oracle="SELECT count(*) AS n_new FROM events WHERE 1 = 0",
 )

@@ -1,0 +1,217 @@
+"""Custom Python DataSource: a paginated, pushdown-capable API source.
+
+The reference's primary scan is a hand-rolled paginated API loop -- Gmail
+``messages.list`` pages of <=500 with a label-predicate query string pushed
+to the server, per-user fan-out over OAuth tokens, a projection of exactly
+four headers per message, and a rate-limit sleep between pages (reference
+etl_service/main.py:147-217; predicate :160, page size :168, projection
+:184-185, fan-out :299-303, throttle :211). This module re-expresses that
+scan as a Spark 4 ``pyspark.sql.datasource.DataSource``:
+
+* one ``InputPartition`` per simulated user token (the reference's
+  ``MAX_WORKERS`` thread fan-out becomes real Spark task parallelism; at
+  1000 executors each mailbox scan is an independent task),
+* a page-at-a-time fetch loop inside ``read()`` with a configurable page
+  size and optional inter-page throttle,
+* source-side evaluation of a Gmail-style label query string
+  (``q="in:inbox OR in:sent -in:spam"``) -- the T1 predicate pushdown,
+* ``pushFilters`` support for id/threadId equality and IN filters (the
+  catalog-level pushdown Spark drives), unsupported filters handed back
+  for post-scan evaluation,
+* a ``headers`` option restricting which header structs are built -- the
+  reference's ``metadataHeaders`` projection (S2).
+
+The "API" itself is a deterministic in-process fake backed by the driver's
+``events`` parquet (option ``path``): each event renders into exactly the
+same Gmail-shaped message the synthetic DataFrame source builds
+(sources/synthetic.py messages_from_events_df), so the DuckDB oracle for
+the ingest pipeline is one shared spec for both paths. Rows with
+``event_id % 7 == 0`` are served twice (pages re-deliver messages, as a
+real at-least-once API can) -- downstream per-id dedup handles it.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+    IsNotNull,
+)
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MESSAGE_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("threadId", StringType(), True),
+        StructField(
+            "headers",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("name", StringType(), True),
+                        StructField("value", StringType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+        StructField("labelIds", ArrayType(StringType()), True),
+    ]
+)
+
+_LABELS_BY_TYPE = {
+    "error": ["SPAM", "INBOX"],
+    "signup": ["INBOX"],
+    "purchase": ["SENT", "INBOX"],
+    "click": ["TRASH"],
+}
+_DEFAULT_HEADERS = "Subject,From,To,Date"
+
+
+def parse_label_query(q: str) -> tuple[set[str], set[str]]:
+    """Gmail-ish ``q`` string -> (include labels, exclude labels).
+
+    ``"in:inbox OR in:sent -in:spam"`` keeps messages carrying ANY include
+    label and NONE of the excludes; an empty include set keeps everything
+    (matching how the reference's query is a disjunction of label terms
+    with appended negations, main.py:160).
+    """
+    include, exclude = set(), set()
+    for term in q.split():
+        if term.startswith("-in:"):
+            exclude.add(term[4:].upper())
+        elif term.startswith("in:"):
+            include.add(term[3:].upper())
+    return include, exclude
+
+
+@dataclass
+class _TokenPartition(InputPartition):
+    token_idx: int
+    num_tokens: int
+
+
+class PaginatedApiReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+        self.page_size = int(options.get("page_size", "500"))
+        self.num_tokens = int(options.get("tokens", "3"))
+        self.throttle_ms = int(options.get("throttle_ms", "0"))
+        include, exclude = parse_label_query(options.get("q", ""))
+        self.include, self.exclude = include, exclude
+        header_opt = options.get("headers", _DEFAULT_HEADERS)
+        self.wanted_headers = [h.strip() for h in header_opt.split(",") if h.strip()]
+        self.id_allow: set[str] | None = None  # None = no pushed id filter
+
+    def pushFilters(self, filters: list[Filter]) -> list[Filter]:
+        """Accept id equality+IN and id/threadId IsNotNull; everything else
+        is returned for Spark to evaluate after the scan. Eager (not a
+        generator): the accepted-filter state must exist before Spark
+        pickles this reader out to the executors."""
+        self.pushed: list[Filter] = []
+        unsupported: list[Filter] = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("id",):
+                self.id_allow = {f.value}
+                self.pushed.append(f)
+            elif isinstance(f, In) and f.attribute == ("id",):
+                self.id_allow = set(f.value)
+                self.pushed.append(f)
+            elif isinstance(f, IsNotNull) and f.attribute in (("id",), ("threadId",)):
+                self.pushed.append(f)  # never null here: accept, emit all
+            else:
+                unsupported.append(f)
+        return unsupported
+
+    def partitions(self) -> list[_TokenPartition]:
+        return [
+            _TokenPartition(i, self.num_tokens) for i in range(self.num_tokens)
+        ]
+
+    def read(self, partition: _TokenPartition) -> Iterator[tuple]:
+        """Page-at-a-time scan of one user token's mailbox slice."""
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            self.path, columns=["event_id", "ts", "user_id", "event_type"]
+        )
+        rows = tbl.to_pylist()
+        mine = [
+            r for r in rows if r["user_id"] % partition.num_tokens == partition.token_idx
+        ]
+        # at-least-once redelivery of every 7th message, like the synthetic df
+        mine = mine + [r for r in mine if r["event_id"] % 7 == 0]
+
+        page: list[tuple] = []
+        for r in mine:
+            msg = self._render(r)
+            if msg is None:
+                continue
+            page.append(msg)
+            if len(page) >= self.page_size:
+                yield from page
+                page = []
+                if self.throttle_ms:
+                    time.sleep(self.throttle_ms / 1000.0)
+        yield from page
+
+    def _render(self, r: dict) -> tuple | None:
+        labels = _LABELS_BY_TYPE.get(r["event_type"], ["DRAFT"])
+        if self.include and not (set(labels) & self.include):
+            return None
+        if set(labels) & self.exclude:
+            return None
+        eid, uid = r["event_id"], r["user_id"]
+        msg_id = f"m{eid}"
+        if self.id_allow is not None and msg_id not in self.id_allow:
+            return None
+
+        subject_name = "SUBJECT" if eid % 13 == 0 else "Subject"
+        ts = r["ts"]
+        available = {
+            "Subject": (subject_name, f"{r['event_type']} #{eid}"),
+            "From": ("From", f"user{uid}@example.com"),
+            "To": ("To", "etl@example.com"),
+            "Date": ("Date", ts.strftime("%a, %d %b %Y %H:%M:%S +0000")),
+        }
+        headers = [
+            available[h]
+            for h in self.wanted_headers
+            if h in available and not (h == "Subject" and eid % 11 == 0)
+        ]
+        return (msg_id, f"t{uid}", headers, labels)
+
+
+class PaginatedApiDataSource(DataSource):
+    """``spark.read.format("paginated_api").option("path", ...)`` source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "paginated_api"
+
+    def schema(self) -> StructType:
+        return MESSAGE_SCHEMA
+
+    def reader(self, schema: StructType) -> PaginatedApiReader:
+        return PaginatedApiReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the datasource with a session. Python-source
+    filter pushdown is off by default; it is a runtime-settable SQL conf,
+    so flip it here rather than requiring a specially-built session."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PaginatedApiDataSource)

@@ -1,0 +1,114 @@
+"""Custom paginated-API Python DataSource (sources/paginated.py).
+
+Covers the reference scan semantics it re-expresses: label-predicate
+pushdown via the q option (main.py:160), id-filter pushdown via
+pushFilters, per-token partitioning (main.py:299-303), page batching, and
+header projection (main.py:184-185) -- plus equivalence with the
+DataFrame-synthetic message source on the same fixture.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+from gmail_bigquery_etl_spark.sources.paginated import (
+    PaginatedApiReader,
+    parse_label_query,
+    register,
+)
+from gmail_bigquery_etl_spark.sources.synthetic import gmail_messages_from_events
+
+SMOKE_SF = "/root/testdata/sf0.001"
+EVENTS = os.path.join(SMOKE_SF, "events.parquet")
+
+
+def _read(spark, **opts):
+    register(spark)
+    r = spark.read.format("paginated_api").option("path", EVENTS)
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def test_matches_synthetic_dataframe_source(spark):
+    """The DataSource serves exactly the message universe the synthetic
+    DataFrame transform builds (same ids, same headers, same labels)."""
+    via_ds = _read(spark, tokens=4)
+    via_df = gmail_messages_from_events(spark, SMOKE_SF)
+    cols = ["id", "threadId", "headers", "labelIds"]
+    a = sorted(map(str, via_ds.select(cols).collect()))
+    b = sorted(map(str, via_df.select(cols).collect()))
+    assert a == b
+
+
+def test_label_query_pushdown(spark):
+    """q option filters source-side: -in:spam removes 'error' messages,
+    include terms keep only matching label sets."""
+    df = _read(spark, q="in:inbox OR in:sent OR in:trash -in:spam")
+    labels = df.select(F.explode("labelIds").alias("l")).distinct()
+    got = {r.l for r in labels.collect()}
+    assert "SPAM" not in got and "DRAFT" not in got
+    assert {"INBOX", "SENT", "TRASH"} <= got
+
+
+def test_parse_label_query():
+    inc, exc = parse_label_query("in:inbox OR in:sent -in:spam -in:allmail")
+    assert inc == {"INBOX", "SENT"} and exc == {"SPAM", "ALLMAIL"}
+    assert parse_label_query("") == (set(), set())
+
+
+def test_id_filter_pushdown_unit():
+    """pushFilters accepts id EqualTo/In, hands back everything else."""
+    r = PaginatedApiReader({"path": EVENTS})
+    rest = list(
+        r.pushFilters(
+            [
+                In(attribute=("id",), value=("m1", "m2")),
+                GreaterThan(("threadId",), "t0"),
+            ]
+        )
+    )
+    assert r.id_allow == {"m1", "m2"}
+    assert len(rest) == 1 and isinstance(rest[0], GreaterThan)
+    got = {row[0] for p in r.partitions() for row in r.read(p)}
+    assert got == {"m1", "m2"}
+
+
+def test_id_filter_pushdown_end_to_end(spark):
+    df = _read(spark, tokens=2).filter(F.col("id") == "m5")
+    rows = df.collect()
+    assert [r.id for r in rows] == ["m5"]
+
+
+def test_header_projection_option(spark):
+    """headers option = the reference's metadataHeaders projection: only
+    requested headers get built."""
+    df = _read(spark, headers="From,Date")
+    names = df.select(
+        F.explode(F.expr("transform(headers, h -> h.name)")).alias("n")
+    ).distinct()
+    assert {r.n for r in names.collect()} == {"From", "Date"}
+
+
+def test_partitions_cover_all_users(spark):
+    """Token partitioning is a disjoint cover: row counts match at any
+    token width, and each partition only serves its user slice."""
+    n2 = _read(spark, tokens=2).count()
+    n8 = _read(spark, tokens=8).count()
+    assert n2 == n8 > 0
+
+
+def test_page_size_batching_unit():
+    """Small pages produce identical output (pagination is invisible)."""
+    big = PaginatedApiReader({"path": EVENTS, "page_size": "100000"})
+    small = PaginatedApiReader({"path": EVENTS, "page_size": "7"})
+    rows_big = sorted(
+        str(x) for p in big.partitions() for x in big.read(p)
+    )
+    rows_small = sorted(
+        str(x) for p in small.partitions() for x in small.read(p)
+    )
+    assert rows_big == rows_small
