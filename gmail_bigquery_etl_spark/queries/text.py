@@ -164,6 +164,36 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bpe_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe,
+       len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS n_bpe_unique,
+       len({_SQL_TOKS.format(c='text')}) AS n_words
+FROM documents
+""",
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token counting: the BPE pre-tokenizer regex (word /
+    number / punct pieces) vs whitespace words -- the token-count signal a
+    training pipeline budgets on."""
+    from ..functions.text import bpe_ish_tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "doc_id",
+        bpe_ish_tokens("text").alias("_bpe"),
+        token_count("text").alias("n_words"),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("_bpe").alias("n_bpe"),
+        F.size(F.array_distinct("_bpe")).alias("n_bpe_unique"),
+        "n_words",
+    )
+
+
+@query(
     "text_fingerprint",
     oracle=f"""
 SELECT doc_id,

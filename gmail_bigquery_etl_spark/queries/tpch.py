@@ -202,6 +202,300 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q4-style priority check (EXISTS + agg) ------------------------------------
+
+@query(
+    "q4_priority_exists",
+    oracle="""
+SELECT o_orderpriority AS priority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 adapted to the fixture schema (no commit/receipt dates): late-
+    shipping orders per priority. EXISTS with a non-trivial correlated
+    predicate -> left-semi join; the date filter prunes the probe side
+    before the shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("order_count")
+    )
+
+
+# --- Q6-style forecast revenue (pure filter+agg, full pushdown) -----------------
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: every predicate reaches the parquet scan (PushedFilters shows
+    the shipdate/discount/quantity range), projection prunes to 4 columns
+    -- the canonical scan-efficiency query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice"), 12) * _dec(F.col("l_discount"), 12)), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# --- Q7-style volume shipping (two-nation flows) --------------------------------
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l.l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: cross-nation trade flows. The disjunctive two-nation predicate
+    applies after broadcast dim joins; fact tables join once on their keys."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    rev = _dec(F.col("l_extendedprice"), 12) * (1 - _dec(F.col("l_discount"), 12))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+# --- Q8-style market share ------------------------------------------------------
+
+@query(
+    "q8_market_share",
+    oracle="""
+SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(ROUND(SUM(CASE WHEN sn.n_name = 'NATION_1'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l.l_discount AS DECIMAL(12,4)))
+                 ELSE CAST(0 AS DECIMAL(12,4)) END)
+           / SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l.l_discount AS DECIMAL(12,4)))), 6) AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN region r   ON cn.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY year(o.o_orderdate)
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: NATION_1's supplier share of ASIA-customer revenue per year --
+    conditional aggregation as a ratio of sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    rev = _dec(F.col("l_extendedprice"), 12) * (1 - _dec(F.col("l_discount"), 12))
+    nation_rev = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
+        F.lit(0).cast("decimal(12,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(nation_rev) / F.sum(rev), 6)
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+# --- Q14-style promo revenue ----------------------------------------------------
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+SELECT CAST(ROUND(100.00 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l.l_discount AS DECIMAL(12,4)))
+                 ELSE CAST(0 AS DECIMAL(12,4)) END)
+           / SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l.l_discount AS DECIMAL(12,4)))), 6) AS DOUBLE) AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _dec(F.col("l_extendedprice"), 12) * (1 - _dec(F.col("l_discount"), 12))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(12,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6)
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )
+
+
+# --- Q18-style large-volume customers -------------------------------------------
+
+@query(
+    "q18_large_volume",
+    oracle="""
+SELECT c.c_name AS name, c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+       o.o_orderdate AS orderdate, o.o_totalprice AS totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 120
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: IN-subquery with HAVING -> aggregate once, semi-join the keys.
+    The heavy per-order quantity rollup happens once and is reused as the
+    probe filter (no correlated re-aggregation)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("q"))
+        .filter(F.col("q") > 120)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+    )
+
+
+# --- Approximate aggregates (within-tolerance gating) ---------------------------
+
+@query(
+    "agg_approx_tolerance",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_nd,
+       TRUE AS nd_ok,
+       TRUE AS pct_ok
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_approx_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates can't bit-match an exact oracle, so the
+    contract IS the tolerance: emit booleans asserting approx_count_distinct
+    lands within 5% of exact and percentile_approx within the p40-p60 value
+    band; the oracle expects TRUE. Robust to HLL/KLL merge order, so stable
+    under any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_pcts = F.expr("percentile(l_extendedprice, array(0.4, 0.5, 0.6))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_nd"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx_nd"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_approx_p50"),
+            exact_pcts.alias("_pcts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_nd",
+            (
+                F.abs(F.col("_approx_nd") - F.col("exact_nd"))
+                <= 0.05 * F.col("exact_nd")
+            ).alias("nd_ok"),
+            (
+                (F.col("_approx_p50") >= F.col("_pcts")[0])
+                & (F.col("_approx_p50") <= F.col("_pcts")[2])
+            ).alias("pct_ok"),
+        )
+    )
+
+
 # --- Join-type coverage ---------------------------------------------------------
 
 @query(
