@@ -106,3 +106,95 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Batch resize over binary payloads (mapInPandas, Arrow-batched).
+
+    Real codec path stubbed (no imaging libs in the container); the fake
+    path emits a deterministic digest-derived payload sized width*height//64
+    so downstream size accounting is testable. Schema, batch iteration and
+    binary-out plumbing are the production shape.
+    """
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires codec libraries not present in "
+                    "this environment; pass fake=True for the stand-in"
+                )
+            n_out = max(1, width * height // 64)
+            out_payload = pdf["payload"].map(
+                lambda b: (
+                    (hashlib.md5(bytes(b)).digest() * (n_out // 16 + 1))[:n_out]
+                    if b is not None
+                    else None
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payload,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(do_resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_digest", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:
+    """Frame sampling over binary 'video' payloads: one output row per
+    sampled frame (a fan-out mapInPandas, the UDTF batch shape).
+
+    Deterministic fake decode: a payload of B bytes 'contains'
+    B // 100 + 1 frames; frame k's digest is md5(md5(payload) || ':' k) --
+    reproducible in SQL, so the sampling query is oracle-gated.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video frame decode requires codec libraries not present "
+                    "in this environment; pass fake=True for the stand-in"
+                )
+            ids, idxs, digs = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if b is None:
+                    continue
+                payload_digest = hashlib.md5(bytes(b)).hexdigest()
+                n_frames = len(b) // 100 + 1
+                for k in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(k)
+                    digs.append(
+                        hashlib.md5(f"{payload_digest}:{k}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_digest": digs}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(sample, FRAME_SCHEMA)

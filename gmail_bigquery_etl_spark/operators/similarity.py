@@ -97,6 +97,22 @@ def hyperplane_bucket(vec_col: Column | str, n_planes: int = 8, dim: int = 64) -
     return F.concat(*bits)
 
 
+def _hamming_ball_1(bucket: Column, n_planes: int) -> Column:
+    """The bucket plus every 1-bit-flipped neighbor (n_planes+1 keys)."""
+    variants = [bucket]
+    for i in range(1, n_planes + 1):
+        bit = F.substring(bucket, i, 1)
+        flipped = F.when(bit == "1", F.lit("0")).otherwise(F.lit("1"))
+        variants.append(
+            F.concat(
+                F.substring(bucket, 1, i - 1),
+                flipped,
+                F.substring(bucket, i + 1, n_planes - i),
+            )
+        )
+    return F.array(*variants)
+
+
 def lsh_bucket_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -105,20 +121,33 @@ def lsh_bucket_ann(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = True,
 ) -> DataFrame:
-    """ANN: candidates share the query's hyperplane bucket; exact cosine
-    rank within. Single-probe (no multi-bucket expansion)."""
+    """ANN: candidates share (a Hamming-1 neighborhood of) the query's
+    hyperplane bucket; exact cosine rank within. Multi-probe expands the
+    QUERY side only (n_planes+1 keys per query) -- the corpus stays one row
+    per vector, so the index build cost is unchanged and recall roughly
+    doubles; the standard trade for sign-LSH, whose near-neighbors often
+    sit one flipped sign bit away."""
     bucket = hyperplane_bucket(vec_col, n_planes, dim)
     c = corpus.select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("c_vec"), bucket.alias("bucket")
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), bucket.alias("bucket")
-    )
+    if multiprobe:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(_hamming_ball_1(bucket, n_planes)).alias("bucket"),
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), bucket.alias("bucket")
+        )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("match_id") != F.col("query_id"))
         .select("query_id", "match_id", cosine_similarity("q_vec", "c_vec").alias("score"))
+        .dropDuplicates(["query_id", "match_id"])
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
     return (
@@ -192,6 +221,130 @@ def allpairs_cosine(
 
     return replicated.groupBy("bp", "bq").applyInPandas(
         score_tile, schema="id_a bigint, id_b bigint, score double"
+    )
+
+
+def _seq_dot(v: Column, lit_arr: list[float]) -> Column:
+    """Sequential left-fold dot(v, literal) -- same accumulation order as
+    the DuckDB oracle's list_reduce, so scores are bit-identical."""
+    w = F.array(*[F.lit(float(x)) for x in lit_arr])
+    return F.aggregate(
+        F.zip_with(v, w, lambda x, c: x.cast("double") * c),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _self_dot(v: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(v, v, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_centroid_arrays(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[tuple[int, list[float]]]:
+    """Collect the coarse quantizer: per-label mean vectors, rounded to 6dp
+    (cross-engine exact). The centroid computation is fully distributed
+    (label_centroids: one (label, dim) shuffle); only the K x dim quantizer
+    table -- kilobytes at any corpus size -- comes back to the driver, the
+    same shape every IVF implementation broadcasts to its searchers."""
+    rows = label_centroids(corpus, label_col, vec_col).collect()
+    by_label: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_label.setdefault(r.label, {})[r.dim] = r.centroid
+    return [
+        (lab, [by_label[lab][j] for j in range(dim)]) for lab in sorted(by_label)
+    ]
+
+
+def ivf_cell_scores(
+    vec_col: Column | str, centroids: list[tuple[int, list[float]]]
+) -> list[tuple[int, Column]]:
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    vnorm = F.sqrt(_self_dot(v))
+    out = []
+    for lab, cent in centroids:
+        cnorm = sum(x * x for x in cent) ** 0.5
+        score = _seq_dot(v, cent) / F.nullif(vnorm * F.lit(cnorm), F.lit(0.0))
+        out.append((lab, score))
+    return out
+
+
+def ivf_assign(
+    vec_col: Column | str, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid cell id (cosine argmax, first label wins ties)."""
+    scores = ivf_cell_scores(vec_col, centroids)
+    best_lab, best_score = F.lit(scores[0][0]), scores[0][1]
+    for lab, score in scores[1:]:
+        is_better = score > best_score
+        best_lab = F.when(is_better, F.lit(lab)).otherwise(best_lab)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lab
+
+
+def ivf_probe_cells(
+    vec_col: Column | str,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+) -> Column:
+    """The nprobe nearest cell ids, best first."""
+    scores = ivf_cell_scores(vec_col, centroids)
+    entries = F.array(
+        *[
+            F.struct((-s).alias("neg"), F.lit(lab).alias("lab"))
+            for lab, s in scores
+        ]
+    )
+    return F.slice(
+        F.transform(F.array_sort(entries), lambda e: e["lab"]), 1, nprobe
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into centroid cells, probe each
+    query's nprobe nearest cells, exact-rank within. The candidate join is
+    an equi-join on cell id (corpus side stays partitioned; only the
+    replicated query set broadcasts) -- the inverted-file layout that keeps
+    ANN a hash join instead of a cross join at scale. Recall is tunable via
+    nprobe; pytest gates recall vs brute force."""
+    cents = ivf_centroid_arrays(corpus, label_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("c_vec"),
+        ivf_assign(vec_col, cents).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(ivf_probe_cells(vec_col, cents, nprobe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id", "match_id", cosine_similarity("q_vec", "c_vec").alias("score")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "rank", F.round("score", 6).alias("score"))
     )
 
 

@@ -12,8 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
-from ..operators.multimodal import decode_features, documents_as_media
+from ..catalog import load_table, spread
+from ..operators.multimodal import (
+    decode_features,
+    documents_as_media,
+    sample_frames,
+)
 from .registry import query
 
 
@@ -31,6 +35,28 @@ FROM documents
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decode_features(documents_as_media(docs), fake=True)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, encode(text) AS payload, md5(text) AS pdig,
+         octet_length(encode(text)) // 100 + 1 AS n_frames
+  FROM documents
+)
+SELECT media_id, CAST(k AS BIGINT) AS frame_idx,
+       md5(pdig || ':' || CAST(k AS VARCHAR)) AS frame_digest
+FROM media, generate_series(0, 10000) AS t(k)
+WHERE k < n_frames AND k % 2 = 0
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling through the fan-out mapInPandas path
+    (one output row per sampled frame); fake decode is md5-derived and
+    reproduced exactly by the SQL oracle."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return sample_frames(documents_as_media(docs), every_n=2, fake=True)
 
 
 @query(

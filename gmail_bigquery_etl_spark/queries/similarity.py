@@ -88,6 +88,45 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_cells",
+    oracle=f"""
+WITH cent AS (
+  SELECT label, j - 1 AS dim, ROUND(AVG(CAST(embedding[j] AS DOUBLE)), 6) AS c
+  FROM embeddings, generate_series(1, 64) AS t(j)
+  GROUP BY label, j
+),
+carr AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+scored AS (
+  SELECT e.vec_id, ca.label AS cell,
+         {_SQL_COSINE.format(a='e.embedding', b='ca.cv')} AS score
+  FROM embeddings e CROSS JOIN carr ca
+),
+best AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+  FROM scored
+)
+SELECT cell, COUNT(*) AS n_vectors FROM best WHERE rn = 1 GROUP BY cell
+""",
+)
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer assignment, correctness-gated on per-cell
+    occupancy: every vector's nearest label-centroid (6dp-rounded means,
+    sequential-fold cosine -- bit-identical across engines). End-to-end
+    ivf_topk recall is pytest-gated (recall, not exact ids, is its
+    contract)."""
+    from ..operators.similarity import ivf_assign, ivf_centroid_arrays
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroid_arrays(emb)
+    return (
+        emb.select(ivf_assign("embedding", cents).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+@query(
     "embedding_centroids",
     oracle="""
 SELECT label, j - 1 AS dim,
