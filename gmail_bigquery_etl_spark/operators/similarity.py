@@ -224,17 +224,6 @@ def allpairs_cosine(
     )
 
 
-def _seq_dot(v: Column, lit_arr: list[float]) -> Column:
-    """Sequential left-fold dot(v, literal) -- same accumulation order as
-    the DuckDB oracle's list_reduce, so scores are bit-identical."""
-    w = F.array(*[F.lit(float(x)) for x in lit_arr])
-    return F.aggregate(
-        F.zip_with(v, w, lambda x, c: x.cast("double") * c),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _self_dot(v: Column) -> Column:
     return F.aggregate(
         F.zip_with(v, v, lambda x, y: x.cast("double") * y.cast("double")),
@@ -265,28 +254,45 @@ def ivf_centroid_arrays(
 
 def ivf_cell_scores(
     vec_col: Column | str, centroids: list[tuple[int, list[float]]]
-) -> list[tuple[int, Column]]:
+) -> Column:
+    """array<struct<score, neg_lab>>: cosine vs every centroid.
+
+    Built as ONE transform over a literal centroid matrix, so each fold
+    appears once in the expression tree. (A per-label when/otherwise argmax
+    chain re-embeds every prior score expression per level -- 2^K copies --
+    and HOF expressions get no CSE; neg_lab makes struct-max tie-break to
+    the smallest label.)
+    """
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    cm = F.array(
+        *[F.array(*[F.lit(float(x)) for x in cent]) for _, cent in centroids]
+    )
+    cnorms = F.array(
+        *[F.lit(sum(x * x for x in cent) ** 0.5) for _, cent in centroids]
+    )
+    neg_labs = F.array(*[F.lit(-lab) for lab, _ in centroids])
     vnorm = F.sqrt(_self_dot(v))
-    out = []
-    for lab, cent in centroids:
-        cnorm = sum(x * x for x in cent) ** 0.5
-        score = _seq_dot(v, cent) / F.nullif(vnorm * F.lit(cnorm), F.lit(0.0))
-        out.append((lab, score))
-    return out
+    return F.transform(
+        cm,
+        lambda c, i: F.struct(
+            (
+                F.aggregate(
+                    F.zip_with(v, c, lambda x, w: x.cast("double") * w),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.nullif(vnorm * F.element_at(cnorms, i + 1), F.lit(0.0))
+            ).alias("score"),
+            F.element_at(neg_labs, i + 1).alias("neg_lab"),
+        ),
+    )
 
 
 def ivf_assign(
     vec_col: Column | str, centroids: list[tuple[int, list[float]]]
 ) -> Column:
-    """Nearest-centroid cell id (cosine argmax, first label wins ties)."""
-    scores = ivf_cell_scores(vec_col, centroids)
-    best_lab, best_score = F.lit(scores[0][0]), scores[0][1]
-    for lab, score in scores[1:]:
-        is_better = score > best_score
-        best_lab = F.when(is_better, F.lit(lab)).otherwise(best_lab)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_lab
+    """Nearest-centroid cell id (cosine argmax, smallest label wins ties)."""
+    return -F.array_max(ivf_cell_scores(vec_col, centroids))["neg_lab"]
 
 
 def ivf_probe_cells(
@@ -294,13 +300,13 @@ def ivf_probe_cells(
     centroids: list[tuple[int, list[float]]],
     nprobe: int,
 ) -> Column:
-    """The nprobe nearest cell ids, best first."""
-    scores = ivf_cell_scores(vec_col, centroids)
-    entries = F.array(
-        *[
-            F.struct((-s).alias("neg"), F.lit(lab).alias("lab"))
-            for lab, s in scores
-        ]
+    """The nprobe nearest cell ids, best first (struct sort: score desc
+    via -score, then label asc)."""
+    entries = F.transform(
+        ivf_cell_scores(vec_col, centroids),
+        lambda e: F.struct(
+            (-e["score"]).alias("neg"), (-e["neg_lab"]).alias("lab")
+        ),
     )
     return F.slice(
         F.transform(F.array_sort(entries), lambda e: e["lab"]), 1, nprobe

