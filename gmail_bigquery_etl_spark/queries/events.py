@@ -239,3 +239,32 @@ def events_range_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("o_orderkey").alias("orderkey")).agg(
         F.count("event_id").alias("n_events")
     )
+
+
+@query(
+    "skew_salted_user_counts",
+    oracle="""
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def skew_salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (operators/skew.py): partial agg on
+    (user_id, salt) spreads a hot user over 16 tasks, final merge on
+    user_id. The oracle is the plain GROUP BY -- salting must be
+    result-invariant; only the shuffle layout changes."""
+    from ..operators.skew import salted_counts_sums
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_counts_sums(
+        ev,
+        key="user_id",
+        salt_from="event_id",
+        sum_cols={"total_value": F.sum(_dec(F.col("value")))},
+        n_salts=16,
+    )
+    return out.select(
+        "user_id", "n", F.col("total_value").cast("double").alias("total_value")
+    )

@@ -113,6 +113,41 @@ def ingest_via_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ingest_parse_errors",
+    oracle=_MSG_CTE
+    + """
+, rec AS (
+  SELECT id, event_id,
+         CASE WHEN event_id % 17 = 0 THEN 'X' || "timestamp" ELSE "timestamp" END AS raw
+  FROM msgs
+)
+SELECT id,
+       try_strptime(left(raw, length(raw) - 6), '%a, %d %b %Y %H:%M:%S') AS ts,
+       CASE WHEN raw IS NOT NULL
+             AND try_strptime(left(raw, length(raw) - 6), '%a, %d %b %Y %H:%M:%S') IS NULL
+            THEN 'PARSE_ERROR' END AS parse_error
+FROM rec
+""",
+)
+def ingest_parse_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors-as-data (reference T6/ST5): every 17th message's Date header
+    is corrupted in-query; try_to_timestamp yields NULL + an error tag
+    instead of an ANSI exception, so bad rows stay queryable and the job
+    never aborts. Both engines corrupt and parse identically."""
+    from ..operators.errors import parse_timestamp_or_error
+
+    msgs = gmail_messages_from_events(spark, sf_dir)
+    rec = extract_email_records(msgs).dropDuplicates(["id"])
+    raw = F.when(
+        F.substring("id", 2, 100).cast("bigint") % 17 == 0,
+        F.concat(F.lit("X"), F.col("timestamp")),
+    ).otherwise(F.col("timestamp"))
+    staged = rec.select("id", raw.alias("_raw"))
+    ts, err = parse_timestamp_or_error("_raw")
+    return staged.select("id", ts.alias("ts"), err.alias("parse_error"))
+
+
+@query(
     "ingest_idempotent",
     oracle="SELECT count(*) AS n_new FROM events WHERE 1 = 0",
 )

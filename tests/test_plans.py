@@ -1,0 +1,93 @@
+"""Physical-plan assertions: the scale posture, verified via explain.
+
+These lock in the plan shapes the 100 TB story depends on -- pushdown
+reaching the scan, broadcasts where intended (and nowhere else), partial
+aggregation, top-k without a global sort, and NO accidental cartesian
+products anywhere in the declared corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmail_bigquery_etl_spark.queries import ALL_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    df = ALL_QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_and_projection_reach_scan(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters:" in plan
+    # range predicates on shipdate/discount/quantity pushed to parquet
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    # scan reads only the 4 needed columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_dim_joins_broadcast_not_shuffle(spark):
+    plan = _plan(spark, "q5_local_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ingest_anti_join_is_broadcast(spark):
+    plan = _plan(spark, "ingest_incremental")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q1_partial_final_aggregation(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # map-side combine: two HashAggregate levels around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "SortAggregate" not in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "sort_topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_accidental_cartesian_products(spark):
+    """Cross-join shapes are allowed ONLY where declared intentional:
+    join_cross_theta (explicit NLJ over dims) and the brute-force/blocked
+    similarity baselines (broadcast NLJ over a bounded query block).
+    Everything else must be equi-join shaped."""
+    allowed_nlj = {
+        "join_cross_theta",
+        "knn_bruteforce_cosine",
+        "embedding_near_dup",
+        "dedup_exact_survivors_count",  # crossJoin of two 1-row aggregates
+        # broadcast crossJoin against an O(K)-row hash-function/band dim
+        # table (replaces posexplode; broadcast side is 8-16 literal rows)
+        "dedup_minhash_signatures",
+        "dedup_minhash_lsh_pairs",
+    }
+    offenders = []
+    for name in ALL_QUERIES:
+        plan = _plan(spark, name)
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in allowed_nlj:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
+
+
+def test_lsh_candidates_are_equi_join_shaped(spark):
+    plan = _plan(spark, "dedup_minhash_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    # the verify joins hash-partition on composite keys
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

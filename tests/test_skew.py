@@ -1,0 +1,65 @@
+"""Skew-mitigation operators (operators/skew.py): result-invariance and
+plan shape under a deliberately skewed key distribution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmail_bigquery_etl_spark.operators.skew import salted_counts_sums, salted_join
+
+
+def _skewed_df(spark, n=10_000):
+    """90% of rows land on key 0, the rest spread over 100 keys."""
+    return spark.range(n).select(
+        F.when(F.col("id") % 10 != 0, F.lit(0))
+        .otherwise(F.col("id") % 100)
+        .cast("long")
+        .alias("k"),
+        F.col("id").alias("uid"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    df = _skewed_df(spark)
+    got = salted_counts_sums(
+        df, key="k", salt_from="uid", sum_cols={"sv": F.sum("v")}, n_salts=8
+    )
+    want = df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+    g = {r.k: (r.n, r.sv) for r in got.collect()}
+    w = {r.k: (r.n, r.sv) for r in want.collect()}
+    assert g == w
+
+
+def test_salted_agg_spreads_hot_key(spark):
+    """The partial aggregate must produce multiple rows for the hot key --
+    i.e. the salt actually splits it."""
+    df = _skewed_df(spark)
+    partial = (
+        df.withColumn("_salt", F.pmod(F.xxhash64("uid"), F.lit(8)).cast("int"))
+        .groupBy("k", "_salt")
+        .count()
+    )
+    hot_splits = partial.filter(F.col("k") == 0).count()
+    assert hot_splits == 8
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = _skewed_df(spark)
+    small = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val")
+    )
+    got = salted_join(big, small, key="k", salt_from="uid", n_salts=8)
+    want = big.join(small, "k")
+    assert got.count() == want.count()
+    g = got.groupBy("k").agg(F.sum("dim_val").alias("s"))
+    w = want.groupBy("k").agg(F.sum("dim_val").alias("s"))
+    assert sorted(map(tuple, g.collect())) == sorted(map(tuple, w.collect()))
+
+
+def test_salted_join_left_outer_preserves_unmatched(spark):
+    big = _skewed_df(spark).withColumn("k", F.col("k") + 1000)  # no matches
+    small = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("d"))
+    out = salted_join(big, small, key="k", salt_from="uid", n_salts=4, how="left")
+    assert out.count() == big.count()
+    assert out.filter(F.col("d").isNotNull()).count() == 0
