@@ -44,6 +44,7 @@ from pyspark.sql.datasource import (
     In,
     InputPartition,
     IsNotNull,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
     ArrayType,
@@ -222,8 +223,50 @@ class PaginatedApiReader(DataSourceReader):
         yield from page
 
 
+class PaginatedApiStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the paginated scan: the reference's ``while True``
+    page loop (etl_service/main.py:163-211) as a Structured Streaming
+    source. The offset is the pageToken analog -- the count of events
+    consumed in deterministic event_id order -- so every micro-batch is one
+    page, checkpoint-recoverable and exactly replayable
+    (``readBetweenOffsets`` re-serves any committed range bit-for-bit).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self._batch = PaginatedApiReader(options)
+        self.page_size = self._batch.page_size
+        self._rows: list[tuple] | None = None
+
+    def _all_rows(self) -> list[tuple]:
+        """Materialize the message universe once, in event order (the fake
+        API's stable pagination order). Single-token partition view: the
+        stream reader runs on the driver and feeds partitions downstream."""
+        if self._rows is None:
+            part = _TokenPartition(0, 1)
+            self._rows = list(self._batch.read(part))
+        return self._rows
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict) -> tuple:
+        rows = self._all_rows()
+        lo = start["pos"]
+        hi = min(lo + self.page_size, len(rows))
+        if self._batch.throttle_ms and hi > lo:
+            time.sleep(self._batch.throttle_ms / 1000.0)
+        return iter(rows[lo:hi]), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter(self._all_rows()[start["pos"] : end["pos"]])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up; the backing store is immutable
+
+
 class PaginatedApiDataSource(DataSource):
-    """``spark.read.format("paginated_api").option("path", ...)`` source."""
+    """``spark.read.format("paginated_api").option("path", ...)`` source;
+    also streamable via ``spark.readStream.format("paginated_api")``."""
 
     @classmethod
     def name(cls) -> str:
@@ -234,6 +277,9 @@ class PaginatedApiDataSource(DataSource):
 
     def reader(self, schema: StructType) -> PaginatedApiReader:
         return PaginatedApiReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> PaginatedApiStreamReader:
+        return PaginatedApiStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -101,6 +101,45 @@ def test_partitions_cover_all_users(spark):
     assert n2 == n8 > 0
 
 
+def test_streaming_source_delivers_everything_once(spark, tmp_path):
+    """readStream over the paginated source: every message arrives exactly
+    once, one page per micro-batch, and the offsets replay deterministically
+    (the reference's page loop under Structured Streaming)."""
+    register(spark)
+    total = _read(spark, tokens=1).count()
+    stream = (
+        spark.readStream.format("paginated_api")
+        .option("path", EVENTS)
+        .option("page_size", "500")
+        .load()
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time as _t
+
+    deadline = _t.time() + 120
+    while _t.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= total:
+                break
+        except Exception:
+            pass
+        _t.sleep(1)
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == total
+    batch = _read(spark, tokens=1)
+    assert sorted(r.id for r in got.select("id").collect()) == sorted(
+        r.id for r in batch.select("id").collect()
+    )
+
+
 def test_page_size_batching_unit():
     """Small pages produce identical output (pagination is invisible)."""
     big = PaginatedApiReader({"path": EVENTS, "page_size": "100000"})
