@@ -268,3 +268,41 @@ def skew_salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n", F.col("total_value").cast("double").alias("total_value")
     )
+
+
+@query(
+    "events_daily_from_hourly",
+    oracle="""
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (hypertable-rollup) pattern: the daily rollup is
+    RE-AGGREGATED from the hourly rollup, never from raw events -- count and
+    decimal-sum are decomposable, so merging partials is exact. The oracle
+    aggregates raw events directly: both paths must agree, which is the
+    correctness contract that makes rollup reuse safe at 100 TB (the hourly
+    table is ~1/3600th of raw)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(_dec(F.col("value"))).alias("tv"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour_start")).alias("day_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("tv").cast("double").alias("total_value"),
+        )
+    )

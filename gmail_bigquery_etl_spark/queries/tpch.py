@@ -1053,3 +1053,52 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("F", F.lit(0)).alias("n_filled"),
         F.coalesce("P", F.lit(0)).alias("n_partial"),
     )
+
+
+@query(
+    "scalar_array_map_funcs",
+    oracle="""
+SELECT p_partkey AS partkey,
+       len(string_split(p_name, ' ')) AS n_words,
+       array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_words,
+       string_split(p_name, ' ')[1] AS first_word,
+       string_split(p_name, ' ')[-1] AS last_word,
+       len(list_distinct(string_split(p_name, ' '))) AS n_distinct_words,
+       list_contains(string_split(p_name, ' '), 'steel') AS has_steel,
+       array_to_string(list_sort(map_keys(map_from_entries(
+         list_transform(list_distinct(string_split(p_name, ' ')), w -> {'k': w, 'v': len(w)})
+       ))), '|') AS map_keys_sorted,
+       len(string_split(p_name, ' ')[2:3]) AS mid_slice_len
+FROM part
+""",
+)
+def scalar_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + map function family (SURVEY §2.6 absent-list): split, size,
+    sort, first/last element, distinct, membership, slicing, and map
+    construction/key extraction -- all codegen'd built-ins."""
+    p = load_table(spark, sf_dir, "part")
+    staged = p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.split("p_name", " ").alias("_w"),
+    )
+    dw = F.array_distinct(F.col("_w"))
+    return staged.select(
+        "partkey",
+        F.size("_w").alias("n_words"),
+        F.array_join(F.array_sort("_w"), "|").alias("sorted_words"),
+        F.element_at("_w", 1).alias("first_word"),
+        F.element_at("_w", -1).alias("last_word"),
+        F.size(dw).alias("n_distinct_words"),
+        F.array_contains("_w", "steel").alias("has_steel"),
+        F.array_join(
+            F.array_sort(
+                F.map_keys(
+                    F.map_from_entries(
+                        F.transform(dw, lambda w: F.struct(w.alias("k"), F.length(w).alias("v")))
+                    )
+                )
+            ),
+            "|",
+        ).alias("map_keys_sorted"),
+        F.size(F.slice("_w", 2, 2)).alias("mid_slice_len"),
+    )
