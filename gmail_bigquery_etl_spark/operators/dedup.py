@@ -41,6 +41,29 @@ def content_key(text: Column | str) -> Column:
     return F.md5(col)
 
 
+def grams_stage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, _grams): the distinct word-shingle set per document, built as
+    staged projections (tokens -> shingles). Staging matters: HOF lambdas
+    are interpreted with no common-subexpression elimination, so an inline
+    token split referenced per shingle re-splits the text O(shingles)
+    times; a multi-referenced alias survives CollapseProject and is
+    computed once per row."""
+    from ..functions.text import ngram_shingles_from_tokens, whitespace_tokens
+
+    toks = df.select(F.col(id_col), whitespace_tokens(text_col).alias("_toks"))
+    return toks.select(
+        id_col,
+        F.array_distinct(ngram_shingles_from_tokens("_toks", shingle_n)).alias(
+            "_grams"
+        ),
+    )
+
+
 def shingle_hash_stage(
     df: DataFrame,
     text_col: str = "text",
@@ -49,23 +72,15 @@ def shingle_hash_stage(
     out_col: str = "_hs",
 ) -> DataFrame:
     """(id, _hs): distinct word-shingles reduced to one 60-bit hash each,
-    mod P -- the single md5 pass every MinHash function affinely rehashes.
-
-    Built as THREE staged projections (tokens -> shingles -> hashes).
-    Staging matters: HOF lambdas are interpreted with no common-subexpression
-    elimination, so an inline token split referenced per shingle re-splits
-    the text O(shingles) times; a multi-referenced alias survives
-    CollapseProject and is computed once per row.
-    """
-    from ..functions.text import ngram_shingles_from_tokens, whitespace_tokens
-
-    toks = df.select(F.col(id_col), whitespace_tokens(text_col).alias("_toks"))
-    grams = toks.select(
-        id_col,
-        F.array_distinct(ngram_shingles_from_tokens("_toks", shingle_n)).alias(
-            "_grams"
-        ),
+    mod P -- the single md5 pass every MinHash function affinely rehashes."""
+    return hashes_from_grams(
+        grams_stage(df, text_col, id_col, shingle_n), id_col, out_col
     )
+
+
+def hashes_from_grams(
+    grams: DataFrame, id_col: str = "doc_id", out_col: str = "_hs"
+) -> DataFrame:
     return grams.select(
         id_col,
         F.transform("_grams", lambda s: portable_hash64(s) % MINHASH_P).alias(
@@ -146,9 +161,26 @@ def lsh_candidate_pairs(
     r minhashes in it agree -> P(collide) = jaccard^r per band.
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
+    grams = grams_stage(df, text_col, id_col, shingle_n)
+    return lsh_candidate_pairs_from_grams(
+        grams, id_col, num_hashes, bands, max_bucket
+    )
+
+
+def lsh_candidate_pairs_from_grams(
+    grams: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH banding over a pre-staged (id, _grams) frame -- callers that also
+    verify with Jaccard should build grams once (and persist it) so the
+    tokenize/shingle pass is not re-executed per consumer."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    hashed = shingle_hash_stage(df, text_col, id_col, shingle_n).select(
+    df = grams
+    hashed = hashes_from_grams(grams, id_col).select(
         F.col(id_col).alias("_id"), "_hs"
     )
     sig = hashed.select(
@@ -200,17 +232,15 @@ def jaccard_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for given candidate (id_a, id_b) pairs."""
-    from ..functions.text import ngram_shingles_from_tokens, whitespace_tokens
+    return jaccard_pairs_from_grams(
+        grams_stage(df, text_col, id_col, shingle_n), pairs, id_col
+    )
 
-    toks = df.select(
-        F.col(id_col).alias("_id"), whitespace_tokens(text_col).alias("_toks")
-    )
-    grams = toks.select(
-        "_id",
-        F.array_distinct(ngram_shingles_from_tokens("_toks", shingle_n)).alias(
-            "_grams"
-        ),
-    )
+
+def jaccard_pairs_from_grams(
+    grams_df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    grams = grams_df.select(F.col(id_col).alias("_id"), "_grams")
     # array_distinct => (id, shingle) already unique after explode: no
     # distinct() shuffle needed; set sizes read off the array, no groupBy.
     sh = grams.select("_id", F.explode("_grams").alias("sh"))
@@ -281,3 +311,35 @@ def simhash(text_col: Column | str, bits: int = 32) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Integrated near-dup detection: LSH candidates -> exact-Jaccard
+    verify -> (id_a, id_b, jaccard >= threshold).
+
+    The shingle stage is computed ONCE and persisted: candidate generation
+    and verification are three lineage consumers (signatures, shingle
+    explode, set sizes), and without materialization Spark re-executes the
+    tokenize/shingle/md5 pass per consumer. At warehouse scale the same
+    artifact is a checkpointed shingle table shared by the whole dedup
+    pipeline; MEMORY_AND_DISK keeps the local form spill-safe.
+    """
+    from pyspark import StorageLevel
+
+    grams = grams_stage(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = lsh_candidate_pairs_from_grams(
+        grams, id_col, num_hashes, bands, max_bucket
+    )
+    scored = jaccard_pairs_from_grams(grams, cand, id_col)
+    return scored.filter(F.col("jaccard") >= threshold)

@@ -329,11 +329,14 @@ WHERE CAST(v.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - v.n_inter) >= 0.5
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates -> exact-Jaccard verify -> near-dup pairs.
     16 hashes, 4 bands of 4: band collision prob = j^4 (j=.8 -> .41/band,
-    .88 overall). Exact copies and tail-mutated near-copies both surface."""
+    .88 overall). Exact copies and tail-mutated near-copies both surface.
+    Uses the integrated operator so the shingle stage is computed once
+    (persisted) across candidate generation and verification."""
+    from ..operators.dedup import near_dup_pairs
+
     corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
-    cand = lsh_candidate_pairs(corpus, num_hashes=16, bands=4)
-    scored = jaccard_pairs(corpus, cand)
-    return scored.filter(F.col("jaccard") >= 0.5).select(
+    scored = near_dup_pairs(corpus, threshold=0.5, num_hashes=16, bands=4)
+    return scored.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
