@@ -1,0 +1,94 @@
+"""Connected components over a pair graph: dedup-cluster assignment.
+
+Near-dup detection emits PAIRS; a training pipeline needs CLUSTERS (keep
+one survivor per duplicate cluster). Components of the pair graph give the
+cluster ids. This is the canonical iterative-join algorithm (alternating
+min-label propagation, a simplified large-star/small-star): each round
+every node adopts the smallest label in its neighborhood, until a fixpoint.
+
+Scale shape: one shuffle per iteration (join on node), converging in
+O(log(longest path)) rounds for near-dup graphs (which are tiny, dense
+cliques -- typically 1-3 rounds). Each round's result is localCheckpoint'd
+to truncate lineage: without it, round k re-executes rounds 1..k-1 and the
+DAG grows quadratically. No driver-side looping over data -- the driver
+only drives the fixpoint test (a count of changed labels).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in ``pairs``; component = min node
+    id reachable. Deterministic, oracle-checkable against a recursive-CTE
+    transitive closure."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    # self-loop keeps isolated... every node appears (pairs have both ends);
+    # self edge makes "neighborhood min" include the node's own label.
+    nodes = edges.select("u").distinct()
+    labels = nodes.select("u", F.col("u").alias("comp")).localCheckpoint()
+
+    for _ in range(max_iter):
+        # neighborhood min: for each node u, min(comp of u, comp of all v)
+        neigh = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("comp").alias("neigh_comp"))
+        )
+        stepped = labels.join(neigh, "u", "left").select(
+            "u",
+            F.least("comp", F.coalesce("neigh_comp", F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        # pointer doubling (path halving): comp[u] <- comp[comp[u]].
+        # Neighbor-min alone moves a label ONE hop per round (O(diameter)
+        # rounds on a path); with doubling the label distance halves each
+        # round -> O(log n) rounds total, the hash-to-min convergence.
+        ptr = stepped.select(
+            F.col("u").alias("_c"), F.col("comp").alias("_cc")
+        )
+        new_labels = (
+            stepped.join(ptr, stepped.comp == ptr._c, "left")
+            .select(
+                "u",
+                F.least("comp", F.coalesce("_cc", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("comp").alias("component"))
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one row per duplicate cluster (the min-id member) plus every
+    row not in any pair: the end-to-end dedup a training pipeline applies
+    after near-dup scoring."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

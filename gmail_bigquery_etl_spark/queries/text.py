@@ -284,10 +284,9 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signature(corpus, num_hashes=8)
 
 
-@query(
-    "dedup_minhash_lsh_pairs",
-    oracle=f"""
-WITH corpus AS ({_SQL_AUGMENTED}),
+# LSH near-dup pipeline as reusable CTE text: shared by the pairs oracle
+# and the connected-components (clusters) oracle.
+_SQL_LSH_CTES = f"""corpus AS ({_SQL_AUGMENTED}),
 shingled AS (
   SELECT doc_id, list_distinct({_SQL_SHINGLES.format(c='text')}) AS grams FROM corpus
 ),
@@ -317,14 +316,19 @@ verified AS (
   FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
   GROUP BY c.id_a, c.id_b
 ),
-sizes AS (SELECT doc_id, len(grams) AS n_sh FROM shingled)
-SELECT v.id_a, v.id_b,
+sizes AS (SELECT doc_id, len(grams) AS n_sh FROM shingled)"""
+
+_SQL_LSH_SELECT = """SELECT v.id_a, v.id_b,
        ROUND(CAST(v.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - v.n_inter), 6) AS jaccard
 FROM verified v
 JOIN sizes sa ON sa.doc_id = v.id_a
 JOIN sizes sb ON sb.doc_id = v.id_b
-WHERE CAST(v.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - v.n_inter) >= 0.5
-""",
+WHERE CAST(v.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - v.n_inter) >= 0.5"""
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"WITH {_SQL_LSH_CTES}\n{_SQL_LSH_SELECT}",
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates -> exact-Jaccard verify -> near-dup pairs.
@@ -339,6 +343,39 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SQL_LSH_CTES},
+pairs AS ({_SQL_LSH_SELECT}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS node, LEAST(u, MIN(v)) AS component
+FROM reach GROUP BY u
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: connected components over the verified
+    pair graph via iterative min-label propagation (operators/components.py
+    -- one shuffle per round, lineage checkpointed). The oracle computes the
+    same components with a recursive-CTE transitive closure: the iterative
+    distributed algorithm and the set-theoretic definition must agree."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import near_dup_pairs
+
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = near_dup_pairs(corpus, threshold=0.5, num_hashes=16, bands=4)
+    return connected_components(pairs.select("id_a", "id_b"))
 
 
 @query(
