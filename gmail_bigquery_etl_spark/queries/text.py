@@ -13,7 +13,7 @@ functions/text.py for the scale rationale (per-row HOFs, no Python).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
@@ -399,3 +399,70 @@ FROM bits GROUP BY doc_id
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
     return corpus.select("doc_id", simhash("text", bits=32).alias("simhash"))
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY doc_id, term
+),
+dlen AS (SELECT doc_id, SUM(cnt) AS n_tok FROM tf GROUP BY doc_id),
+df AS (SELECT term, COUNT(*) AS n_docs FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS total FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         (CAST(tf.cnt AS DOUBLE) / dlen.n_tok)
+           * (ln((n.total + 1.0) / (df.n_docs + 1.0)) + 1.0) AS score
+  FROM tf JOIN dlen USING (doc_id) JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, ROUND(score, 6) AS score, rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF via distributed counts (no vocabulary collected anywhere):
+    term frequencies and document frequencies are groupBy aggregates, idf
+    is a smooth log, top-3 terms per doc by windowed rank. The doc-count
+    'join' is a 1-row broadcast cross join, not a driver constant baked at
+    plan time -- at 100 TB all pieces stay distributed."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    from ..functions.text import whitespace_tokens
+
+    tok = docs.select(
+        "doc_id", F.explode(whitespace_tokens("text")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
+    dlen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("n_docs"))
+    n = docs.agg(F.count("*").alias("total"))
+    scored = (
+        tf.join(dlen, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("cnt").cast("double") / F.col("n_tok"))
+                * (
+                    F.log((F.col("total") + 1.0) / (F.col("n_docs") + 1.0))
+                    + 1.0
+                )
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", F.round("score", 6).alias("score"), "rnk")
+    )

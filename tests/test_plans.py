@@ -71,6 +71,7 @@ def test_no_accidental_cartesian_products(spark):
         "knn_bruteforce_cosine",
         "embedding_near_dup",
         "dedup_exact_survivors_count",  # crossJoin of two 1-row aggregates
+        "text_tfidf_top_terms",  # broadcast crossJoin of the 1-row doc count
         # broadcast crossJoin against an O(K)-row hash-function/band dim
         # table (replaces posexplode; broadcast side is 8-16 literal rows)
         "dedup_minhash_signatures",
