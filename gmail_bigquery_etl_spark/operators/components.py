@@ -29,10 +29,14 @@ def connected_components(
     """(node, component) for every node in ``pairs``; component = min node
     id reachable. Deterministic, oracle-checkable against a recursive-CTE
     transitive closure."""
+    # Materialize the edge list ONCE: every propagation round joins against
+    # it, and without truncation each round would re-execute the entire
+    # upstream pair-generation pipeline (e.g. the full LSH near-dup run).
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionAll(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint()
     )
     # self-loop keeps isolated... every node appears (pairs have both ends);
     # self edge makes "neighborhood min" include the node's own label.
