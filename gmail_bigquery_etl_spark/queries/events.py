@@ -306,3 +306,32 @@ def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tv").cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "events_asof_join_op",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+       p.purchase_value,
+       p.ts AS _asof_ts
+FROM events e
+ASOF LEFT JOIN purchases p
+  ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) >= p.ts
+""",
+)
+def events_asof_join_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generalized two-stream as-of operator (operators/asof.py,
+    union+window single pass) gated against DuckDB's NATIVE ASOF JOIN --
+    an independent implementation of the same semantics."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    return asof_join(left, purchases, on="user_id")
