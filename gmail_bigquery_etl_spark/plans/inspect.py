@@ -21,3 +21,27 @@ def scan_read_schema(df: DataFrame) -> list[set[str]]:
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan_string(df)):
         out.append({c.split(":")[0] for c in m.group(1).split(",") if c})
     return out
+
+
+def broadcast_subtrees(df: DataFrame, full_metadata: bool = True) -> list[str]:
+    """toString of every BroadcastExchange subtree in the executed plan.
+
+    Used to assert which relations a query is willing to materialize on the
+    driver: a fact-scaling table (orders/customer/lineitem) under a
+    BroadcastExchange is a plan that OOMs at 100x scale.
+    """
+    spark = df.sparkSession
+    if full_metadata:
+        spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
+        spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    out: list[str] = []
+
+    def walk(node) -> None:
+        if node.nodeName().startswith("BroadcastExchange"):
+            out.append(node.toString())
+            return  # nested exchanges inside are part of this subtree
+        for i in range(node.children().length()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

@@ -108,8 +108,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     rev = _dec(F.col("l_extendedprice"), 12) * (1 - _dec(F.col("l_discount"), 12))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # orders/customer scale with SF: no forced broadcast — AQE picks the
+        # strategy from runtime stats (a forced hint would OOM the driver at
+        # sf100+).  Only true dims (region/nation/part/small supplier) get
+        # explicit hints in this corpus.
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("l_orderkey").alias("orderkey"),
             F.col("o_orderdate").alias("orderdate"),
@@ -149,7 +153,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec(F.col("l_extendedprice"), 12) * (1 - _dec(F.col("l_discount"), 12))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (F.col("l_suppkey") == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
@@ -187,7 +191,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec(F.col("l_extendedprice"), 12) * (1 - _dec(F.col("l_discount"), 12))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             F.col("c_custkey").alias("custkey"),
@@ -310,7 +314,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
@@ -358,7 +362,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -440,7 +444,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
         .join(li, F.col("o_orderkey") == li.l_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .groupBy(
             F.col("c_name").alias("name"),
             F.col("c_custkey").alias("custkey"),
@@ -885,7 +889,8 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
     return o.join(
-        F.broadcast(c.select(F.col("c_custkey").alias("o_custkey")).distinct()),
+        # customer scales with SF — leave the semi-join strategy to AQE.
+        c.select(F.col("c_custkey").alias("o_custkey")).distinct(),
         "o_custkey",
         "left_semi",
     ).select("o_orderkey", "o_totalprice")

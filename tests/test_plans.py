@@ -87,6 +87,34 @@ def test_no_accidental_cartesian_products(spark):
     assert not offenders, offenders
 
 
+def test_no_forced_broadcast_of_fact_tables(spark):
+    """No fact-scaling relation (lineitem/orders/customer) may sit under a
+    BroadcastExchange that comes from an explicit hint.
+
+    With autoBroadcastJoinThreshold=-1 the optimizer never size-picks a
+    broadcast, so any BroadcastExchange left in the plan is hint-forced.
+    Hints are reserved for true dimensions (region/nation/part/supplier);
+    a forced fact broadcast is a driver OOM at sf100+."""
+    from gmail_bigquery_etl_spark.plans.inspect import broadcast_subtrees
+
+    fact_markers = ("lineitem", "orders.parquet", "customer.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        offenders = []
+        for name, fn in ALL_QUERIES.items():
+            if fn.__module__.rsplit(".", 1)[-1] != "tpch":
+                continue
+            for subtree in broadcast_subtrees(fn(spark, SF)):
+                low = subtree.lower()
+                hits = [m for m in fact_markers if m in low]
+                if hits:
+                    offenders.append((name, hits))
+        assert not offenders, offenders
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_lsh_candidates_are_equi_join_shaped(spark):
     plan = _plan(spark, "dedup_minhash_lsh_pairs")
     assert "CartesianProduct" not in plan
