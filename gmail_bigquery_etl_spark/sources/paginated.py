@@ -111,11 +111,26 @@ class PaginatedApiReader(DataSourceReader):
         self.page_size = int(options.get("page_size", "500"))
         self.num_tokens = int(options.get("tokens", "3"))
         self.throttle_ms = int(options.get("throttle_ms", "0"))
+        # Pushed row limit (per partition). The Python DataSource API has no
+        # SupportsPushDownLimit hook yet, so the limit arrives as an option;
+        # the page loop stops REQUESTING pages once it is satisfied -- the
+        # paginated-API analog of Spark's LocalLimit (each partition serves
+        # at most `limit` rows; the global limit still trims on the driver).
+        limit_opt = options.get("limit")
+        self.limit: int | None = int(limit_opt) if limit_opt is not None else None
         include, exclude = parse_label_query(options.get("q", ""))
         self.include, self.exclude = include, exclude
         header_opt = options.get("headers", _DEFAULT_HEADERS)
         self.wanted_headers = [h.strip() for h in header_opt.split(",") if h.strip()]
         self.id_allow: set[str] | None = None  # None = no pushed id filter
+
+    def _labels_pass(self, labels: list[str]) -> bool:
+        """Evaluate the parsed label query against one label set."""
+        if self.include and not (set(labels) & self.include):
+            return False
+        if self.exclude and (set(labels) & self.exclude):
+            return False
+        return True
 
     def pushFilters(self, filters: list[Filter]) -> list[Filter]:
         """Accept id equality+IN and id/threadId IsNotNull; everything else
@@ -143,7 +158,72 @@ class PaginatedApiReader(DataSourceReader):
         ]
 
     def read(self, partition: _TokenPartition) -> Iterator[tuple]:
-        """Page-at-a-time scan of one user token's mailbox slice.
+        for page in self._pages(partition):
+            yield from page
+
+    def _scan_filter(self, partition: _TokenPartition):
+        """ALL source-side predicates, pushed into the Arrow scan so each
+        token partition decodes only its own slice (a full-table read per
+        partition was num_tokens-times redundant I/O):
+          * the token fan-out (user_id mod num_tokens; arrow Expressions
+            have no %, so spelled via truncating int division -- user ids
+            are non-negative),
+          * pushed id equality/IN filters (ids are "m<event_id>"),
+          * the label query, folded to an event_type membership test
+            (labels are a pure function of event_type; unknown types get
+            the DRAFT default and pass iff DRAFT passes).
+        """
+        import pyarrow.compute as pc
+
+        f_user = pc.field("user_id")
+        n = partition.num_tokens
+        expr = (f_user - (f_user / n).cast("int64") * n) == partition.token_idx
+        if self.id_allow is not None:
+            eids = [int(i[1:]) for i in self.id_allow if i[:1] == "m" and i[1:].isdigit()]
+            expr = expr & pc.field("event_id").isin(eids)
+        known = list(_LABELS_BY_TYPE)
+        allowed = [t for t, ls in _LABELS_BY_TYPE.items() if self._labels_pass(ls)]
+        default_pass = self._labels_pass(["DRAFT"])
+        if len(allowed) < len(known) or not default_pass:
+            type_expr = pc.field("event_type").isin(allowed)
+            if default_pass:
+                type_expr = type_expr | ~pc.field("event_type").isin(known)
+            expr = expr & type_expr
+        return expr
+
+    def _pages(self, partition: _TokenPartition) -> Iterator[list[tuple]]:
+        """Lazy page loop: one rendered page per fetched Arrow batch.
+
+        Laziness is the point -- a consumer that stops (Spark's LocalLimit,
+        or the pushed ``limit`` option) stops the underlying scanner, so
+        unneeded pages are never fetched, matching a real paginated API
+        where the next pageToken is simply never requested.
+        """
+        import pyarrow.dataset as ds
+
+        scanner = ds.dataset(self.path).scanner(
+            columns=["event_id", "ts", "user_id", "event_type"],
+            filter=self._scan_filter(partition),
+            batch_size=self.page_size,
+        )
+        remaining = self.limit
+        first = True
+        for batch in scanner.to_batches():
+            if remaining is not None and remaining <= 0:
+                return
+            if batch.num_rows == 0:
+                continue
+            if not first and self.throttle_ms:
+                time.sleep(self.throttle_ms / 1000.0)
+            first = False
+            page = self._render_page(batch.to_pandas())
+            if remaining is not None:
+                page = page[:remaining]
+                remaining -= len(page)
+            yield page
+
+    def _render_page(self, df) -> list[tuple]:
+        """Render one page of raw events into Gmail-shaped message rows.
 
         Rendering is vectorized with pandas column ops (the per-row Python
         dict path was the bottleneck: ~3x slower end-to-end); only the final
@@ -151,23 +231,15 @@ class PaginatedApiReader(DataSourceReader):
         pre-rendered strings.
         """
         import pandas as pd
-        import pyarrow.parquet as pq
 
-        tbl = pq.read_table(
-            self.path, columns=["event_id", "ts", "user_id", "event_type"]
-        )
-        df = tbl.to_pandas()
-        df = df[df["user_id"] % partition.num_tokens == partition.token_idx]
         # at-least-once redelivery of every 7th message, like the synthetic df
         df = pd.concat([df, df[df["event_id"] % 7 == 0]], ignore_index=True)
 
-        # source-side label predicate (the pushed-down q string)
-        label_of = {
-            t: labels
-            for t, labels in _LABELS_BY_TYPE.items()
-        }
-        types = df["event_type"]
-        labels_col = types.map(lambda t: label_of.get(t, ["DRAFT"]))
+        # re-check the label/id predicates row-wise (the scan filter already
+        # guarantees them; this keeps the renderer correct standalone)
+        labels_col = df["event_type"].map(
+            lambda t: _LABELS_BY_TYPE.get(t, ["DRAFT"])
+        )
         keep = pd.Series(True, index=df.index)
         if self.include:
             keep &= labels_col.map(lambda ls: bool(set(ls) & self.include))
@@ -191,17 +263,15 @@ class PaginatedApiReader(DataSourceReader):
 
         wanted = self.wanted_headers
         page: list[tuple] = []
-        for i, (mid, tid, labels, sn, sv, fr, dt, nosub) in enumerate(
-            zip(
-                ids.to_numpy(),
-                threads.to_numpy(),
-                labels_col.to_numpy(),
-                subj_names.to_numpy(),
-                subj_vals.to_numpy(),
-                froms.to_numpy(),
-                dates.to_numpy(),
-                drop_subject,
-            )
+        for mid, tid, labels, sn, sv, fr, dt, nosub in zip(
+            ids.to_numpy(),
+            threads.to_numpy(),
+            labels_col.to_numpy(),
+            subj_names.to_numpy(),
+            subj_vals.to_numpy(),
+            froms.to_numpy(),
+            dates.to_numpy(),
+            drop_subject,
         ):
             headers = []
             for h in wanted:
@@ -215,12 +285,7 @@ class PaginatedApiReader(DataSourceReader):
                 elif h == "Date":
                     headers.append(("Date", dt))
             page.append((mid, tid, headers, labels))
-            if len(page) >= self.page_size:
-                yield from page
-                page = []
-                if self.throttle_ms:
-                    time.sleep(self.throttle_ms / 1000.0)
-        yield from page
+        return page
 
 
 class PaginatedApiStreamReader(SimpleDataSourceStreamReader):

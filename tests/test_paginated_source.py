@@ -140,6 +140,48 @@ def test_streaming_source_delivers_everything_once(spark, tmp_path):
     )
 
 
+def test_limit_stops_paging_unit():
+    """A pushed limit stops the page loop: <=ceil(n/page_size) pages are
+    fetched and exactly n rows served per partition (SURVEY §4's limit-
+    pushdown rule; the Python DataSource API has no pushLimit hook, so the
+    limit arrives as an option)."""
+    import math
+
+    page_size, limit = 50, 120
+    r = PaginatedApiReader(
+        {"path": EVENTS, "page_size": str(page_size), "limit": str(limit), "tokens": "1"}
+    )
+    (part,) = r.partitions()
+    pages = []
+    for page in r._pages(part):
+        pages.append(page)
+    assert len(pages) <= math.ceil(limit / page_size)
+    assert sum(len(p) for p in pages) == limit
+    # unlimited reader serves strictly more
+    full = PaginatedApiReader({"path": EVENTS, "tokens": "1"})
+    assert sum(1 for _ in full.read(part)) > limit
+
+
+def test_limit_option_end_to_end(spark):
+    """limit option through the Spark read path: per-partition cap, so at
+    most limit*tokens rows come back, and a .limit(n) on top behaves."""
+    df = _read(spark, tokens=2, limit=10)
+    assert df.count() <= 20
+    assert len(df.limit(5).collect()) == 5
+
+
+def test_lazy_pages_fetch_nothing_beyond_consumption():
+    """The page generator is genuinely lazy: consuming one page fetches one
+    batch, not the whole mailbox (a real API's pageToken is never asked
+    for)."""
+    r = PaginatedApiReader({"path": EVENTS, "page_size": "10", "tokens": "1"})
+    (part,) = r.partitions()
+    gen = r._pages(part)
+    first = next(gen)
+    assert 0 < len(first) <= 12  # one batch (+ redelivered dupes)
+    gen.close()  # no error: scanner abandoned without draining
+
+
 def test_page_size_batching_unit():
     """Small pages produce identical output (pagination is invisible)."""
     big = PaginatedApiReader({"path": EVENTS, "page_size": "100000"})
