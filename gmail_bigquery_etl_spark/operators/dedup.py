@@ -14,8 +14,14 @@ needs the near-dup ladder as well:
                        hash self-join on bucket keys, never O(n^2).
   jaccard_verify     -- exact shingle-set Jaccard on candidates only.
   simhash            -- 32-bit sign-aggregated token-hash fingerprint;
-                       per-row HOF, Hamming-ball search joins on rotated
-                       prefixes (not implemented; pytest covers pairwise).
+                       per-row HOF, no shuffle.
+  simhash_pairs      -- Hamming-ball banded search: split the fingerprint
+                       into b bit-bands; any two fingerprints within
+                       Hamming distance b-1 agree exactly on >=1 band
+                       (pigeonhole), so candidate generation is an
+                       equi-join on (band, band_bits) and exact
+                       bit_count(xor) verification has NO false negatives
+                       for d <= b-1. Same bucket-join shape as MinHash-LSH.
 
 Skew note (100 TB): boilerplate shingles ("lorem ipsum", licence headers)
 produce mega-buckets. ``lsh_candidate_pairs`` caps bucket width
@@ -310,6 +316,87 @@ def simhash(text_col: Column | str, bits: int = 32) -> Column:
         ),
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_distance: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int | None = None,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, found with a banded
+    equi-join (never all-pairs).
+
+    Split each ``bits``-wide fingerprint into ``bands`` contiguous bit
+    slices. If hamming(a, b) <= bands - 1, at least one slice carries no
+    differing bit (pigeonhole), so a and b collide on that slice's
+    (band, band_bits) key. Candidate generation is therefore a hash
+    self-join on bucket keys -- the 100 TB-shaped plan -- and the exact
+    ``bit_count(a XOR b)`` check inside each bucket removes false
+    positives, leaving exactly {(a, b) : hamming <= max_distance} with
+    id_a < id_b. With ``bands = max_distance + 1`` (the default) recall is
+    exact; fingerprints are carried inside the bucket rows, so
+    verification needs no second join.
+
+    Skew: identical boilerplate fingerprints form one bucket per band;
+    ``max_bucket`` caps the quadratic in-bucket pair expansion the same
+    way lsh_candidate_pairs does (dropped buckets are exact-dup clusters
+    that content-hash dedup already collapses).
+    """
+    if bands is None:
+        bands = max_distance + 1
+    if bands > bits:
+        raise ValueError(f"bands={bands} cannot exceed bits={bits}")
+    if bands <= max_distance:
+        raise ValueError(
+            f"bands={bands} <= max_distance={max_distance}: pigeonhole "
+            "guarantee needs bands >= max_distance + 1"
+        )
+    if bits % bands:
+        raise ValueError(f"bits={bits} must divide evenly into bands={bands}")
+    r = bits // bands
+    fp = df.select(
+        F.col(id_col).alias("_id"), simhash(text_col, bits).alias("_fp")
+    )
+    band_dim = F.broadcast(
+        df.sparkSession.createDataFrame([(b,) for b in range(bands)], "band int")
+    )
+    banded = fp.crossJoin(band_dim).select(
+        "_id",
+        "_fp",
+        "band",
+        # F.shiftright only takes a literal shift; the per-band shift is a
+        # column, so spell it in SQL.
+        F.expr(f"shiftright(_fp, band * {r}) & {(1 << r) - 1}").alias("band_key"),
+    )
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.collect_list(F.struct("_id", "_fp")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+        .select(F.array_sort("ms").alias("ms"))  # struct sort: by _id first
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ms",
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"),
+                    y["_id"].alias("id_b"),
+                    F.bit_count(x["_fp"].bitwiseXOR(y["_fp"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
     )
 
 

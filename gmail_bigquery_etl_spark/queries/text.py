@@ -402,6 +402,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH corpus AS ({_SQL_AUGMENTED}),
+tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS t FROM corpus
+),
+bits AS (
+  SELECT doc_id, j,
+         SUM(((({_SQL_HASH.format(s='t')}) >> j) & 1) * 2 - 1) AS s
+  FROM tok, generate_series(0, 31) AS g(j)
+  GROUP BY doc_id, j
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball search (operators/dedup.py simhash_pairs): the
+    banded equi-join finds every pair within Hamming distance 3 of the
+    32-bit fingerprint -- the oracle computes the same set by brute-force
+    all-pairs, which the pigeonhole guarantee says must agree exactly."""
+    from ..operators.dedup import simhash_pairs
+
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    return simhash_pairs(corpus, max_distance=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@query(
     "text_tfidf_top_terms",
     oracle=f"""
 WITH tok AS (
