@@ -83,6 +83,37 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Right-outer join (mirror of join_left_outer_agg) --------------------------
+# Registered early (not with the other join_* queries) so it lands inside
+# the driver's correctness-gate cap in its first round.
+
+@query(
+    "join_right_outer_agg",
+    oracle="""
+SELECT c.c_custkey AS custkey, COUNT(o.o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_spend
+FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""",
+)
+def join_right_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER: every customer survives with NULL order columns when
+    unmatched -- the explicit mirror of join_left_outer_agg (Spark plans
+    both as the same outer hash join with sides swapped)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec(F.col("o_totalprice"))), F.lit(0).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
 # --- Q3-style shipping priority (3-way join + top-k) --------------------------
 
 @query(
