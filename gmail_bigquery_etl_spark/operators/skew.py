@@ -67,7 +67,21 @@ def salted_join(
     """Equi-join where ``big[key]`` is skewed: salt the big side from a
     high-cardinality disambiguator column, replicate the small side across
     all salts (a broadcast-sized blowup of N x |small|), and join on
-    (key, salt). The hot key's probe rows now hash to N buckets."""
+    (key, salt). The hot key's probe rows now hash to N buckets.
+
+    Supported ``how``: inner / left / left_semi / left_anti (big side on
+    the left). Right/full/outer joins are rejected: every UNMATCHED small
+    row exists once per salt replica, so those join types would emit it
+    n_salts times. (Matched small rows are fine in all modes -- each big
+    row carries exactly one salt value.)"""
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    norm = how.replace("_", "").lower()
+    if norm not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got how={how!r}: "
+            "right/full joins would emit each unmatched small-side row once "
+            "per salt replica"
+        )
     salts = small.sparkSession.range(n_salts).select(
         F.col("id").cast("int").alias("_salt")
     )

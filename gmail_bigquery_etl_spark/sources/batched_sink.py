@@ -37,12 +37,21 @@ from pyspark.sql.types import Row, StructType
 
 @dataclass
 class _BatchCommit(WriterCommitMessage):
+    attempt: str
     files: tuple
     rows_written: int
     batches_failed: int
 
 
 class BatchedSinkWriter(DataSourceWriter):
+    """Task attempts stage their chunk files under ``_staging/<attempt>/``
+    and only ``commit()`` publishes them into the sink directory. A retried
+    or speculative attempt's files therefore never become visible: its
+    commit message is simply not in the winning set, and its staging dir is
+    swept by commit()/abort(). Readers globbing ``*.jsonl`` see exactly the
+    committed files (``_staging`` is underscore-hidden from Spark/Hive
+    readers anyway); ``_MANIFEST.json`` stays the authoritative listing."""
+
     def __init__(self, options: dict) -> None:
         self.path = options["path"]
         self.batch_size = int(options.get("batch_size", "1000"))
@@ -52,7 +61,9 @@ class BatchedSinkWriter(DataSourceWriter):
         self.fail_every = int(options.get("fail_every_nth_batch", "0"))
 
     def write(self, rows: Iterator[Row]) -> _BatchCommit:
-        os.makedirs(self.path, exist_ok=True)
+        attempt = uuid.uuid4().hex
+        stage_dir = os.path.join(self.path, "_staging", attempt)
+        os.makedirs(stage_dir, exist_ok=True)
         files: list[str] = []
         written = 0
         failed = 0
@@ -66,12 +77,14 @@ class BatchedSinkWriter(DataSourceWriter):
             try:
                 if self.fail_every and (n + 1) % self.fail_every == 0:
                     raise IOError(f"injected failure for batch {n}")
-                name = f"part-{uuid.uuid4().hex}-{n:05d}.jsonl"
-                tmp = os.path.join(self.path, f".{name}.tmp")
+                name = f"part-{attempt}-{n:05d}.jsonl"
+                tmp = os.path.join(stage_dir, f".{name}.tmp")
                 with open(tmp, "w") as f:
                     for r in b:
                         f.write(json.dumps(r, default=str) + "\n")
-                os.rename(tmp, os.path.join(self.path, name))
+                # finalize the chunk within the attempt's staging dir (the
+                # per-chunk "insert" unit of the reference sink)
+                os.rename(tmp, os.path.join(stage_dir, name))
                 files.append(name)
                 written += len(b)
             except Exception:
@@ -87,9 +100,17 @@ class BatchedSinkWriter(DataSourceWriter):
                 flush(batch, batch_no)
                 batch, batch_no = [], batch_no + 1
         flush(batch, batch_no)
-        return _BatchCommit(tuple(files), written, failed)
+        return _BatchCommit(attempt, tuple(files), written, failed)
 
     def commit(self, messages: list[_BatchCommit]) -> None:
+        # publish ONLY the winning attempts' files, then sweep staging
+        # (losing attempts from retries/speculation vanish here)
+        for m in messages:
+            stage_dir = os.path.join(self.path, "_staging", m.attempt)
+            for name in m.files:
+                os.rename(
+                    os.path.join(stage_dir, name), os.path.join(self.path, name)
+                )
         manifest = {
             "rows_written": sum(m.rows_written for m in messages),
             "batches_failed": sum(m.batches_failed for m in messages),
@@ -97,9 +118,15 @@ class BatchedSinkWriter(DataSourceWriter):
         }
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
             json.dump(manifest, f)
+        self._sweep_staging()
 
     def abort(self, messages: list[_BatchCommit]) -> None:
-        pass  # tmp files never renamed are ignorable garbage
+        self._sweep_staging()  # nothing was published; drop all attempts
+
+    def _sweep_staging(self) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
 
 
 class BatchedSinkDataSource(DataSource):

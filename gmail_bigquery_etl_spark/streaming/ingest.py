@@ -42,9 +42,14 @@ def start_incremental_ingest(
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         if _sink_exists(sink_path):
-            existing = spark.read.parquet(sink_path).select("id")
+            # filter BEFORE projecting: existing_filter prunes on sink
+            # columns other than id (its documented use is partition
+            # pruning by ingest date), which a post-projection filter
+            # could not resolve
+            existing = spark.read.parquet(sink_path)
             if existing_filter is not None:
                 existing = existing.filter(existing_filter)
+            existing = existing.select("id")
         else:
             existing = spark.createDataFrame([], "id string")
         increment = ingest_increment(batch_df, existing)

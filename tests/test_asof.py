@@ -94,3 +94,75 @@ def test_asof_ts_column_reports_match_time(spark, frames):
     left, right = frames
     got = _got(spark, left, right).set_index(["k", "ts"])
     assert got.loc[(1, _ts(9)), "_asof_ts"] == _ts(5)
+
+
+def test_null_right_values_carried_atomically(spark):
+    """A matched right row's NULL field must be carried as NULL (pandas
+    parity), not back-filled from an older right row -- the whole-row
+    struct carry. _asof_ts must point at the row whose values came along."""
+    from gmail_bigquery_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(6), 100)], "k int, ts timestamp, lv int"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(2), 1.5, "old"), (1, _ts(5), None, "new")],
+        "k int, ts timestamp, price double, tag string",
+    )
+    row = asof_join(left, right, on="k").collect()[0]
+    want = pd.merge_asof(
+        left.toPandas().sort_values("ts"),
+        right.toPandas().sort_values("ts"),
+        on="ts",
+        by="k",
+        direction="backward",
+    ).iloc[0]
+    assert row._asof_ts == _ts(5)
+    assert row.tag == "new" == want.tag
+    assert row.price is None and pd.isna(want.price)
+
+
+def test_subsecond_tolerance(spark):
+    """Tolerance compares fractional epoch seconds: a 0.5s lookback keeps a
+    0.3s-old match and nulls a 0.7s-old one."""
+    from gmail_bigquery_etl_spark.operators.asof import asof_join
+
+    base = _ts(1)
+    ms = dt.timedelta
+    left = spark.createDataFrame(
+        [(1, base + ms(seconds=1.0)), (2, base + ms(seconds=1.0))],
+        "k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, base + ms(seconds=0.7), 1.0), (2, base + ms(seconds=0.3), 2.0)],
+        "k int, ts timestamp, price double",
+    )
+    got = {
+        r.k: r.price
+        for r in asof_join(left, right, on="k", tolerance_seconds=0.5).collect()
+    }
+    assert got == {1: 1.0, 2: None}
+
+
+def test_numeric_ts_columns(spark):
+    """Numeric (epoch-style) ts columns join and respect tolerance."""
+    from gmail_bigquery_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100), (1, 200)], "k int, ts bigint")
+    right = spark.createDataFrame(
+        [(1, 90, 5.0), (1, 160, 6.0)], "k int, ts bigint, price double"
+    )
+    got = {
+        (r.k, r.ts): (r.price, r._asof_ts)
+        for r in asof_join(left, right, on="k", tolerance_seconds=15).collect()
+    }
+    assert got == {(1, 100): (5.0, 90), (1, 200): (None, None)}
+
+
+def test_unsupported_ts_type_raises(spark):
+    from gmail_bigquery_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "a")], "k int, ts string")
+    right = spark.createDataFrame([(1, "b", 1.0)], "k int, ts string, v double")
+    with pytest.raises(TypeError, match="timestamp/date/numeric"):
+        asof_join(left, right, on="k")

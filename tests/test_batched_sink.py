@@ -81,3 +81,36 @@ def test_fail_fast_aborts(spark, tmp_path):
             spark, df, out,
             batch_size=100, fail_every_nth_batch=2, fail_fast=True,
         )
+
+
+def test_losing_attempt_files_never_published(spark, tmp_path):
+    """Retried/speculative attempts stage under _staging/<attempt>/ and only
+    commit() publishes the winning attempt set: a losing attempt's chunks
+    must not be visible to a *.jsonl glob, and staging is swept."""
+    from gmail_bigquery_etl_spark.sources.batched_sink import BatchedSinkWriter
+
+    out = str(tmp_path / "sink")
+    w = BatchedSinkWriter({"path": out, "batch_size": "2"})
+    rows = _records(spark).limit(6).collect()
+    loser = w.write(iter(rows))   # first attempt "fails" post-write
+    winner = w.write(iter(rows))  # retry wins
+    # pre-commit: nothing published yet
+    assert not [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    w.commit([winner])
+    published = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    assert published == set(winner.files)
+    assert not (set(loser.files) & published)
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    assert _manifest(out)["files"] == sorted(winner.files)
+    assert _read_back(spark, out).count() == 6
+
+
+def test_abort_sweeps_staging(spark, tmp_path):
+    from gmail_bigquery_etl_spark.sources.batched_sink import BatchedSinkWriter
+
+    out = str(tmp_path / "sink")
+    w = BatchedSinkWriter({"path": out, "batch_size": "2"})
+    msg = w.write(iter(_records(spark).limit(4).collect()))
+    w.abort([msg])
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    assert not [f for f in os.listdir(out) if f.endswith(".jsonl")]

@@ -63,3 +63,19 @@ def test_salted_join_left_outer_preserves_unmatched(spark):
     out = salted_join(big, small, key="k", salt_from="uid", n_salts=4, how="left")
     assert out.count() == big.count()
     assert out.filter(F.col("d").isNotNull()).count() == 0
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """The salt-replication scheme emits each unmatched small-side row once
+    per salt replica under right/full joins -- those modes must raise."""
+    import pytest
+    from gmail_bigquery_etl_spark.operators.skew import salted_join
+
+    big = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("d"))
+    small = spark.createDataFrame([(1, "x"), (99, "y")], "k bigint, v string")
+    for how in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, key="k", salt_from="d", how=how)
+    # supported modes still work
+    assert salted_join(big, small, key="k", salt_from="d", how="left_semi").count() == 1
+    assert salted_join(big, small, key="k", salt_from="d", how="left_anti").count() == 9
