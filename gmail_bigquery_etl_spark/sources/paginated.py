@@ -39,12 +39,12 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     In,
     InputPartition,
     IsNotNull,
-    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
     ArrayType,
@@ -288,42 +288,98 @@ class PaginatedApiReader(DataSourceReader):
         return page
 
 
-class PaginatedApiStreamReader(SimpleDataSourceStreamReader):
+@dataclass
+class _TokenRangePartition(InputPartition):
+    token_idx: int
+    num_tokens: int
+    start: int  # raw-event cursor within this token's slice, inclusive
+    end: int  # exclusive
+
+
+class PaginatedApiStreamReader(DataSourceStreamReader):
     """Streaming form of the paginated scan: the reference's ``while True``
-    page loop (etl_service/main.py:163-211) as a Structured Streaming
-    source. The offset is the pageToken analog -- the count of events
-    consumed in deterministic event_id order -- so every micro-batch is one
-    page, checkpoint-recoverable and exactly replayable
-    (``readBetweenOffsets`` re-serves any committed range bit-for-bit).
+    page loop (etl_service/main.py:163-211) as a partition-planned
+    Structured Streaming source.
+
+    The offset ``{"pos": p}`` is the pageToken analog: every token has
+    consumed the first ``min(p, len(slice))`` raw events of ITS slice, in
+    deterministic event order. Planning (driver) only touches metadata --
+    per-token slice lengths via a single-column count with the scan filter
+    pushed down; the rows themselves are read EXECUTOR-side, one
+    ``_TokenRangePartition`` per token, through the same lazy Arrow page
+    loop as the batch reader (matching its parallelism, unlike the old
+    SimpleDataSourceStreamReader form that materialized the whole universe
+    on the driver). Replay of a committed (start, end] range re-plans the
+    same deterministic partitions, so recovery re-serves ranges
+    bit-for-bit; ``latestOffset`` reports the full snapshot length and
+    never moves backwards across restarts.
     """
 
     def __init__(self, options: dict) -> None:
         self._batch = PaginatedApiReader(options)
         self.page_size = self._batch.page_size
-        self._rows: list[tuple] | None = None
+        self.num_tokens = self._batch.num_tokens
+        self._max_len: int | None = None
 
-    def _all_rows(self) -> list[tuple]:
-        """Materialize the message universe once, in event order (the fake
-        API's stable pagination order). Single-token partition view: the
-        stream reader runs on the driver and feeds partitions downstream."""
-        if self._rows is None:
-            part = _TokenPartition(0, 1)
-            self._rows = list(self._batch.read(part))
-        return self._rows
+    def _slice_lengths(self) -> int:
+        """Longest per-token raw slice (driver-side metadata count only)."""
+        if self._max_len is None:
+            import pyarrow.dataset as ds
+
+            data = ds.dataset(self._batch.path)
+            self._max_len = max(
+                data.count_rows(
+                    filter=self._batch._scan_filter(
+                        _TokenPartition(i, self.num_tokens)
+                    )
+                )
+                for i in range(self.num_tokens)
+            )
+        return self._max_len
 
     def initialOffset(self) -> dict:
         return {"pos": 0}
 
-    def read(self, start: dict) -> tuple:
-        rows = self._all_rows()
-        lo = start["pos"]
-        hi = min(lo + self.page_size, len(rows))
-        if self._batch.throttle_ms and hi > lo:
-            time.sleep(self._batch.throttle_ms / 1000.0)
-        return iter(rows[lo:hi]), {"pos": hi}
+    def latestOffset(self) -> dict:
+        return {"pos": self._slice_lengths()}
 
-    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        return iter(self._all_rows()[start["pos"] : end["pos"]])
+    def partitions(self, start: dict, end: dict) -> list[_TokenRangePartition]:
+        lo, hi = start["pos"], end["pos"]
+        if hi <= lo:
+            return []
+        return [
+            _TokenRangePartition(i, self.num_tokens, lo, hi)
+            for i in range(self.num_tokens)
+        ]
+
+    def read(self, partition: _TokenRangePartition) -> Iterator[tuple]:
+        """Serve raw events [start, end) of one token's slice, rendered
+        page-at-a-time (redelivered dupes ride with their page, as in the
+        batch reader)."""
+        import pyarrow.dataset as ds
+
+        r = self._batch
+        scanner = ds.dataset(r.path).scanner(
+            columns=["event_id", "ts", "user_id", "event_type"],
+            filter=r._scan_filter(
+                _TokenPartition(partition.token_idx, partition.num_tokens)
+            ),
+            batch_size=self.page_size,
+        )
+        seen = 0
+        for batch in scanner.to_batches():
+            lo = max(0, partition.start - seen)
+            hi = min(batch.num_rows, partition.end - seen)
+            seen += batch.num_rows
+            if hi <= lo:
+                if seen >= partition.end:
+                    return
+                continue
+            if r.throttle_ms:
+                time.sleep(r.throttle_ms / 1000.0)
+            yield from r._render_page(batch.slice(lo, hi - lo).to_pandas())
+            if seen >= partition.end:
+                return
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up; the backing store is immutable
@@ -343,7 +399,7 @@ class PaginatedApiDataSource(DataSource):
     def reader(self, schema: StructType) -> PaginatedApiReader:
         return PaginatedApiReader(self.options)
 
-    def simpleStreamReader(self, schema: StructType) -> PaginatedApiStreamReader:
+    def streamReader(self, schema: StructType) -> PaginatedApiStreamReader:
         return PaginatedApiStreamReader(self.options)
 
 
