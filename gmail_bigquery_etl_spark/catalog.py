@@ -42,15 +42,19 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     The local fixtures are single-row-group parquet files, so a scan yields
     1-3 partitions no matter how many cores exist, serializing per-row-heavy
     pipelines (md5-per-shingle, regex batteries, pandas tiles). Round-robin
-    repartition up to cores*factor ONLY when under-partitioned: on a real
-    cluster reading many files/row-groups this is a no-op, so no gratuitous
-    shuffle at scale -- and when it does fire, the shuffled bytes are tiny
-    relative to the per-row compute it unlocks.
+    repartition to cores*factor spreads that compute.
+
+    The decision is a static conf read (``spark.gmail_etl.spread``, default
+    on): a per-call ``df.rdd.getNumPartitions()`` probe would force an RDD
+    conversion of the analyzed plan on the driver for every query build.
+    On a real cluster reading many files/row-groups, set the conf to
+    ``off`` -- scans are already wide there and the extra exchange buys
+    nothing.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    sess = df.sparkSession
+    if sess.conf.get("spark.gmail_etl.spread", "on") == "off":
+        return df
+    return df.repartition(sess.sparkContext.defaultParallelism * factor)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
