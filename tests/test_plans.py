@@ -76,6 +76,7 @@ def test_no_accidental_cartesian_products(spark):
         # table (replaces posexplode; broadcast side is 8-16 literal rows)
         "dedup_minhash_signatures",
         "dedup_minhash_lsh_pairs",
+        "dedup_simhash_pairs",
     }
     offenders = []
     for name in ALL_QUERIES:

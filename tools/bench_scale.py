@@ -1,0 +1,69 @@
+"""Scale-curve bench: time the heaviest declared operators at two data
+scales and report the scaling ratio. A linear-ish ratio on 10x data is the
+measured evidence behind the 100 TB plan-shape claims (LSH/IVF bucketed
+candidate generation vs the deliberately-quadratic all-pairs baseline).
+
+Usage: python tools/bench_scale.py [--small /root/testdata/sf0.1]
+                                   [--big scratch/sf1] [--out SCALE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gmail_bigquery_etl_spark.queries import ALL_QUERIES  # noqa: E402
+from gmail_bigquery_etl_spark.session import get_spark  # noqa: E402
+
+OPS = [
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
+    "embedding_near_dup",  # all-pairs baseline: expected ~quadratic
+    "ann_lsh_buckets",
+    "ann_ivf_cells",
+    "knn_bruteforce_cosine",
+]
+
+
+def _time(spark, name: str, sf_dir: str) -> tuple[float, int]:
+    t0 = time.time()
+    n = ALL_QUERIES[name](spark, sf_dir).count()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", default="/root/testdata/sf0.1")
+    ap.add_argument("--big", default="scratch/sf1")
+    ap.add_argument("--out", default="SCALE.json")
+    args = ap.parse_args()
+    spark = get_spark()
+    # warm the JVM/session so the first op doesn't absorb startup
+    spark.read.parquet(os.path.join(args.small, "documents.parquet")).count()
+    report = {}
+    for name in OPS:
+        t_small, n_small = _time(spark, name, args.small)
+        t_big, n_big = _time(spark, name, args.big)
+        report[name] = {
+            "small_sec": round(t_small, 2),
+            "big_sec": round(t_big, 2),
+            "ratio": round(t_big / t_small, 2) if t_small else None,
+            "small_rows": n_small,
+            "big_rows": n_big,
+        }
+        print(json.dumps({name: report[name]}))
+    with open(args.out, "w") as f:
+        json.dump(
+            {"small": args.small, "big": args.big, "ops": report}, f, indent=1
+        )
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

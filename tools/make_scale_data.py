@@ -1,0 +1,107 @@
+"""Generate a scratch N-times replica of the documents/embeddings fixtures
+for scale-curve benchmarking (the driver ships sf<=0.1; the 100 TB claims
+deserve at least one measured 10x point).
+
+Replicas are de-correlated so the near-dup problem SHAPE is preserved
+(10x data => ~10x true pairs, not a dense cross-replica clique):
+  * documents: every token gets a per-replica prefix, so replica k shares
+    no shingles with replica j (jaccard 0 across replicas);
+  * embeddings: the vector is circularly shifted by k components, so
+    cross-replica cosine is uncorrelated while intra-replica neighbor
+    structure is untouched.
+
+Usage: python tools/make_scale_data.py [--mult 10] [--src /root/testdata/sf0.1]
+                                       [--dst scratch/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gmail_bigquery_etl_spark.session import get_spark  # noqa: E402
+
+ID_STRIDE = 1_000_000  # far above the +100000/+200000 augmented-corpus offsets
+
+
+def replicate_documents(spark, src: str, dst: str, mult: int) -> int:
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    parts = []
+    for k in range(mult):
+        if k == 0:
+            parts.append(docs)
+            continue
+        prefix = f"r{k}x"
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + k * ID_STRIDE).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), r"\s+"),
+                        lambda t: F.concat(F.lit(prefix), t),
+                    ),
+                    " ",
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst, "documents.parquet")
+    )
+    return out.count()
+
+
+def replicate_embeddings(spark, src: str, dst: str, mult: int) -> int:
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+    parts = []
+    for k in range(mult):
+        if k == 0:
+            parts.append(emb)
+            continue
+        s = k % dim or 1
+        shifted = F.concat(
+            F.slice(F.col("embedding"), s + 1, dim - s),
+            F.slice(F.col("embedding"), 1, s),
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + k * ID_STRIDE).alias("vec_id"),
+                shifted.alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst, "embeddings.parquet")
+    )
+    return out.count()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="scratch/sf1")
+    args = ap.parse_args()
+    spark = get_spark()
+    os.makedirs(args.dst, exist_ok=True)
+    n_docs = replicate_documents(spark, args.src, args.dst, args.mult)
+    n_emb = replicate_embeddings(spark, args.src, args.dst, args.mult)
+    print(f"wrote {args.dst}: documents={n_docs} embeddings={n_emb}")
+
+
+if __name__ == "__main__":
+    main()
