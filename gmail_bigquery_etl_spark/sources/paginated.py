@@ -157,9 +157,11 @@ class PaginatedApiReader(DataSourceReader):
             _TokenPartition(i, self.num_tokens) for i in range(self.num_tokens)
         ]
 
-    def read(self, partition: _TokenPartition) -> Iterator[tuple]:
-        for page in self._pages(partition):
-            yield from page
+    def read(self, partition: _TokenPartition) -> Iterator:
+        """Yields pyarrow RecordBatches (one per page): the Spark 4 Python
+        DataSource arrow fast path -- no per-row tuple pickling between the
+        reader and the worker's arrow serializer."""
+        yield from self._pages(partition)
 
     def _scan_filter(self, partition: _TokenPartition):
         """ALL source-side predicates, pushed into the Arrow scan so each
@@ -191,8 +193,8 @@ class PaginatedApiReader(DataSourceReader):
             expr = expr & type_expr
         return expr
 
-    def _pages(self, partition: _TokenPartition) -> Iterator[list[tuple]]:
-        """Lazy page loop: one rendered page per fetched Arrow batch.
+    def _pages(self, partition: _TokenPartition) -> Iterator:
+        """Lazy page loop: one rendered RecordBatch per fetched Arrow batch.
 
         Laziness is the point -- a consumer that stops (Spark's LocalLimit,
         or the pushed ``limit`` option) stops the underlying scanner, so
@@ -201,10 +203,16 @@ class PaginatedApiReader(DataSourceReader):
         """
         import pyarrow.dataset as ds
 
+        # Fetch/render coarse (vectorization amortizes the per-call pandas
+        # cost -- 500-row render units were 5x slower end-to-end), then
+        # slice the rendered batch into page_size pages for the API's
+        # page/throttle/limit semantics. True fetch laziness is bounded by
+        # the parquet row-group size regardless of batch_size, so coarse
+        # fetching gives up nothing real.
         scanner = ds.dataset(self.path).scanner(
             columns=["event_id", "ts", "user_id", "event_type"],
             filter=self._scan_filter(partition),
-            batch_size=self.page_size,
+            batch_size=max(self.page_size, 16384),
         )
         remaining = self.limit
         first = True
@@ -213,24 +221,28 @@ class PaginatedApiReader(DataSourceReader):
                 return
             if batch.num_rows == 0:
                 continue
-            if not first and self.throttle_ms:
-                time.sleep(self.throttle_ms / 1000.0)
-            first = False
-            page = self._render_page(batch.to_pandas())
-            if remaining is not None:
-                page = page[:remaining]
-                remaining -= len(page)
-            yield page
+            rendered = self._render_batch(batch.to_pandas())
+            for off in range(0, rendered.num_rows, self.page_size):
+                if remaining is not None and remaining <= 0:
+                    return
+                if not first and self.throttle_ms:
+                    time.sleep(self.throttle_ms / 1000.0)
+                first = False
+                page = rendered.slice(off, self.page_size)
+                if remaining is not None:
+                    page = page.slice(0, remaining)
+                    remaining -= page.num_rows
+                yield page
 
-    def _render_page(self, df) -> list[tuple]:
-        """Render one page of raw events into Gmail-shaped message rows.
-
-        Rendering is vectorized with pandas column ops (the per-row Python
-        dict path was the bottleneck: ~3x slower end-to-end); only the final
-        headers list-of-structs assembly is a Python loop, and it touches
-        pre-rendered strings.
-        """
+    def _render_batch(self, df):
+        """Render one page of raw events into a Gmail-shaped message
+        RecordBatch, fully vectorized: the headers list<struct> column is
+        assembled from flat name/value arrays + offsets (ListArray), not a
+        per-row Python loop -- the renderer stays O(columns), and the batch
+        goes straight onto Spark's arrow channel."""
+        import numpy as np
         import pandas as pd
+        import pyarrow as pa
 
         # at-least-once redelivery of every 7th message, like the synthetic df
         df = pd.concat([df, df[df["event_id"] % 7 == 0]], ignore_index=True)
@@ -251,6 +263,7 @@ class PaginatedApiReader(DataSourceReader):
             keep &= ids.isin(self.id_allow)
         df, ids, labels_col = df[keep], ids[keep], labels_col[keep]
         eid = df["event_id"]
+        n = len(df)
 
         threads = "t" + df["user_id"].astype(str)
         dates = df["ts"].dt.strftime("%a, %d %b %Y %H:%M:%S +0000")
@@ -261,31 +274,53 @@ class PaginatedApiReader(DataSourceReader):
         froms = "user" + df["user_id"].astype(str) + "@example.com"
         drop_subject = (eid % 11 == 0).to_numpy()
 
-        wanted = self.wanted_headers
-        page: list[tuple] = []
-        for mid, tid, labels, sn, sv, fr, dt, nosub in zip(
-            ids.to_numpy(),
-            threads.to_numpy(),
-            labels_col.to_numpy(),
-            subj_names.to_numpy(),
-            subj_vals.to_numpy(),
-            froms.to_numpy(),
-            dates.to_numpy(),
-            drop_subject,
-        ):
-            headers = []
-            for h in wanted:
-                if h == "Subject":
-                    if not nosub:
-                        headers.append((sn, sv))
-                elif h == "From":
-                    headers.append(("From", fr))
-                elif h == "To":
-                    headers.append(("To", "etl@example.com"))
-                elif h == "Date":
-                    headers.append(("Date", dt))
-            page.append((mid, tid, headers, labels))
-        return page
+        # headers: per-header (name, value, present) columns in projection
+        # order -> row-major boolean-mask flatten -> ListArray offsets
+        name_cols, val_cols, mask_cols = [], [], []
+        for h in self.wanted_headers:
+            if h == "Subject":
+                name_cols.append(subj_names.to_numpy(dtype=object))
+                val_cols.append(subj_vals.to_numpy(dtype=object))
+                mask_cols.append(~drop_subject)
+            elif h == "From":
+                name_cols.append(np.full(n, "From", dtype=object))
+                val_cols.append(froms.to_numpy(dtype=object))
+                mask_cols.append(np.ones(n, dtype=bool))
+            elif h == "To":
+                name_cols.append(np.full(n, "To", dtype=object))
+                val_cols.append(np.full(n, "etl@example.com", dtype=object))
+                mask_cols.append(np.ones(n, dtype=bool))
+            elif h == "Date":
+                name_cols.append(np.full(n, "Date", dtype=object))
+                val_cols.append(dates.to_numpy(dtype=object))
+                mask_cols.append(np.ones(n, dtype=bool))
+        if name_cols:
+            names_mat = np.stack(name_cols, axis=1)  # n x k, row-major
+            vals_mat = np.stack(val_cols, axis=1)
+            mask = np.stack(mask_cols, axis=1)
+            flat = pa.StructArray.from_arrays(
+                [
+                    pa.array(names_mat[mask], type=pa.string()),
+                    pa.array(vals_mat[mask], type=pa.string()),
+                ],
+                names=["name", "value"],
+            )
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(mask.sum(axis=1), out=offsets[1:])
+            headers_arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+        else:
+            headers_arr = pa.array([[]] * n, type=pa.list_(
+                pa.struct([("name", pa.string()), ("value", pa.string())])
+            ))
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids.to_numpy(dtype=object), type=pa.string()),
+                pa.array(threads.to_numpy(dtype=object), type=pa.string()),
+                headers_arr,
+                pa.array(labels_col.to_list(), type=pa.list_(pa.string())),
+            ],
+            names=["id", "threadId", "headers", "labelIds"],
+        )
 
 
 @dataclass
@@ -352,10 +387,10 @@ class PaginatedApiStreamReader(DataSourceStreamReader):
             for i in range(self.num_tokens)
         ]
 
-    def read(self, partition: _TokenRangePartition) -> Iterator[tuple]:
+    def read(self, partition: _TokenRangePartition) -> Iterator:
         """Serve raw events [start, end) of one token's slice, rendered
-        page-at-a-time (redelivered dupes ride with their page, as in the
-        batch reader)."""
+        page-at-a-time as RecordBatches (redelivered dupes ride with their
+        page, as in the batch reader)."""
         import pyarrow.dataset as ds
 
         r = self._batch
@@ -364,7 +399,7 @@ class PaginatedApiStreamReader(DataSourceStreamReader):
             filter=r._scan_filter(
                 _TokenPartition(partition.token_idx, partition.num_tokens)
             ),
-            batch_size=self.page_size,
+            batch_size=max(self.page_size, 16384),
         )
         seen = 0
         for batch in scanner.to_batches():
@@ -377,7 +412,7 @@ class PaginatedApiStreamReader(DataSourceStreamReader):
                 continue
             if r.throttle_ms:
                 time.sleep(r.throttle_ms / 1000.0)
-            yield from r._render_page(batch.slice(lo, hi - lo).to_pandas())
+            yield r._render_batch(batch.slice(lo, hi - lo).to_pandas())
             if seen >= partition.end:
                 return
 

@@ -60,6 +60,12 @@ def test_parse_label_query():
     assert parse_label_query("") == (set(), set())
 
 
+def _rows(reader, partition):
+    """Flatten a reader's RecordBatch pages into plain python row tuples."""
+    for batch in reader.read(partition):
+        yield from zip(*(c.to_pylist() for c in batch.columns))
+
+
 def test_id_filter_pushdown_unit():
     """pushFilters accepts id EqualTo/In, hands back everything else."""
     r = PaginatedApiReader({"path": EVENTS})
@@ -73,7 +79,7 @@ def test_id_filter_pushdown_unit():
     )
     assert r.id_allow == {"m1", "m2"}
     assert len(rest) == 1 and isinstance(rest[0], GreaterThan)
-    got = {row[0] for p in r.partitions() for row in r.read(p)}
+    got = {row[0] for p in r.partitions() for row in _rows(r, p)}
     assert got == {"m1", "m2"}
 
 
@@ -152,14 +158,12 @@ def test_limit_stops_paging_unit():
         {"path": EVENTS, "page_size": str(page_size), "limit": str(limit), "tokens": "1"}
     )
     (part,) = r.partitions()
-    pages = []
-    for page in r._pages(part):
-        pages.append(page)
+    pages = list(r._pages(part))
     assert len(pages) <= math.ceil(limit / page_size)
-    assert sum(len(p) for p in pages) == limit
+    assert sum(p.num_rows for p in pages) == limit
     # unlimited reader serves strictly more
     full = PaginatedApiReader({"path": EVENTS, "tokens": "1"})
-    assert sum(1 for _ in full.read(part)) > limit
+    assert sum(b.num_rows for b in full.read(part)) > limit
 
 
 def test_limit_option_end_to_end(spark):
@@ -178,7 +182,7 @@ def test_lazy_pages_fetch_nothing_beyond_consumption():
     (part,) = r.partitions()
     gen = r._pages(part)
     first = next(gen)
-    assert 0 < len(first) <= 12  # one batch (+ redelivered dupes)
+    assert 0 < first.num_rows <= 12  # one batch (+ redelivered dupes)
     gen.close()  # no error: scanner abandoned without draining
 
 
@@ -187,9 +191,9 @@ def test_page_size_batching_unit():
     big = PaginatedApiReader({"path": EVENTS, "page_size": "100000"})
     small = PaginatedApiReader({"path": EVENTS, "page_size": "7"})
     rows_big = sorted(
-        str(x) for p in big.partitions() for x in big.read(p)
+        str(x) for p in big.partitions() for x in _rows(big, p)
     )
     rows_small = sorted(
-        str(x) for p in small.partitions() for x in small.read(p)
+        str(x) for p in small.partitions() for x in _rows(small, p)
     )
     assert rows_big == rows_small
