@@ -52,6 +52,7 @@ def connected_components(
         )
         stepped = labels.join(neigh, "u", "left").select(
             "u",
+            F.col("comp").alias("_old"),
             F.least("comp", F.coalesce("neigh_comp", F.col("comp"))).alias(
                 "comp"
             ),
@@ -63,22 +64,24 @@ def connected_components(
         ptr = stepped.select(
             F.col("u").alias("_c"), F.col("comp").alias("_cc")
         )
+        # The convergence flag rides along the round's own projection (comp
+        # vs the carried _old), so the fixpoint test is a filter over the
+        # checkpointed result -- NOT an extra join-on-u against the previous
+        # labels, which cost one more shuffle + job per round.
         new_labels = (
             stepped.join(ptr, stepped.comp == ptr._c, "left")
             .select(
                 "u",
                 F.least("comp", F.coalesce("_cc", F.col("comp"))).alias("comp"),
+                (
+                    F.least("comp", F.coalesce("_cc", F.col("comp")))
+                    != F.col("_old")
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("u", "comp")
+        if new_labels.filter(F.col("_changed")).limit(1).count() == 0:
             break
     return labels.select(F.col("u").alias("node"), F.col("comp").alias("component"))
 
