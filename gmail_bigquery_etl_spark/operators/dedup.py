@@ -345,7 +345,18 @@ def simhash_pairs(
     Skew: identical boilerplate fingerprints form one bucket per band;
     ``max_bucket`` caps the quadratic in-bucket pair expansion the same
     way lsh_candidate_pairs does (dropped buckets are exact-dup clusters
-    that content-hash dedup already collapses).
+    that content-hash dedup already collapses). Capping interacts with the
+    exactly-once leftmost-band emission (see ``_pair``): a pair survives
+    iff its LEFTMOST agreeing band's bucket survives the cap -- slightly
+    lossier around mega-buckets than a distinct-based any-band form, in
+    exchange for deleting the distinct's full shuffle of the pair stream.
+    With no capping (the oracle-gated configuration) recall is exact.
+
+    Sizing note for large corpora: keep band keys selective -- r = bits /
+    bands is the bucket-key width, and 2^r buckets per band must be large
+    relative to the corpus (e.g. bits=48..62 rather than 32) or every
+    bucket saturates the cap. The fingerprint is a single bigint, so wider
+    costs nothing structurally (bits <= 62 keeps the top bit clear).
     """
     if bands is None:
         bands = max_distance + 1
@@ -377,26 +388,52 @@ def simhash_pairs(
         banded.groupBy("band", "band_key")
         .agg(F.collect_list(F.struct("_id", "_fp")).alias("ms"))
         .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
-        .select(F.array_sort("ms").alias("ms"))  # struct sort: by _id first
+        # struct sort: by _id first
+        .select("band", F.array_sort("ms").alias("ms"))
     )
+
+    def _pair(x, y):
+        # Leftmost-collision ownership: a pair within distance d agrees on
+        # bands-d..bands bands and would surface once per agreeing bucket;
+        # emitting it ONLY from its first agreeing band makes the emission
+        # exactly-once globally, deleting the final distinct() -- a full
+        # shuffle of the pair stream -- outright. "Agrees on band b" is a
+        # bit test on the xor, so the ownership check is pure row-local
+        # arithmetic (both fingerprints already ride in the bucket).
+        xr = x["_fp"].bitwiseXOR(y["_fp"])
+        agree_before = sum(
+            (
+                F.when(
+                    (F.lit(b) < F.col("band"))
+                    & (
+                        F.shiftright(xr, b * r).bitwiseAND(F.lit((1 << r) - 1))
+                        == 0
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            for b in range(bands)
+        )
+        return F.struct(
+            x["_id"].alias("id_a"),
+            y["_id"].alias("id_b"),
+            F.bit_count(xr).alias("hamming"),
+            (agree_before == 0).alias("own"),
+        )
+
     pairs = F.flatten(
         F.transform(
             "ms",
             lambda x, i: F.transform(
                 F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(
-                    x["_id"].alias("id_a"),
-                    y["_id"].alias("id_b"),
-                    F.bit_count(x["_fp"].bitwiseXOR(y["_fp"])).alias("hamming"),
-                ),
+                lambda y: _pair(x, y),
             ),
         )
     )
     return (
         buckets.select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.own") & (F.col("p.hamming") <= max_distance))
         .select("p.id_a", "p.id_b", "p.hamming")
-        .filter(F.col("hamming") <= max_distance)
-        .distinct()
     )
 
 
