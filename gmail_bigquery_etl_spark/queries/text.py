@@ -379,6 +379,48 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_survivor_stats",
+    oracle=f"""
+WITH RECURSIVE {_SQL_LSH_CTES},
+pairs AS ({_SQL_LSH_SELECT}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+losers AS (SELECT node FROM comp WHERE node <> component)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM corpus
+WHERE doc_id NOT IN (SELECT node FROM losers)
+GROUP BY lang
+""",
+)
+def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup APPLICATION a training pipeline runs: near-dup
+    pairs -> connected components -> keep the min-id survivor per cluster ->
+    aggregate what remains (operators/components.py dedup_survivors). The
+    oracle recomputes survivors via the recursive-CTE transitive closure."""
+    from ..operators.components import dedup_survivors
+    from ..operators.dedup import near_dup_pairs
+
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = near_dup_pairs(corpus, threshold=0.5, num_hashes=16, bands=4)
+    kept = dedup_survivors(corpus, pairs.select("id_a", "id_b"))
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
     "dedup_simhash",
     oracle=f"""
 WITH corpus AS ({_SQL_AUGMENTED}),
