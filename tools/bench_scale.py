@@ -32,9 +32,16 @@ OPS = [
 
 
 def _time(spark, name: str, sf_dir: str) -> tuple[float, int]:
-    t0 = time.time()
-    n = ALL_QUERIES[name](spark, sf_dir).count()
-    return time.time() - t0, n
+    """Best-of-2: the second run reuses warmed code paths/file cache, so the
+    min isolates the operator cost from cold-plan + GC noise (which at this
+    toy scale can exceed the operator itself)."""
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        n = ALL_QUERIES[name](spark, sf_dir).count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best, n
 
 
 def main() -> None:
