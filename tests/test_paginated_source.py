@@ -186,6 +186,40 @@ def test_lazy_pages_fetch_nothing_beyond_consumption():
     gen.close()  # no error: scanner abandoned without draining
 
 
+def test_stream_restart_from_checkpoint_adds_nothing(spark, tmp_path):
+    """Recovery contract of the partition-planned stream reader: after a
+    completed run, restarting from the same checkpoint serves no new rows
+    (latestOffset is stable and never backwards), and output stays
+    exactly-once."""
+    register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("paginated_api")
+            .option("path", EVENTS)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    total = _read(spark).count()
+    first = spark.read.parquet(out).count()
+    assert first == total
+    run_once()  # restart: same checkpoint, no new data
+    again = spark.read.parquet(out)
+    assert again.count() == total
+    assert again.select("id").distinct().count() == _read(spark).select(
+        "id"
+    ).distinct().count()
+
+
 def test_page_size_batching_unit():
     """Small pages produce identical output (pagination is invisible)."""
     big = PaginatedApiReader({"path": EVENTS, "page_size": "100000"})
