@@ -91,6 +91,16 @@ def test_simhash_pairs_plan_is_equi_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_wider_fingerprint_is_more_selective(spark):
+    """The sizing guidance in the docstring, as a property: more fingerprint
+    bits => strictly-not-more chance collisions within the same distance
+    budget (and the same exact copies still at distance 0)."""
+    corpus = _corpus(spark)
+    n32 = simhash_pairs(corpus, max_distance=3, bits=32).count()
+    n48 = simhash_pairs(corpus, max_distance=3, bits=48, bands=4).count()
+    assert 0 < n48 <= n32
+
+
 def test_simhash_pairs_bucket_cap_drops_mega_buckets(spark):
     """max_bucket caps the quadratic in-bucket expansion: a corpus of n
     identical docs yields 0 pairs when every bucket exceeds the cap."""
