@@ -114,6 +114,60 @@ def join_right_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Bucketed co-located join (shuffle-free fact-fact join) ---------------------
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+SELECT c.c_custkey AS custkey, COUNT(o.o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_spend
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + same-key aggregation over tables PRE-BUCKETED on the join key
+    (plans/bucketing.py): the per-query shuffle is paid once at write time,
+    and the join AND the groupBy(custkey) both run with no Exchange on the
+    bucketed sides (asserted in tests/test_bucketing.py). Result is
+    identical to the plain join oracle -- bucketing is pure layout."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..plans.bucketing import write_bucketed
+
+    def _fresh(table: str) -> None:
+        # a previous SESSION may have left the managed location on disk
+        # while this session's in-memory catalog has no such table --
+        # saveAsTable refuses that; sweep the orphan location first
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+
+    # one bucketed materialization per sf_dir (idempotent within a session)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ct, ot = f"bq_customer_{tag}", f"bq_orders_{tag}"
+    if not spark.catalog.tableExists(ct):
+        _fresh(ct)
+        c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+        write_bucketed(c.withColumnRenamed("c_custkey", "k"), ct, "k", buckets=8)
+    if not spark.catalog.tableExists(ot):
+        _fresh(ot)
+        o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+        write_bucketed(o.withColumnRenamed("o_custkey", "k"), ot, "k", buckets=8)
+    c, o = spark.table(ct), spark.table(ot)
+    return (
+        c.join(o, "k")
+        .groupBy(F.col("k").alias("custkey"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec(F.col("o_totalprice"))), F.lit(0).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
 # --- Q3-style shipping priority (3-way join + top-k) --------------------------
 
 @query(
