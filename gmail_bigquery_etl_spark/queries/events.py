@@ -271,6 +271,39 @@ def skew_salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_salted_skew",
+    oracle="""
+WITH dim AS (SELECT DISTINCT user_id AS d_user, user_id % 5 AS segment FROM events)
+SELECT e.user_id, d.segment, COUNT(*) AS n
+FROM events e JOIN dim d ON e.user_id = d.d_user
+GROUP BY e.user_id, d.segment
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join (operators/skew.salted_join): the big (skewed)
+    side salts on a high-cardinality disambiguator, the small dim side is
+    broadcast-replicated across all salts, and the join key becomes
+    (user_id, salt) -- a hot user's probe rows spread over 16 buckets. The
+    plain-join oracle pins result invariance: salting only moves bytes."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select(F.col("user_id"))
+        .distinct()
+        .select("user_id", F.pmod("user_id", F.lit(5)).alias("segment"))
+    )
+    joined = salted_join(
+        ev.select("user_id", "event_id"),
+        dim,
+        key="user_id",
+        salt_from="event_id",
+        n_salts=16,
+    )
+    return joined.groupBy("user_id", "segment").agg(F.count("*").alias("n"))
+
+
+@query(
     "events_daily_from_hourly",
     oracle="""
 SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day_start,
