@@ -113,6 +113,36 @@ def ingest_via_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ingest_point_lookup",
+    oracle=_MSG_CTE
+    + """
+SELECT id, threadId, subject, sender, recipient, "timestamp", combined_labels
+FROM msgs
+WHERE id IN ('m5', 'm55', 'm550')
+""",
+)
+def ingest_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 point lookup THROUGH the DataSource pushdown chain: the id IN
+    filter reaches pushFilters, becomes an event_id isin() in the Arrow
+    scan (sources/paginated.py _scan_filter), and only matching rows are
+    ever decoded or rendered -- the reference's messages.get by id
+    (main.py:179-185) as a pushed scan."""
+    import os
+
+    from ..sources.paginated import register
+
+    register(spark)
+    msgs = (
+        spark.read.format("paginated_api")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("tokens", "4")
+        .load()
+        .filter(F.col("id").isin("m5", "m55", "m550"))
+    )
+    return extract_email_records(msgs).dropDuplicates(["id"])
+
+
+@query(
     "ingest_parse_errors",
     oracle=_MSG_CTE
     + """
