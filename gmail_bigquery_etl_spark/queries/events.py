@@ -304,6 +304,42 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_partition_pruned",
+    oracle="""
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: events re-laid-out
+    as .../event_type=X/ directories (once per session), then a predicate on
+    the partition column prunes entire directories at planning time -- the
+    scan never lists, opens, or decodes the other partitions' files. At
+    100 TB this (with date partitioning) is the first radix of every query;
+    the oracle is the same filter over the flat layout."""
+    import hashlib
+    import os
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    out = os.path.join(wh, f"ev_parted_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    if not os.path.isdir(out):
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        os.rename(tmp, out)
+    parted = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    return parted.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
+    )
+
+
+@query(
     "events_daily_from_hourly",
     oracle="""
 SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day_start,

@@ -77,6 +77,8 @@ def test_no_accidental_cartesian_products(spark):
         "dedup_minhash_signatures",
         "dedup_minhash_lsh_pairs",
         "dedup_simhash_pairs",
+        # broadcast crossJoin of the 16-row salts dim (small-side replication)
+        "join_salted_skew",
     }
     offenders = []
     for name in ALL_QUERIES:
@@ -114,6 +116,15 @@ def test_no_forced_broadcast_of_fact_tables(spark):
         assert not offenders, offenders
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partition_pruning_reaches_scan(spark):
+    """scan_partition_pruned must prune at the directory level: the scan
+    carries a PartitionFilters entry on event_type and reads no data
+    columns for the pruned partitions."""
+    plan = _plan(spark, "scan_partition_pruned")
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
 
 
 def test_lsh_candidates_are_equi_join_shaped(spark):
