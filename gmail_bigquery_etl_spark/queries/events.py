@@ -330,7 +330,16 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(out):
         tmp = out + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        # project to the needed columns and co-locate each partition's rows
+        # before writing: one file per event_type directory, not one per
+        # (task x partition)
+        (
+            ev.select("user_id", "value", "event_type")
+            .repartition("event_type")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(tmp)
+        )
         os.rename(tmp, out)
     parted = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
     return parted.groupBy("user_id").agg(
