@@ -42,6 +42,9 @@ from ..functions.text import (
 )
 
 
+_LIVE_GRAMS: list[DataFrame] = []  # see near_dup_pairs
+
+
 def content_key(text: Column | str) -> Column:
     col = F.col(text) if isinstance(text, str) else text
     return F.md5(col)
@@ -459,9 +462,20 @@ def near_dup_pairs(
     """
     from pyspark import StorageLevel
 
+    # At most ONE live shingle cache: Spark's CacheManager never evicts
+    # cached plans on its own, so per-call persist() with no unpersist()
+    # accumulates across a long-lived session (one frame per dedup query
+    # invocation). Dropping the previous cache keeps memory bounded; a
+    # still-unexecuted earlier result would simply recompute its shingles.
+    while _LIVE_GRAMS:
+        try:
+            _LIVE_GRAMS.pop().unpersist()
+        except Exception:
+            pass
     grams = grams_stage(df, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _LIVE_GRAMS.append(grams)
     cand = lsh_candidate_pairs_from_grams(
         grams, id_col, num_hashes, bands, max_bucket
     )
