@@ -37,7 +37,14 @@ def broadcast_subtrees(df: DataFrame, full_metadata: bool = True) -> list[str]:
     out: list[str] = []
 
     def walk(node) -> None:
-        if node.nodeName().startswith("BroadcastExchange"):
+        name = node.nodeName()
+        if name.startswith("AdaptiveSparkPlan"):
+            # With AQE on (session default) the root AdaptiveSparkPlanExec is
+            # a leaf from children()'s perspective; descend into the current
+            # physical plan or the walk sees nothing and the guard is vacuous.
+            walk(node.executedPlan())
+            return
+        if name.startswith("BroadcastExchange"):
             out.append(node.toString())
             return  # nested exchanges inside are part of this subtree
         for i in range(node.children().length()):

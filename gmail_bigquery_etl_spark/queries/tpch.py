@@ -8,8 +8,10 @@ grouping sets, ranking/analytic/frame windows, sorts/top-k, set ops,
 subqueries, scalar function families.
 
 Scale notes (100 TB posture), verified via .explain in tests:
-  * dimension joins (region/nation/supplier/part) are broadcast -- no
-    shuffle of the fact table for them;
+  * fixed-size dimension joins (region/nation: 5/25 rows at every SF) are
+    hint-broadcast -- no shuffle of the fact table for them; SF-scaling
+    tables (part/supplier, and of course the facts) carry NO hint and AQE
+    size-picks the strategy at runtime;
   * fact-fact joins (orders-lineitem) shuffle on the join key once and AQE
     coalesces partitions;
   * filters/projections push into the parquet scan (PushedFilters/
@@ -239,8 +241,10 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
+        # supplier scales with SF (10k x SF rows): no forced broadcast — AQE
+        # size-picks locally; at sf100 a hint here is a driver OOM risk.
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -400,7 +404,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # supplier scales with SF: leave broadcast choice to AQE
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .filter(pair)
@@ -450,7 +455,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # supplier scales with SF: leave broadcast choice to AQE
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -486,7 +492,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(12,4)")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part scales with SF (200k x SF rows, ~GBs at sf100): AQE size-picks
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6)
             .cast("double")

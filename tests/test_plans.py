@@ -90,17 +90,37 @@ def test_no_accidental_cartesian_products(spark):
     assert not offenders, offenders
 
 
+def test_broadcast_subtrees_sees_forced_broadcast_under_aqe(spark):
+    """Non-vacuousness check for the guard below: with AQE on (session
+    default) the helper must still descend into AdaptiveSparkPlanExec and
+    surface a hint-forced BroadcastExchange, parquet path included."""
+    from gmail_bigquery_etl_spark.plans.inspect import broadcast_subtrees
+
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    r = spark.read.parquet(f"{SF}/region.parquet")
+    subs = broadcast_subtrees(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    assert subs, "broadcast_subtrees returned [] for a forced broadcast join"
+    assert any("region.parquet" in s for s in subs), subs[:1]
+
+
 def test_no_forced_broadcast_of_fact_tables(spark):
-    """No fact-scaling relation (lineitem/orders/customer) may sit under a
-    BroadcastExchange that comes from an explicit hint.
+    """No SF-scaling relation (lineitem/orders/customer/part/supplier) may
+    sit under a BroadcastExchange that comes from an explicit hint.
 
     With autoBroadcastJoinThreshold=-1 the optimizer never size-picks a
     broadcast, so any BroadcastExchange left in the plan is hint-forced.
-    Hints are reserved for true dimensions (region/nation/part/supplier);
-    a forced fact broadcast is a driver OOM at sf100+."""
+    Hints are reserved for true fixed-size dimensions (region/nation, 5/25
+    rows at every SF); part (200k x SF) and supplier (10k x SF) grow with
+    the data and a forced broadcast of either is a driver OOM at sf100+."""
     from gmail_bigquery_etl_spark.plans.inspect import broadcast_subtrees
 
-    fact_markers = ("lineitem", "orders.parquet", "customer.parquet")
+    fact_markers = (
+        "lineitem",
+        "orders.parquet",
+        "customer.parquet",
+        "part.parquet",
+        "supplier.parquet",
+    )
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
