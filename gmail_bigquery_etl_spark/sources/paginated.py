@@ -153,6 +153,15 @@ class PaginatedApiReader(DataSourceReader):
         return unsupported
 
     def partitions(self) -> list[_TokenPartition]:
+        # A pushed point filter (id = / id IN) bounds the answer to at most
+        # |id_allow| messages; the full per-token fan-out would pay
+        # num_tokens x (Python worker spin-up + Arrow scanner setup) to
+        # serve mostly-empty slices. One partition spanning every token
+        # (num_tokens=1 makes the user_id-mod fan-out filter pass all rows)
+        # returns the identical row set from a single task. Spark calls
+        # pushFilters before partitions, so id_allow is settled here.
+        if self.id_allow is not None and len(self.id_allow) <= 10_000:
+            return [_TokenPartition(0, 1)]
         return [
             _TokenPartition(i, self.num_tokens) for i in range(self.num_tokens)
         ]

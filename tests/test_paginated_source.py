@@ -83,6 +83,20 @@ def test_id_filter_pushdown_unit():
     assert got == {"m1", "m2"}
 
 
+def test_point_filter_collapses_partition_planning():
+    """A pushed id filter bounds the answer, so the reader plans ONE
+    partition spanning every token instead of the per-token fan-out
+    (saves num_tokens x worker spin-up for a point lookup) -- and that
+    single partition still serves rows from ANY user slice."""
+    r = PaginatedApiReader({"path": EVENTS, "tokens": "4"})
+    assert len(r.partitions()) == 4  # no pushed filter: full fan-out
+    r.pushFilters([In(attribute=("id",), value=("m1", "m2", "m5"))])
+    parts = r.partitions()
+    assert len(parts) == 1
+    got = {row[0] for row in _rows(r, parts[0])}
+    assert got == {"m1", "m2", "m5"}
+
+
 def test_id_filter_pushdown_end_to_end(spark):
     df = _read(spark, tokens=2).filter(F.col("id") == "m5")
     rows = df.collect()
