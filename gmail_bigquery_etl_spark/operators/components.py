@@ -6,12 +6,14 @@ cluster ids. This is the canonical iterative-join algorithm (alternating
 min-label propagation, a simplified large-star/small-star): each round
 every node adopts the smallest label in its neighborhood, until a fixpoint.
 
-Scale shape: one shuffle per iteration (join on node), converging in
-O(log(longest path)) rounds for near-dup graphs (which are tiny, dense
-cliques -- typically 1-3 rounds). Each round's result is localCheckpoint'd
-to truncate lineage: without it, round k re-executes rounds 1..k-1 and the
-DAG grows quadratically. No driver-side looping over data -- the driver
-only drives the fixpoint test (a count of changed labels).
+Scale shape: one shuffle per propagation round (join on node), converging
+in O(log(longest path)) rounds for near-dup graphs (which are tiny, dense
+cliques -- typically 1-3 rounds). Rounds run TWO per driver cycle (the
+first fused un-materialized into the second's job); each cycle's result is
+localCheckpoint'd to truncate lineage: without it, cycle k re-executes
+cycles 1..k-1 and the DAG grows quadratically. No driver-side looping over
+data -- the driver only drives the fixpoint test (a count of changed
+labels), once per two rounds.
 """
 
 from __future__ import annotations
@@ -43,43 +45,48 @@ def connected_components(
     nodes = edges.select("u").distinct()
     labels = nodes.select("u", F.col("u").alias("comp")).localCheckpoint()
 
-    for _ in range(max_iter):
-        # neighborhood min: for each node u, min(comp of u, comp of all v)
+    def step(cur: DataFrame, track: bool) -> DataFrame:
+        """One propagation + pointer-doubling round as a pure plan.
+
+        neighborhood min: for each node u, min(comp of u, comp of all v);
+        then pointer doubling (path halving): comp[u] <- comp[comp[u]].
+        Neighbor-min alone moves a label ONE hop per round (O(diameter)
+        rounds on a path); with doubling the label distance halves each
+        round -> O(log n) rounds total, the hash-to-min convergence.
+        """
         neigh = (
-            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            edges.join(cur.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
             .agg(F.min("comp").alias("neigh_comp"))
         )
-        stepped = labels.join(neigh, "u", "left").select(
+        stepped = cur.join(neigh, "u", "left").select(
             "u",
             F.col("comp").alias("_old"),
             F.least("comp", F.coalesce("neigh_comp", F.col("comp"))).alias(
                 "comp"
             ),
         )
-        # pointer doubling (path halving): comp[u] <- comp[comp[u]].
-        # Neighbor-min alone moves a label ONE hop per round (O(diameter)
-        # rounds on a path); with doubling the label distance halves each
-        # round -> O(log n) rounds total, the hash-to-min convergence.
-        ptr = stepped.select(
-            F.col("u").alias("_c"), F.col("comp").alias("_cc")
-        )
-        # The convergence flag rides along the round's own projection (comp
-        # vs the carried _old), so the fixpoint test is a filter over the
-        # checkpointed result -- NOT an extra join-on-u against the previous
-        # labels, which cost one more shuffle + job per round.
-        new_labels = (
-            stepped.join(ptr, stepped.comp == ptr._c, "left")
-            .select(
-                "u",
-                F.least("comp", F.coalesce("_cc", F.col("comp"))).alias("comp"),
-                (
-                    F.least("comp", F.coalesce("_cc", F.col("comp")))
-                    != F.col("_old")
-                ).alias("_changed"),
-            )
-            .localCheckpoint()
-        )
+        ptr = stepped.select(F.col("u").alias("_c"), F.col("comp").alias("_cc"))
+        new_comp = F.least("comp", F.coalesce("_cc", F.col("comp")))
+        cols = ["u", new_comp.alias("comp")]
+        if track:
+            # The convergence flag rides along the round's own projection
+            # (comp vs the round's input label), so the fixpoint test is a
+            # filter over the checkpointed result -- NOT an extra join-on-u
+            # against the previous labels (one more shuffle + job / round).
+            cols.append((new_comp != F.col("_old")).alias("_changed"))
+        return stepped.join(ptr, stepped.comp == ptr._c, "left").select(*cols)
+
+    # TWO rounds per driver cycle: the first is a pure (un-materialized)
+    # plan fused into the second's job, the second checkpoints + tests
+    # convergence. Halves the per-round driver overhead (each cycle costs
+    # one eager localCheckpoint job + one count job instead of two of
+    # each). Correctness of the fixpoint test: _changed compares against
+    # the SECOND round's own input, and "one full round changed nothing"
+    # is exactly the fixpoint condition -- whatever the first round did.
+    for _ in range(max_iter):
+        mid = step(labels, track=False)
+        new_labels = step(mid, track=True).localCheckpoint()
         labels = new_labels.select("u", "comp")
         if new_labels.filter(F.col("_changed")).limit(1).count() == 0:
             break
