@@ -22,4 +22,67 @@ from . import ingest as _ingest  # noqa: E402,F401  (reference-parity ETL)
 from . import events as _events  # noqa: E402,F401
 from . import tpch as _tpch  # noqa: E402,F401
 
+# Round-3 rotation: front-load (a) every query whose last independent
+# driver row is from round 1 (registration positions 50+ last round --
+# q18/subquery_in first, both edited since that row), (b) queries new
+# this round, (c) queries whose code changed this round and so need a
+# fresh row. Everything else carries a green round-2 row and rotates to
+# the tail. Registration position NEVER gates local correctness: the
+# pytest suite (tests/test_correctness.py) and tools/check_oracle.py run
+# the FULL corpus against the DuckDB oracle every round.
+_ROUND3_FRONT = [
+    # (a) round-1-only rows, edited since
+    "q18_large_volume",
+    "subquery_in",
+    # (a) round-1-only rows, unchanged
+    "subquery_scalar_corr",
+    "set_ops",
+    "sort_topk_global",
+    "window_rank_topn",
+    "window_running_sum",
+    "window_lag_lead",
+    "window_ntile_stats",
+    "join_semi_exists",
+    "join_anti_not_exists",
+    "join_left_outer_agg",
+    "join_full_outer",
+    "join_cross_theta",
+    "agg_approx_tolerance",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_distinct_multi",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_array_map_funcs",
+    "conditional_funcs",
+    "pivot_status_by_priority",
+    # (c) edited this round (broadcast-hint removal / partition planning /
+    # fused component rounds) -> revalidate under the driver
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "dedup_clusters",
+    "dedup_survivor_stats",
+    "ingest_point_lookup",
+    "ingest_via_datasource",
+    "ingest_incremental",
+    "ingest_idempotent",
+]
+
+
+def _rotate(front: list[str]) -> None:
+    missing = [n for n in front if n not in ALL_QUERIES]
+    assert not missing, f"rotation names unknown: {missing}"
+    for d in (ALL_QUERIES, ALL_ORACLES):
+        ordered = {k: d[k] for k in front if k in d}
+        ordered.update({k: v for k, v in d.items() if k not in ordered})
+        d.clear()
+        d.update(ordered)
+
+
+_rotate(_ROUND3_FRONT)
+
 __all__ = ["ALL_QUERIES", "ALL_ORACLES"]
