@@ -44,15 +44,20 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     pipelines (md5-per-shingle, regex batteries, pandas tiles). Round-robin
     repartition to cores*factor spreads that compute.
 
-    The decision is a static conf read (``spark.gmail_etl.spread``, default
-    on): a per-call ``df.rdd.getNumPartitions()`` probe would force an RDD
+    The decision is a static conf read (``spark.gmail_etl.spread``): a
+    per-call ``df.rdd.getNumPartitions()`` probe would force an RDD
     conversion of the analyzed plan on the driver for every query build.
-    On a real cluster reading many files/row-groups, set the conf to
-    ``off`` -- scans are already wide there and the extra exchange buys
-    nothing.
+    The DEFAULT is deployment-aware: on under a ``local[*]`` master (the
+    single-JVM case where narrow single-file scans serialize compute), off
+    on a real cluster (scans there are already many-files/row-groups wide
+    and a blanket round-robin exchange could even SHRINK an already-wide
+    scan to cores*factor). Either can be forced with the conf.
     """
     sess = df.sparkSession
-    if sess.conf.get("spark.gmail_etl.spread", "on") == "off":
+    conf = sess.conf.get("spark.gmail_etl.spread", "auto")
+    if conf == "off":
+        return df
+    if conf != "on" and not sess.sparkContext.master.startswith("local"):
         return df
     return df.repartition(sess.sparkContext.defaultParallelism * factor)
 

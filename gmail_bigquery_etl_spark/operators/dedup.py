@@ -22,6 +22,13 @@ needs the near-dup ladder as well:
                        equi-join on (band, band_bits) and exact
                        bit_count(xor) verification has NO false negatives
                        for d <= b-1. Same bucket-join shape as MinHash-LSH.
+  jaccard_pairs      -- exact n-gram Jaccard for an arbitrary candidate
+                       list (the standalone form of jaccard_verify).
+  near_dup_pairs     -- the integrated ladder: one persisted shingle stage
+                       (grams_stage) shared by signature generation, LSH
+                       banding, and Jaccard verify; emits scored pairs at
+                       or above a threshold. Cache bounded to one live
+                       frame per session (_LIVE_GRAMS).
 
 Skew note (100 TB): boilerplate shingles ("lorem ipsum", licence headers)
 produce mega-buckets. ``lsh_candidate_pairs`` caps bucket width
@@ -30,6 +37,8 @@ are boilerplate clusters that exact-dedup already collapses.
 """
 
 from __future__ import annotations
+
+import threading
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -42,7 +51,13 @@ from ..functions.text import (
 )
 
 
-_LIVE_GRAMS: list[DataFrame] = []  # see near_dup_pairs
+# One live shingle cache PER SparkSession (see near_dup_pairs). Keyed by
+# session so two sessions sharing this interpreter never evict each
+# other's still-unconsumed cache; the lock serializes concurrent calls
+# within a session (eviction there is intended -- bounded memory beats an
+# unbounded pile of forgotten persisted plans).
+_LIVE_GRAMS: dict[int, DataFrame] = {}
+_LIVE_GRAMS_LOCK = threading.Lock()
 
 
 def content_key(text: Column | str) -> Column:
@@ -462,20 +477,24 @@ def near_dup_pairs(
     """
     from pyspark import StorageLevel
 
-    # At most ONE live shingle cache: Spark's CacheManager never evicts
-    # cached plans on its own, so per-call persist() with no unpersist()
-    # accumulates across a long-lived session (one frame per dedup query
-    # invocation). Dropping the previous cache keeps memory bounded; a
-    # still-unexecuted earlier result would simply recompute its shingles.
-    while _LIVE_GRAMS:
-        try:
-            _LIVE_GRAMS.pop().unpersist()
-        except Exception:
-            pass
+    # At most ONE live shingle cache per session: Spark's CacheManager
+    # never evicts cached plans on its own, so per-call persist() with no
+    # unpersist() accumulates across a long-lived session (one frame per
+    # dedup query invocation). Dropping that session's previous cache
+    # keeps memory bounded; a still-unexecuted earlier result would simply
+    # recompute its shingles. Other sessions' caches are untouched.
     grams = grams_stage(df, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    _LIVE_GRAMS.append(grams)
+    key = id(df.sparkSession)
+    with _LIVE_GRAMS_LOCK:
+        prev = _LIVE_GRAMS.pop(key, None)
+        _LIVE_GRAMS[key] = grams
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
     cand = lsh_candidate_pairs_from_grams(
         grams, id_col, num_hashes, bands, max_bucket
     )

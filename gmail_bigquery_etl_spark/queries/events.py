@@ -340,7 +340,14 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("event_type")
             .parquet(tmp)
         )
-        os.rename(tmp, out)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            # Two sessions raced to build the same layout and the other
+            # published first: first-writer-wins, read the published copy.
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(out):
+                raise
     parted = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
     return parted.groupBy("user_id").agg(
         F.count("*").alias("n"),
