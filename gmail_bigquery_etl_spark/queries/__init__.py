@@ -58,6 +58,8 @@ _ROUND3_FRONT = [
     "scalar_array_map_funcs",
     "conditional_funcs",
     "pivot_status_by_priority",
+    # (b) new this round
+    "dedup_simhash_pairs_wide",
     # (c) edited this round (broadcast-hint removal / partition planning /
     # fused component rounds) -> revalidate under the driver
     "q5_local_supplier",

@@ -481,6 +481,45 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_simhash_pairs_wide",
+    oracle=f"""
+WITH corpus AS ({_SQL_AUGMENTED}),
+tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS t FROM corpus
+),
+bits AS (
+  SELECT doc_id, j,
+         SUM(((({_SQL_HASH.format(s='t')}) >> j) & 1) * 2 - 1) AS s
+  FROM tok, generate_series(0, 47) AS g(j)
+  GROUP BY doc_id, j
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def dedup_simhash_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale SimHash sizing (operators/dedup.py simhash_pairs
+    sizing note): 48-bit fingerprints with 4 bands give r=12-bit band keys
+    -> 4096 buckets per band instead of the 32-bit config's 256, so bucket
+    occupancy -- and with it the quadratic in-bucket candidate work --
+    collapses while the pigeonhole recall guarantee (d <= 3) is unchanged.
+    Same brute-force all-pairs oracle, at 48 bits."""
+    from ..operators.dedup import simhash_pairs
+
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    return simhash_pairs(corpus, max_distance=3, bits=48).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@query(
     "text_tfidf_top_terms",
     oracle=f"""
 WITH tok AS (
