@@ -60,6 +60,7 @@ _ROUND3_FRONT = [
     "pivot_status_by_priority",
     # (b) new this round
     "dedup_simhash_pairs_wide",
+    "stream_stateful_user_counts",
     # (c) edited this round (broadcast-hint removal / partition planning /
     # fused component rounds) -> revalidate under the driver
     "q5_local_supplier",

@@ -420,3 +420,89 @@ def events_asof_join_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     left = ev.select("event_id", "user_id", "ts")
     return asof_join(left, purchases, on="user_id")
+
+
+@query(
+    "stream_stateful_user_counts",
+    oracle="""
+WITH agg AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+  FROM events GROUP BY user_id
+),
+last AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT agg.user_id, agg.n_events, agg.total_value,
+       last.event_type AS last_event_type
+FROM agg JOIN last ON agg.user_id = last.user_id AND last.rn = 1
+""",
+)
+def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin for the custom stateful streaming operator: actually RUNS
+    ``running_user_counts`` (streaming/stateful.py, applyInPandasWithState)
+    over the events table as a Structured Streaming job (availableNow),
+    lands every update-mode emission, and reduces to each user's FINAL
+    state. The oracle is the plain GROUP BY + last-event window the final
+    state must equal: state totals accumulate in scaled int64, so the
+    result is order-independent and decimal-exact, and ties on ts break by
+    event_id inside the operator exactly as in the oracle's ORDER BY."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from ..streaming.stateful import running_user_counts
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for stale in glob.glob(os.path.join(wh, "stateful_twin_*")):
+        shutil.rmtree(stale, ignore_errors=True)  # prior invocations' runs
+    run_dir = os.path.join(wh, f"stateful_twin_{uuid.uuid4().hex[:8]}")
+    sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
+
+    path = os.path.join(sf_dir, "events.parquet")
+    # same TIMESTAMP(NANOS) handling as catalog.load_table, readStream form
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        # the file stream source wants a DIRECTORY; events.parquet is one
+        # file, so stream the parent dir filtered down to that file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    updates = running_user_counts(stream)
+
+    def land(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        updates.writeStream.foreachBatch(land)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # final state per user = the update with the largest running count
+    # (n_events strictly increases across a user's emissions)
+    emitted = spark.read.parquet(sink)
+    return (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("n_events", "total_value", "last_event_type")
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_value").alias("total_value"),
+            F.col("s.last_event_type").alias("last_event_type"),
+        )
+    )

@@ -35,10 +35,16 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 
+# total_value is carried in state as VALUE * 10^4 in int64: integer
+# accumulation is associative/exact, so the emitted double equals a
+# DECIMAL(18,4) sum regardless of row order or micro-batch boundaries
+# (the registry's determinism rule, applied to streaming state).
+_SCALE = 10_000
+
 STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
-        StructField("total_value", DoubleType()),
+        StructField("total_scaled", LongType()),
         StructField("last_event_type", StringType()),
     ]
 )
@@ -50,22 +56,27 @@ def _update(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
-        n, total, last = state.get
+        n, total_scaled, last = state.get
     else:
-        n, total, last = 0, 0.0, None
+        n, total_scaled, last = 0, 0, None
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
-        ordered = pdf.sort_values("ts")
+        # event_id tiebreaks equal timestamps so "last" is deterministic
+        # under any partition/arrival order within the batch
+        order_cols = ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
+        ordered = pdf.sort_values(order_cols)
         n += len(ordered)
-        total += float(ordered["value"].sum())
+        total_scaled += int(
+            (ordered["value"] * _SCALE).round().astype("int64").sum()
+        )
         last = str(ordered["event_type"].iloc[-1])
-    state.update((n, total, last))
+    state.update((n, total_scaled, last))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [total],
+            "total_value": [total_scaled / _SCALE],
             "last_event_type": [last],
         }
     )
