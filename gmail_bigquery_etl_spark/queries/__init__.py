@@ -61,6 +61,7 @@ _ROUND3_FRONT = [
     # (b) new this round
     "dedup_simhash_pairs_wide",
     "stream_stateful_user_counts",
+    "ingest_shuffle_anti_join",
     # (c) edited this round (broadcast-hint removal / partition planning /
     # fused component rounds) -> revalidate under the driver
     "q5_local_supplier",

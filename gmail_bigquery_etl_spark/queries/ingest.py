@@ -66,6 +66,30 @@ def ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ingest_shuffle_anti_join",
+    oracle=_MSG_CTE
+    + """
+SELECT id, threadId, subject, sender, recipient, "timestamp", combined_labels
+FROM msgs
+WHERE event_type IN ('signup', 'purchase', 'click')
+  AND event_id % 3 <> 0
+""",
+)
+def ingest_shuffle_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The over-threshold sink path (SURVEY.md §7.3): when the sink's
+    distinct-id projection outgrows the broadcast threshold, the increment
+    runs with ``broadcast_hint=False`` and Catalyst plans a SHUFFLE
+    anti-join -- both sides hash-partitioned on id, no driver-side id set
+    at all (AQE is still free to convert back to broadcast at runtime when
+    stats allow; with stats pinned in tests the plan is sort-merge,
+    asserted broadcast-free). Same oracle as ingest_incremental: the
+    fallback must be a pure plan change."""
+    msgs = gmail_messages_from_events(spark, sf_dir)
+    existing = existing_sink_ids(spark, sf_dir)
+    return ingest_increment(msgs, existing, broadcast_hint=False)
+
+
+@query(
     "header_extraction",
     oracle=_MSG_CTE
     + """

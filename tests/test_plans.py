@@ -138,6 +138,24 @@ def test_no_forced_broadcast_of_fact_tables(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_shuffle_anti_join_fallback_is_broadcast_free(spark):
+    """The over-threshold ingest path (broadcast_hint=False) must plan a
+    shuffle anti-join with NO BroadcastExchange anywhere: this is the shape
+    that survives a sink id set too large to ship to executors."""
+    from gmail_bigquery_etl_spark.plans.inspect import broadcast_subtrees
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = ALL_QUERIES["ingest_shuffle_anti_join"](spark, SF)
+        plan = _plan(spark, "ingest_shuffle_anti_join")
+        assert "LeftAnti" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert not broadcast_subtrees(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_partition_pruning_reaches_scan(spark):
     """scan_partition_pruned must prune at the directory level: the scan
     carries a PartitionFilters entry on event_type and reads no data
