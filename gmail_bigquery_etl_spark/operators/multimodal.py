@@ -2,10 +2,12 @@
 
 Images/audio/video are opaque BinaryType payloads with a typed metadata
 struct alongside. The Spark-side plumbing -- schema, Arrow batch shape,
-mapInPandas signatures, partitioning -- is real and tested; the actual
-codec decode is STUBBED (the container ships no image/audio libs): decode
-functions raise NotImplementedError unless ``fake=True``, in which case a
-deterministic md5-derived fake feature vector stands in, keeping every
+mapInPandas signatures, partitioning -- is real and tested. Codec status:
+``decode_features(fake=False)`` REALLY decodes binary PPM (P6) images via
+the pure-Python parser below (header parse + pixel-length validation);
+every other format, and the resize/frame-sample codecs, stay STUBBED
+behind NotImplementedError (the container ships no image/audio libs) with
+a deterministic md5-derived fake behind ``fake=True`` keeping every
 downstream operator exercisable end-to-end.
 
 Scale notes: binary payloads ride in Arrow record batches; mapInPandas
@@ -72,27 +74,68 @@ def _fake_dims(digest: str) -> tuple[int, int]:
     return int(digest[:4], 16) % 640 + 1, int(digest[4:8], 16) % 480 + 1
 
 
+def parse_ppm_dims(b: bytes) -> tuple[int, int]:
+    """REAL image decode for binary PPM (P6): header parse (magic, width,
+    height, maxval, '#' comments per the netpbm spec) + pixel-payload
+    length validation. Pure Python -- no codec library needed -- which is
+    exactly why PPM is the one format this environment can decode for
+    real. Raises NotImplementedError for any other format (honest stub:
+    everything else needs the absent codec libs)."""
+    if not b or not b.startswith(b"P6"):
+        raise NotImplementedError(
+            "only binary PPM (P6) payloads decode without codec libraries; "
+            "pass fake=True for other formats"
+        )
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        fields.append(int(b[i:j]))
+        i = j
+    width, height, maxval = fields
+    if not (0 < maxval < 65536):
+        raise ValueError(f"PPM maxval out of range: {maxval}")
+    i += 1  # exactly one whitespace byte separates header from raster
+    bpp = 3 if maxval < 256 else 6
+    if len(b) - i != width * height * bpp:
+        raise ValueError(
+            f"PPM raster is {len(b) - i} bytes, expected {width * height * bpp}"
+        )
+    return width, height
+
+
 def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Batch feature extraction over binary payloads via mapInPandas.
 
-    Real decode path is stubbed: with fake=False this raises
-    NotImplementedError (no codec libs in the container). The Arrow
+    fake=False runs the REAL pure-Python PPM (P6) decode -- header parse +
+    raster validation -- and raises NotImplementedError for formats that
+    would need the container's absent codec libs. fake=True substitutes
+    deterministic md5-derived dimensions for any payload. The Arrow
     plumbing -- batch iteration, binary columns in/out, schema -- is the
     production shape either way.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "codec decode requires image/audio libraries not present "
-                    "in this environment; pass fake=True for the "
-                    "deterministic stand-in"
-                )
             digests = pdf["payload"].map(
                 lambda b: hashlib.md5(bytes(b)).hexdigest() if b is not None else None
             )
-            dims = digests.map(lambda d: _fake_dims(d) if d else (None, None))
+            if fake:
+                dims = digests.map(lambda d: _fake_dims(d) if d else (None, None))
+            else:
+                dims = pdf["payload"].map(
+                    lambda b: parse_ppm_dims(bytes(b)) if b is not None else (None, None)
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -62,6 +62,7 @@ _ROUND3_FRONT = [
     "dedup_simhash_pairs_wide",
     "stream_stateful_user_counts",
     "ingest_shuffle_anti_join",
+    "multimodal_ppm_decode",
     # (c) edited this round (broadcast-hint removal / partition planning /
     # fused component rounds) -> revalidate under the driver
     "q5_local_supplier",

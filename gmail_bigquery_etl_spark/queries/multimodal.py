@@ -2,9 +2,11 @@
 
 ``documents`` stands in as the media corpus: utf-8 payload bytes in a
 BinaryType column with a typed metadata struct. Feature extraction runs
-through the real Arrow/mapInPandas plumbing (operators/multimodal.py); the
-codec decode itself is a deterministic md5-derived fake (the real decode is
-stubbed behind NotImplementedError -- no codec libs in this container).
+through the real Arrow/mapInPandas plumbing (operators/multimodal.py).
+Codec status: multimodal_ppm_decode runs a REAL pure-Python PPM (P6)
+decode end-to-end (fake=False); the other queries use the deterministic
+md5-derived fake (non-PPM decode stays stubbed behind NotImplementedError
+-- no codec libs in this container).
 """
 
 from __future__ import annotations
@@ -57,6 +59,60 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduced exactly by the SQL oracle."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return sample_frames(documents_as_media(docs), every_n=2, fake=True)
+
+
+@query(
+    "multimodal_ppm_decode",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 16 + 4 AS INT) AS w,
+         CAST(doc_id % 8 + 3 AS INT) AS h
+  FROM documents
+),
+built AS (
+  SELECT media_id, w, h,
+         'P6' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+              || chr(10) || '255' || chr(10) || repeat('x', w * h * 3) AS s
+  FROM m
+)
+SELECT media_id,
+       CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
+       md5(s) AS digest,
+       w AS width,
+       h AS height
+FROM built
+""",
+)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec decode end-to-end: synthesize a binary PPM (P6) image
+    per document (header + 'x'-filled raster, all codegen'd string ops),
+    push the payloads through decode_features(fake=False) -- the pure-
+    Python PPM parser in operators/multimodal.py, no md5 stand-in -- and
+    gate the recovered dimensions + byte counts + payload digests against
+    an oracle that predicts them arithmetically and rebuilds the same
+    bytes for md5. The dimensions the parser RETURNS come from the binary
+    header it READ, so a parser bug cannot cancel out of the comparison."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 16 + 4).cast("int").alias("w"),
+        (F.col("doc_id") % 8 + 3).cast("int").alias("h"),
+    )
+    payload = F.encode(
+        F.concat(
+            F.lit("P6\n"),
+            F.col("w").cast("string"),
+            F.lit(" "),
+            F.col("h").cast("string"),
+            F.lit("\n255\n"),
+            F.expr("repeat('x', w * h * 3)"),
+        ),
+        "utf-8",
+    )
+    media = docs.select("media_id", payload.alias("payload"))
+    from ..operators.multimodal import decode_features as _decode
+
+    return _decode(media, fake=False)
 
 
 @query(

@@ -50,9 +50,30 @@ def test_sample_frames_fan_out(spark, media):
     assert all(r.frame_idx % 2 == 0 for r in idxs.collect())
 
 
+def test_parse_ppm_dims_real_decode():
+    """The pure-Python PPM (P6) parser: plain headers, '#' comments,
+    16-bit maxval rasters, and loud failures on truncation/foreign
+    formats."""
+    from gmail_bigquery_etl_spark.operators.multimodal import parse_ppm_dims
+
+    assert parse_ppm_dims(b"P6\n4 3\n255\n" + b"x" * 36) == (4, 3)
+    assert (
+        parse_ppm_dims(b"P6 # comment\n# another\n 4\t3 255 " + b"\0" * 36)
+        == (4, 3)
+    )
+    # maxval > 255 -> 2 bytes per sample
+    assert parse_ppm_dims(b"P6\n2 2\n65535\n" + b"y" * 24) == (2, 2)
+    with pytest.raises(ValueError, match="raster"):
+        parse_ppm_dims(b"P6\n4 3\n255\n" + b"x" * 35)
+    with pytest.raises(NotImplementedError):
+        parse_ppm_dims(b"\x89PNG\r\n")
+    with pytest.raises(NotImplementedError):
+        parse_ppm_dims(b"plain text payload")
+
+
 def test_real_decode_path_is_explicitly_stubbed(spark, media):
-    """fake=False must fail loudly (NotImplementedError inside the worker),
-    never silently fake."""
+    """fake=False on NON-PPM payloads must fail loudly (NotImplementedError
+    inside the worker), never silently fake."""
     with pytest.raises(PythonException, match="NotImplementedError"):
         decode_features(media.limit(1), fake=False).collect()
     with pytest.raises(PythonException, match="NotImplementedError"):
