@@ -77,6 +77,7 @@ def test_no_accidental_cartesian_products(spark):
         "dedup_minhash_signatures",
         "dedup_minhash_lsh_pairs",
         "dedup_simhash_pairs",
+        "dedup_simhash_pairs_wide",
         # broadcast crossJoin of the 16-row salts dim (small-side replication)
         "join_salted_skew",
     }
