@@ -23,6 +23,7 @@ from gmail_bigquery_etl_spark.session import get_spark  # noqa: E402
 OPS = [
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
+    "dedup_simhash_pairs_wide",  # corpus-scale sizing: pair count collapses
     "dedup_clusters",
     "embedding_near_dup",  # all-pairs baseline: expected ~quadratic
     "ann_lsh_buckets",
