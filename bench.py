@@ -45,8 +45,41 @@ def main() -> None:
 
     spark = get_spark("bench", cpus=cpus)
 
-    # JVM + parquet-footer warmup so query 1 doesn't pay session startup.
-    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # Warmup so the alphabetically-first queries don't absorb session
+    # startup: JVM + parquet footer reads, one shuffle (exchange/codegen
+    # machinery), and one Arrow mapInPandas no-op (spins the Python worker
+    # pool every Arrow-batched operator reuses). Generic -- no query's
+    # actual work is precomputed.
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation.groupBy("n_regionkey").count().write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    def _identity(batches):
+        yield from batches
+
+    spark.range(64).mapInPandas(_identity, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    # The Python DataSource path has its own one-time machinery (driver-
+    # side plan/pushFilters workers + per-executor datasource workers);
+    # touch it with a 1-row limited read so the first paginated_api query
+    # isn't charged for session-lifetime spin-up.
+    from gmail_bigquery_etl_spark.sources.paginated import register
+
+    register(spark)
+    (
+        spark.read.format("paginated_api")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("tokens", "1")
+        .option("limit", "1")
+        .load()
+        .limit(1)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name, fn in sorted(ALL_QUERIES.items()):
