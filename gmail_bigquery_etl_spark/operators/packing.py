@@ -1,0 +1,67 @@
+"""Token-budget shard packing: a distributed prefix sum.
+
+A training pipeline packs documents into fixed-token-budget shards in a
+deterministic corpus order (here: by id). The naive formulation is a
+running ``SUM() OVER (ORDER BY id)`` -- a GLOBAL window that Spark plans
+as a single-partition sort, serializing the whole corpus through one
+task. The scale shape is the classic two-pass distributed prefix sum:
+
+  1. range-partition by the order key (partition i holds smaller keys
+     than partition i+1),
+  2. cumulative-sum WITHIN each partition in parallel (window partitioned
+     by the physical partition id),
+  3. compute each partition's starting offset from the per-partition
+     totals -- one row per partition, so the only serial window runs over
+     O(num_partitions) rows -- and add it back via a broadcast join.
+
+The assignment is partition-boundary-independent: offsets are derived
+from the actual totals, so any range split yields the same global cumsum
+and therefore the same shard ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def assign_token_shards(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    order_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a ``shard`` column: floor(start_offset / budget), where
+    start_offset is the running total of ``size_col`` over all rows with
+    a smaller ``order_col``. Greedy sequential packing: a shard may exceed
+    the budget by at most one document's tokens (the straddling document
+    belongs to the shard where it starts)."""
+    sess = df.sparkSession
+    n = num_partitions or sess.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        W.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = ranged.withColumn(
+        "_local_cum", F.sum(F.col(size_col)).over(w_local)
+    )
+    # Partition offsets: the one serial window, over num_partitions rows.
+    totals = local.groupBy("_pid").agg(F.max("_local_cum").alias("_ptotal"))
+    w_prefix = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_ptotal").over(w_prefix), F.lit(0).cast("bigint")).alias(
+            "_offset"
+        ),
+    )
+    start = F.col("_offset") + F.col("_local_cum") - F.col(size_col)
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("shard", F.floor(start / F.lit(budget)))
+        .drop("_pid", "_local_cum", "_offset")
+    )

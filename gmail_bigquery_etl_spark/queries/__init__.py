@@ -21,6 +21,7 @@ from . import multimodal as _multimodal  # noqa: E402,F401
 from . import ingest as _ingest  # noqa: E402,F401  (reference-parity ETL)
 from . import events as _events  # noqa: E402,F401
 from . import tpch as _tpch  # noqa: E402,F401
+from . import pipeline as _pipeline  # noqa: E402,F401  (split/shard assembly)
 
 # Round-3 rotation: front-load (a) every query whose last independent
 # driver row is from round 1 (registration positions 50+ last round --
@@ -63,6 +64,8 @@ _ROUND3_FRONT = [
     "stream_stateful_user_counts",
     "ingest_shuffle_anti_join",
     "multimodal_ppm_decode",
+    "docs_stratified_split",
+    "docs_token_shards",
     # (c) edited this round (broadcast-hint removal / partition planning /
     # fused component rounds) -> revalidate under the driver
     "q5_local_supplier",
