@@ -224,6 +224,51 @@ def allpairs_cosine(
     )
 
 
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH bucketing -- the SCALE path
+    next to ``allpairs_cosine``'s O(n^2) baseline.
+
+    Candidate pairs collide on (a Hamming-1 probe of) the hyperplane
+    bucket: a shuffle equi-join on the bucket key, never a cross join.
+    Exact cosine verifies each candidate, so precision is exact; recall is
+    the sign-LSH probability (near-dups at cosine -> 1 flip each sign bit
+    with probability -> 0, and the Hamming-1 probe covers any single
+    flip) -- pytest-gated against brute force, while the SQL oracle
+    replicates the identical bucketing/probing so the gated comparison is
+    bit-exact.
+
+    Exactly-once without a distinct(): the probe keys of one row are
+    ``n_planes + 1`` DISTINCT strings and the build side carries a single
+    bucket per row, so an ordered pair (id_a < id_b) can match on at most
+    one join key. Probe symmetry (hamming(a,b) <= 1 is symmetric) means
+    one-sided expansion loses no pairs.
+    """
+    bucket = hyperplane_bucket(vec_col, n_planes, dim)
+    probe = (
+        F.explode(_hamming_ball_1(bucket, n_planes)) if multiprobe else bucket
+    )
+    left = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), probe.alias("bucket")
+    )
+    right = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), bucket.alias("bucket")
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def _self_dot(v: Column) -> Column:
     return F.aggregate(
         F.zip_with(v, v, lambda x, y: x.cast("double") * y.cast("double")),

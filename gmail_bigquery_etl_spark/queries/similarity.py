@@ -142,6 +142,73 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_near_dup_lsh",
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+planes AS (
+  SELECT p, list_transform(generate_series(0, 63),
+           j -> CAST((CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000) AS DOUBLE) / 1000.0) AS w
+  FROM generate_series(0, 7) AS t(p)
+),
+bits AS (
+  SELECT c.vec_id, pl.p,
+         CASE WHEN {_SQL_DOT.format(a='c.v', b='pl.w')} >= 0 THEN '1' ELSE '0' END AS bit
+  FROM corpus c, planes pl
+),
+buckets AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+  FROM bits GROUP BY vec_id
+),
+probes AS (
+  SELECT vec_id, bucket FROM buckets
+  UNION ALL
+  SELECT vec_id,
+         substring(bucket, 1, i - 1)
+           || (CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+           || substring(bucket, i + 1) AS bucket
+  FROM buckets, generate_series(1, 8) AS t(i)
+),
+cand AS (
+  SELECT p.vec_id AS id_a, b.vec_id AS id_b
+  FROM probes p JOIN buckets b ON p.bucket = b.bucket AND p.vec_id < b.vec_id
+)
+SELECT cand.id_a, cand.id_b,
+       ROUND({_SQL_COSINE.format(a='a.v', b='b.v')}, 6) AS score
+FROM cand
+JOIN corpus a ON a.vec_id = cand.id_a
+JOIN corpus b ON b.vec_id = cand.id_b
+WHERE {_SQL_COSINE.format(a='a.v', b='b.v')} >= 0.999
+""",
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for embedding near-dup (vs embedding_near_dup's
+    all-pairs baseline): sign-LSH bucket self-join with Hamming-1 probing,
+    exact-cosine verify >= 0.999 (operators/similarity.py
+    lsh_near_dup_pairs). Same augmented corpus as the baseline; the oracle
+    replicates the identical md5-derived bucketing, probe expansion, and
+    sequential-fold cosine, so candidate generation itself is gated
+    bit-exactly -- and recall vs brute force is additionally pytest-gated."""
+    from ..operators.similarity import lsh_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    scaled = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.5).alias("v"),
+    )
+    corpus = base.unionAll(scaled)
+    pairs = lsh_near_dup_pairs(corpus, threshold=0.999, n_planes=8, dim=64)
+    return pairs.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
+@query(
     "embedding_near_dup",
     oracle=f"""
 WITH corpus AS (

@@ -73,3 +73,26 @@ def test_lsh_recall_beats_floor(spark, emb):
     # single-probe and clear a non-trivial floor
     assert _recall(multi, exact) >= _recall(single, exact)
     assert _recall(multi, exact) >= 0.25
+
+
+def test_lsh_near_dup_full_recall_on_directional_dupes(spark, emb):
+    """lsh_near_dup_pairs (the bucketed scale path) must find EVERY pair
+    the all-pairs baseline finds on the augmented corpus: positive-scaled
+    copies share the exact sign bucket, so recall is 1.0 there, and the
+    exact-cosine verify makes precision 1.0 by construction."""
+    from gmail_bigquery_etl_spark.operators.similarity import (
+        allpairs_cosine,
+        lsh_near_dup_pairs,
+    )
+
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    scaled = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.5).alias("v"),
+    )
+    corpus = base.unionAll(scaled)
+    exact = {(r.id_a, r.id_b) for r in allpairs_cosine(corpus, 0.999).collect()}
+    lsh = {(r.id_a, r.id_b) for r in lsh_near_dup_pairs(corpus, 0.999).collect()}
+    assert exact and lsh == exact
