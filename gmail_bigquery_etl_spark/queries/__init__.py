@@ -66,6 +66,7 @@ _ROUND3_FRONT = [
     "multimodal_ppm_decode",
     "docs_stratified_split",
     "docs_token_shards",
+    "docs_balanced_sample",
     "embedding_near_dup_lsh",
     # (c) edited this round (broadcast-hint removal / partition planning /
     # fused component rounds) -> revalidate under the driver

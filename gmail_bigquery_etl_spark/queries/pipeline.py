@@ -66,6 +66,51 @@ def docs_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_balanced_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(doc_id AS BIGINT)) AS BIGINT) AS id_sum
+FROM ranked
+WHERE rn <= 40
+GROUP BY lang
+""",
+)
+def docs_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group balanced sampling: cap every language at 40
+    documents, chosen by md5(doc_id) order -- a content-independent
+    pseudo-random draw that is reproducible across runs and engines
+    (the md5 hex string orders identically everywhere). One shuffle on the
+    group key + a per-group window; the id_sum pins EXACTLY which
+    documents were drawn, not just how many."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(F.col("doc_id").cast("bigint")).alias("id_sum"),
+        )
+    )
+
+
+@query(
     "docs_token_shards",
     oracle=r"""
 WITH t AS (
