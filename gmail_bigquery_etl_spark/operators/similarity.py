@@ -251,20 +251,33 @@ def lsh_near_dup_pairs(
     one join key. Probe symmetry (hamming(a,b) <= 1 is symmetric) means
     one-sided expansion loses no pairs.
     """
+    from ..functions.vectors import dot, l2_norm
+
     bucket = hyperplane_bucket(vec_col, n_planes, dim)
     probe = (
         F.explode(_hamming_ball_1(bucket, n_planes)) if multiprobe else bucket
     )
+    # Each vector's norm is computed ONCE before the join (same sequential
+    # fold as inside cosine_similarity, so the quotient is bit-identical)
+    # -- per candidate pair only the cross dot-fold remains, a 3x cut in
+    # the verify stage's interpreted HOF work.
     left = corpus.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), probe.alias("bucket")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(vec_col).alias("na"),
+        probe.alias("bucket"),
     )
     right = corpus.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), bucket.alias("bucket")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(vec_col).alias("nb"),
+        bucket.alias("bucket"),
     )
+    score = dot("va", "vb") / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
     return (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("score"))
+        .select("id_a", "id_b", score.alias("score"))
         .filter(F.col("score") >= threshold)
     )
 

@@ -193,9 +193,12 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicates the identical md5-derived bucketing, probe expansion, and
     sequential-fold cosine, so candidate generation itself is gated
     bit-exactly -- and recall vs brute force is additionally pytest-gated."""
+    from ..catalog import spread
     from ..operators.similarity import lsh_near_dup_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread(): the fixture is a 2-split file and the per-candidate dot
+    # folds inherit scan parallelism through the bucket join -- widen it
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     base = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
