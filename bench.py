@@ -125,10 +125,12 @@ def compact_line(full: dict) -> str:
         if len(line) <= _LINE_BUDGET:
             return line
     # Still too big: fold the fastest queries into one aggregate bucket,
-    # keeping the slowest itemized (errors, at -1.0, stay itemized too).
+    # keeping the slowest itemized. Error entries (-1.0) are NEVER
+    # foldable -- they must stay visible by name.
+    errors = {k: v for k, v in q.items() if v < 0}
     items = sorted(
-        q.items(),
-        key=lambda kv: float("inf") if kv[1] < 0 else kv[1],
+        ((k, v) for k, v in q.items() if v >= 0),
+        key=lambda kv: kv[1],
         reverse=True,
     )
     for keep in range(len(items), -1, -1):
@@ -136,8 +138,9 @@ def compact_line(full: dict) -> str:
         folded = items[keep:]
         out = {
             **full,
-            "queries": {**kept, "fast": {"n": len(folded),
-                                         "secs": round(sum(v for _, v in folded), 1)}},
+            "queries": {**errors, **kept,
+                        "fast": {"n": len(folded),
+                                 "secs": round(sum(v for _, v in folded), 1)}},
         }
         line = json.dumps(out, separators=(",", ":"))
         if len(line) <= _LINE_BUDGET:

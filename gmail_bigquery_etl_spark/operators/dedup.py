@@ -39,6 +39,7 @@ are boilerplate clusters that exact-dedup already collapses.
 from __future__ import annotations
 
 import threading
+import weakref
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -51,12 +52,14 @@ from ..functions.text import (
 )
 
 
-# One live shingle cache PER SparkSession (see near_dup_pairs). Keyed by
-# session so two sessions sharing this interpreter never evict each
-# other's still-unconsumed cache; the lock serializes concurrent calls
-# within a session (eviction there is intended -- bounded memory beats an
-# unbounded pile of forgotten persisted plans).
-_LIVE_GRAMS: dict[int, DataFrame] = {}
+# One live shingle cache PER SparkSession (see near_dup_pairs). Weakly
+# keyed by the session object so two sessions sharing this interpreter
+# never evict each other's still-unconsumed cache AND a stopped/collected
+# session's entry (with its pinned persisted frame) drops automatically;
+# the lock serializes concurrent calls within a session (eviction there
+# is intended -- bounded memory beats an unbounded pile of forgotten
+# persisted plans).
+_LIVE_GRAMS: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 _LIVE_GRAMS_LOCK = threading.Lock()
 
 
@@ -486,7 +489,7 @@ def near_dup_pairs(
     grams = grams_stage(df, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    key = id(df.sparkSession)
+    key = df.sparkSession
     with _LIVE_GRAMS_LOCK:
         prev = _LIVE_GRAMS.pop(key, None)
         _LIVE_GRAMS[key] = grams

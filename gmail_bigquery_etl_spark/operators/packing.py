@@ -51,7 +51,11 @@ def assign_token_shards(
         "_local_cum", F.sum(F.col(size_col)).over(w_local)
     )
     # Partition offsets: the one serial window, over num_partitions rows.
-    totals = local.groupBy("_pid").agg(F.max("_local_cum").alias("_ptotal"))
+    # Totals come from summing size_col directly (NOT max of the running
+    # cumsum, which would silently diverge if any size were negative).
+    totals = local.groupBy("_pid").agg(
+        F.sum(F.col(size_col)).alias("_ptotal")
+    )
     w_prefix = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     offsets = totals.select(
         "_pid",

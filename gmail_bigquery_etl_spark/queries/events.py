@@ -324,12 +324,15 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    import uuid
+
     ev = load_table(spark, sf_dir, "events")
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     out = os.path.join(wh, f"ev_parted_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
     if not os.path.isdir(out):
-        tmp = out + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+        # session-unique tmp: two racing sessions must never share a
+        # staging dir, or the winner could publish the loser's half-write
+        tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
         # project to the needed columns and co-locate each partition's rows
         # before writing: one file per event_type directory, not one per
         # (task x partition)
@@ -456,9 +459,17 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.stateful import running_user_counts
 
+    import time
+
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    # Reap only AGED prior-run dirs: a concurrent session's in-flight
+    # stream (sink + checkpoint) must not be deleted out from under it.
     for stale in glob.glob(os.path.join(wh, "stateful_twin_*")):
-        shutil.rmtree(stale, ignore_errors=True)  # prior invocations' runs
+        try:
+            if time.time() - os.path.getmtime(stale) > 3600:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
     run_dir = os.path.join(wh, f"stateful_twin_{uuid.uuid4().hex[:8]}")
     sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
 
@@ -487,7 +498,12 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stateful stream did not finish within 300s; refusing to read "
+            "a partially-written sink"
+        )
 
     # final state per user = the update with the largest running count
     # (n_events strictly increases across a user's emissions)

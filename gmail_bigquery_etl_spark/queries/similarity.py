@@ -36,6 +36,22 @@ _SQL_COSINE = (
 )
 
 
+def augmented_embeddings(emb: DataFrame) -> DataFrame:
+    """The near-dup test corpus BOTH near-dup queries (baseline all-pairs
+    and LSH scale path), their oracles, and the recall test must share:
+    base vectors plus 1.5x-scaled copies of every 20th id (positive
+    scaling preserves direction, so the copies are exact directional
+    dupes). One definition keeps the cross-gating honest."""
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    scaled = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.5).alias("v"),
+    )
+    return base.unionAll(scaled)
+
+
 @query(
     "knn_bruteforce_cosine",
     oracle=f"""
@@ -199,14 +215,7 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread(): the fixture is a 2-split file and the per-candidate dot
     # folds inherit scan parallelism through the bucket join -- widen it
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    base = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    scaled = emb.filter(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform("embedding", lambda x: x.cast("double") * 1.5).alias("v"),
-    )
-    corpus = base.unionAll(scaled)
+    corpus = augmented_embeddings(emb)
     pairs = lsh_near_dup_pairs(corpus, threshold=0.999, n_planes=8, dim=64)
     return pairs.select("id_a", "id_b", F.round("score", 6).alias("score"))
 
@@ -239,14 +248,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import allpairs_cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    scaled = emb.filter(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform("embedding", lambda x: x.cast("double") * 1.5).alias("v"),
-    )
-    corpus = base.unionAll(scaled)
+    corpus = augmented_embeddings(emb)
     scored = allpairs_cosine(corpus, threshold=0.999)
     return scored.select(
         "id_a", "id_b", F.round("score", 6).alias("score")

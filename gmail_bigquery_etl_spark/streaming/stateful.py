@@ -45,6 +45,8 @@ STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
         StructField("total_scaled", LongType()),
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_id", LongType()),
         StructField("last_event_type", StringType()),
     ]
 )
@@ -56,22 +58,30 @@ def _update(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
-        n, total_scaled, last = state.get
+        n, total_scaled, last_ts, last_eid, last = state.get
     else:
-        n, total_scaled, last = 0, 0, None
+        n, total_scaled, last_ts, last_eid, last = 0, 0, None, None, None
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
-        # event_id tiebreaks equal timestamps so "last" is deterministic
-        # under any partition/arrival order within the batch
+        # "last" = max (ts, event_id) seen so far, carried IN STATE and
+        # compared per Arrow chunk: a user's rows may span several chunks
+        # in one micro-batch (chunk order is nondeterministic after the
+        # shuffle) and later micro-batches may replay older data -- taking
+        # the final chunk's tail would silently depend on both. event_id
+        # tiebreaks equal timestamps.
         order_cols = ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
         ordered = pdf.sort_values(order_cols)
         n += len(ordered)
         total_scaled += int(
             (ordered["value"] * _SCALE).round().astype("int64").sum()
         )
-        last = str(ordered["event_type"].iloc[-1])
-    state.update((n, total_scaled, last))
+        tail = ordered.iloc[-1]
+        ts_us = int(pd.Timestamp(tail["ts"]).value // 1_000)
+        eid = int(tail["event_id"]) if "event_id" in pdf.columns else 0
+        if last_ts is None or (ts_us, eid) > (last_ts, last_eid):
+            last_ts, last_eid, last = ts_us, eid, str(tail["event_type"])
+    state.update((n, total_scaled, last_ts, last_eid, last))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],

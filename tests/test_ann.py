@@ -84,15 +84,9 @@ def test_lsh_near_dup_full_recall_on_directional_dupes(spark, emb):
         allpairs_cosine,
         lsh_near_dup_pairs,
     )
+    from gmail_bigquery_etl_spark.queries.similarity import augmented_embeddings
 
-    base = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    scaled = emb.filter(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform("embedding", lambda x: x.cast("double") * 1.5).alias("v"),
-    )
-    corpus = base.unionAll(scaled)
+    corpus = augmented_embeddings(emb)
     exact = {(r.id_a, r.id_b) for r in allpairs_cosine(corpus, 0.999).collect()}
     lsh = {(r.id_a, r.id_b) for r in lsh_near_dup_pairs(corpus, 0.999).collect()}
     assert exact and lsh == exact
