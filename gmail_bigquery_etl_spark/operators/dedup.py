@@ -486,18 +486,26 @@ def near_dup_pairs(
     # dedup query invocation). Dropping that session's previous cache
     # keeps memory bounded; a still-unexecuted earlier result would simply
     # recompute its shingles. Other sessions' caches are untouched.
-    grams = grams_stage(df, text_col, id_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # ORDER MATTERS: unpersist the previous cache BEFORE persisting the
+    # new frame. Spark's CacheManager matches cache entries by
+    # canonicalized plan, and two near_dup_pairs calls over the same input
+    # produce the same plan -- unpersisting the old frame after the new
+    # persist() would evict the NEW entry too, silently degrading every
+    # consumer of the shared shingle stage to full recompute (a measured
+    # ~2x slowdown on dedup_clusters).
     key = df.sparkSession
     with _LIVE_GRAMS_LOCK:
         prev = _LIVE_GRAMS.pop(key, None)
-        _LIVE_GRAMS[key] = grams
     if prev is not None:
         try:
             prev.unpersist()
         except Exception:
             pass
+    grams = grams_stage(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    with _LIVE_GRAMS_LOCK:
+        _LIVE_GRAMS[key] = grams
     cand = lsh_candidate_pairs_from_grams(
         grams, id_col, num_hashes, bands, max_bucket
     )
