@@ -493,18 +493,22 @@ def near_dup_pairs(
     # persist() would evict the NEW entry too, silently degrading every
     # consumer of the shared shingle stage to full recompute (a measured
     # ~2x slowdown on dedup_clusters).
+    # The whole pop -> unpersist -> persist -> set sequence holds the lock:
+    # two threads of one session interleaving pop/persist/set could leave
+    # the loser's persisted frame in place but absent from _LIVE_GRAMS --
+    # a cache entry nothing will ever unpersist. unpersist(blocking=False)
+    # keeps the critical section cheap.
     key = df.sparkSession
     with _LIVE_GRAMS_LOCK:
         prev = _LIVE_GRAMS.pop(key, None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass
-    grams = grams_stage(df, text_col, id_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    with _LIVE_GRAMS_LOCK:
+        if prev is not None:
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:
+                pass
+        grams = grams_stage(df, text_col, id_col, shingle_n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         _LIVE_GRAMS[key] = grams
     cand = lsh_candidate_pairs_from_grams(
         grams, id_col, num_hashes, bands, max_bucket

@@ -100,9 +100,20 @@ def parse_ppm_dims(b: bytes) -> tuple[int, int]:
             j += 1
         if j == i:
             raise ValueError("truncated PPM header")
-        fields.append(int(b[i:j]))
+        try:
+            fields.append(int(b[i:j]))
+        except ValueError:
+            # Starts with "P6" but the header fields aren't integers: not
+            # actually a PPM -- honor the honest-stub contract rather than
+            # leaking a parse error for a format we never claimed to read.
+            raise NotImplementedError(
+                "payload starts with 'P6' but does not follow the PPM "
+                "header grammar; pass fake=True for non-PPM formats"
+            ) from None
         i = j
     width, height, maxval = fields
+    if width <= 0 or height <= 0:
+        raise ValueError(f"PPM dimensions out of range: {width}x{height}")
     if not (0 < maxval < 65536):
         raise ValueError(f"PPM maxval out of range: {maxval}")
     i += 1  # exactly one whitespace byte separates header from raster

@@ -14,9 +14,14 @@ task. The scale shape is the classic two-pass distributed prefix sum:
      totals -- one row per partition, so the only serial window runs over
      O(num_partitions) rows -- and add it back via a broadcast join.
 
-The assignment is partition-boundary-independent: offsets are derived
-from the actual totals, so any range split yields the same global cumsum
-and therefore the same shard ids.
+The assignment is partition-boundary-independent in the sense that ANY
+range split yields the same global cumsum -- but only while the totals
+branch and the row branch observe the SAME split. RangePartitioner
+samples its boundaries with an RDD-id-derived seed, so two separate
+evaluations of the range exchange may legally pick different boundaries;
+the ranged frame is therefore materialized (localCheckpoint) before
+either branch reads it, rather than relying on ReuseExchange to
+deduplicate two plan subtrees.
 """
 
 from __future__ import annotations
@@ -39,8 +44,16 @@ def assign_token_shards(
     belongs to the shard where it starts)."""
     sess = df.sparkSession
     n = num_partitions or sess.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint pins ONE physical range partitioning that both the
+    # totals branch and the row branch below read. Without it the two
+    # branches are separate plan subtrees whose boundary samples (seeded by
+    # RDD id) could diverge whenever ReuseExchange doesn't kick in, and the
+    # _pid->offset map would be applied to rows split differently --
+    # silently corrupting shard ids.
+    ranged = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     w_local = (
         W.partitionBy("_pid")

@@ -116,6 +116,9 @@ class PaginatedApiReader(DataSourceReader):
         # the page loop stops REQUESTING pages once it is satisfied -- the
         # paginated-API analog of Spark's LocalLimit (each partition serves
         # at most `limit` rows; the global limit still trims on the driver).
+        # When a pushed id filter collapses the plan to one partition (see
+        # partitions()), the surviving partition's cap is scaled by
+        # num_tokens so the total cap is unchanged by the collapse.
         limit_opt = options.get("limit")
         self.limit: int | None = int(limit_opt) if limit_opt is not None else None
         include, exclude = parse_label_query(options.get("q", ""))
@@ -161,6 +164,13 @@ class PaginatedApiReader(DataSourceReader):
         # returns the identical row set from a single task. Spark calls
         # pushFilters before partitions, so id_allow is settled here.
         if self.id_allow is not None and len(self.id_allow) <= 10_000:
+            # `limit` is documented as PER-PARTITION: the pre-collapse plan
+            # could serve up to limit*num_tokens rows, so scale the single
+            # surviving partition's cap to keep the collapse a pure plan
+            # optimization (same row set, fewer tasks) even when a reader
+            # combines .option("limit", N) with an id IN list of >N ids.
+            if self.limit is not None:
+                self.limit *= self.num_tokens
             return [_TokenPartition(0, 1)]
         return [
             _TokenPartition(i, self.num_tokens) for i in range(self.num_tokens)

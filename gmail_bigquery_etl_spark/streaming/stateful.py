@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -73,8 +74,14 @@ def _update(
         order_cols = ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
         ordered = pdf.sort_values(order_cols)
         n += len(ordered)
+        # Round HALF-AWAY-FROM-ZERO (trunc(x + copysign(.5, x))), matching
+        # DuckDB's CAST(.. AS DECIMAL(18,4)) semantics. pandas .round()
+        # rounds half-to-even and would diverge from the oracle on any
+        # double product landing exactly on .5 at the 4th decimal. (trunc,
+        # not floor: floor(-2.4 - 0.5) = -3 would over-round negatives.)
+        scaled = ordered["value"].to_numpy(dtype="float64") * _SCALE
         total_scaled += int(
-            (ordered["value"] * _SCALE).round().astype("int64").sum()
+            np.trunc(scaled + np.copysign(0.5, scaled)).astype("int64").sum()
         )
         tail = ordered.iloc[-1]
         ts_us = int(pd.Timestamp(tail["ts"]).value // 1_000)

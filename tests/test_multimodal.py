@@ -69,6 +69,13 @@ def test_parse_ppm_dims_real_decode():
         parse_ppm_dims(b"\x89PNG\r\n")
     with pytest.raises(NotImplementedError):
         parse_ppm_dims(b"plain text payload")
+    # starts with "P6" but isn't PPM header grammar -> honest-stub contract,
+    # not a leaked ValueError
+    with pytest.raises(NotImplementedError):
+        parse_ppm_dims(b"P6ters of the deep")
+    # degenerate dims must not "validate" against an empty raster
+    with pytest.raises(ValueError, match="dimensions"):
+        parse_ppm_dims(b"P6\n0 5\n255\n")
 
 
 def test_real_decode_path_is_explicitly_stubbed(spark, media):

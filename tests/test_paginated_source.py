@@ -97,6 +97,20 @@ def test_point_filter_collapses_partition_planning():
     assert got == {"m1", "m2", "m5"}
 
 
+def test_point_filter_collapse_scales_per_partition_limit():
+    """The 1-partition collapse must not shrink the pushed limit's total
+    cap: pre-collapse, .option("limit", N) allowed N rows per token
+    partition (N*tokens overall), so the surviving partition's cap is
+    scaled by num_tokens -- an id IN list of more than N ids still comes
+    back complete."""
+    r = PaginatedApiReader({"path": EVENTS, "tokens": "3", "limit": "1"})
+    r.pushFilters([In(attribute=("id",), value=("m1", "m2", "m5"))])
+    parts = r.partitions()
+    assert len(parts) == 1
+    got = {row[0] for row in _rows(r, parts[0])}
+    assert got == {"m1", "m2", "m5"}
+
+
 def test_id_filter_pushdown_end_to_end(spark):
     df = _read(spark, tokens=2).filter(F.col("id") == "m5")
     rows = df.collect()
