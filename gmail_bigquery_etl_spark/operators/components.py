@@ -31,12 +31,18 @@ def connected_components(
     """(node, component) for every node in ``pairs``; component = min node
     id reachable. Deterministic, oracle-checkable against a recursive-CTE
     transitive closure."""
-    # Materialize the edge list ONCE: every propagation round joins against
-    # it, and without truncation each round would re-execute the entire
-    # upstream pair-generation pipeline (e.g. the full LSH near-dup run).
+    # Materialize the PAIRS first, then the edge list. The symmetrized
+    # union references `pairs` twice (forward + flipped), so building
+    # edges straight off the input plan evaluates the entire upstream
+    # pair-generation pipeline (e.g. the full LSH candidate + Jaccard
+    # verify run) TWICE inside one checkpoint job -- measured as the
+    # dominant cost of cluster assignment at sf0.1. Checkpointing the
+    # (tiny) pair list once makes the union read materialized rows; the
+    # edges checkpoint after it is then ~free and keeps every propagation
+    # round's join off even that short lineage.
+    p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionAll(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .localCheckpoint()
     )

@@ -458,6 +458,19 @@ def simhash_pairs(
     )
 
 
+def _same_result(a: DataFrame, b: DataFrame) -> bool:
+    """True when two DataFrames are canonically the same plan (Spark's own
+    sameResult check, used by CacheManager for cache matching)."""
+    try:
+        return bool(
+            a._jdf.queryExecution()
+            .analyzed()
+            .sameResult(b._jdf.queryExecution().analyzed())
+        )
+    except Exception:
+        return False
+
+
 def near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -493,23 +506,32 @@ def near_dup_pairs(
     # persist() would evict the NEW entry too, silently degrading every
     # consumer of the shared shingle stage to full recompute (a measured
     # ~2x slowdown on dedup_clusters).
-    # The whole pop -> unpersist -> persist -> set sequence holds the lock:
-    # two threads of one session interleaving pop/persist/set could leave
-    # the loser's persisted frame in place but absent from _LIVE_GRAMS --
-    # a cache entry nothing will ever unpersist. unpersist(blocking=False)
-    # keeps the critical section cheap.
+    # The whole check -> pop -> unpersist -> persist -> set sequence holds
+    # the lock: two threads of one session interleaving pop/persist/set
+    # could leave the loser's persisted frame in place but absent from
+    # _LIVE_GRAMS -- a cache entry nothing will ever unpersist.
+    # unpersist(blocking=False) keeps the critical section cheap.
     key = df.sparkSession
     with _LIVE_GRAMS_LOCK:
-        prev = _LIVE_GRAMS.pop(key, None)
-        if prev is not None:
-            try:
-                prev.unpersist(blocking=False)
-            except Exception:
-                pass
-        grams = grams_stage(df, text_col, id_col, shingle_n).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        _LIVE_GRAMS[key] = grams
+        grams = grams_stage(df, text_col, id_col, shingle_n)
+        prev = _LIVE_GRAMS.get(key)
+        if prev is not None and _same_result(prev, grams):
+            # Same session, semantically identical shingle plan: REUSE the
+            # live cache instead of rotating it. Back-to-back dedup queries
+            # over one corpus (pairs -> clusters -> survivors) previously
+            # dropped warm blocks only to rebuild the identical frame --
+            # pure recompute waste. sameResult is Spark's own canonical-
+            # plan equivalence, the predicate CacheManager itself uses.
+            grams = prev
+        else:
+            if prev is not None:
+                _LIVE_GRAMS.pop(key)
+                try:
+                    prev.unpersist(blocking=False)
+                except Exception:
+                    pass
+            grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+            _LIVE_GRAMS[key] = grams
     cand = lsh_candidate_pairs_from_grams(
         grams, id_col, num_hashes, bands, max_bucket
     )
