@@ -548,6 +548,123 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(ROUND(l_extendedprice / l_quantity, 6)) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name, c.supply_cost
+FROM part p
+JOIN cost c     ON p.p_partkey = c.l_partkey
+JOIN supplier s ON c.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+  AND c.supply_cost = (
+    SELECT MIN(c2.supply_cost)
+    FROM cost c2
+    JOIN supplier s2 ON c2.l_suppkey = s2.s_suppkey
+    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated scalar MIN subquery over a 4-way dimension join
+    (part-supplier-nation-region; lineitem stands in for partsupp, with
+    min unit price per (part, supplier) as the supply cost). The oracle
+    spells the textbook correlated subquery; the Spark plan computes the
+    per-part minimum ONCE with a window over the already-joined frame --
+    the decorrelated form Catalyst itself would aim for, with no second
+    scan of the cost side. region/nation are fixed-size at every SF
+    (broadcast); the cost rollup shuffles lineitem once on its natural
+    (partkey, suppkey) grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)).alias(
+            "supply_cost"
+        )
+    )
+    joined = (
+        cost.join(s, cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    # Decorrelation: the scalar subquery is min(supply_cost) per part over
+    # the SAME region-filtered join -- one window, no re-scan.
+    w = W.partitionBy("l_partkey")
+    best = joined.withColumn("_min_cost", F.min("supply_cost").over(w)).filter(
+        F.col("supply_cost") == F.col("_min_cost")
+    )
+    return (
+        p.filter(F.col("p_type") == "LARGE")
+        .join(best, p.p_partkey == best.l_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost"
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q16_supplier_cnt",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: DISTINCT-count per part attribute group + NOT IN
+    exclusion subquery (suppliers in bad standing; lineitem stands in for
+    partsupp). NOT IN over a non-null key = left_anti join. The exclusion
+    list is a sub-percent slice of supplier, but supplier SCALES with SF,
+    so per the repo rule it carries no broadcast hint -- AQE size-picks
+    broadcast at runtime while the plan stays safe if the slice ever
+    grows. The distinct count shuffles once on the group keys after a
+    map-side partial."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    keep_parts = p.filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(keep_parts, li.l_partkey == keep_parts.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 # --- Approximate aggregates (within-tolerance gating) ---------------------------
 
 @query(
