@@ -21,13 +21,20 @@ scan as a Spark 4 ``pyspark.sql.datasource.DataSource``:
 * a ``headers`` option restricting which header structs are built -- the
   reference's ``metadataHeaders`` projection (S2).
 
-The "API" itself is a deterministic in-process fake backed by the driver's
+The pagination/pushdown/partitioning machinery is GENERIC; what any one
+remote API looks like lives behind a ``ScanBackend`` (selected with
+``option("backend", name)``, registered via ``register_backend``): the
+backend owns the output schema, the raw columns to scan, the pushed scan
+filter, and the vectorized page renderer. The default ``gmail_events``
+backend is a deterministic in-process fake backed by the driver's
 ``events`` parquet (option ``path``): each event renders into exactly the
 same Gmail-shaped message the synthetic DataFrame source builds
 (sources/synthetic.py messages_from_events_df), so the DuckDB oracle for
 the ingest pipeline is one shared spec for both paths. Rows with
 ``event_id % 7 == 0`` are served twice (pages re-deliver messages, as a
-real at-least-once API can) -- downstream per-id dedup handles it.
+real at-least-once API can) -- downstream per-id dedup handles it. A
+minimal ``raw_events`` backend ships alongside it as the template for
+pointing the source at a differently-shaped API.
 """
 
 from __future__ import annotations
@@ -105,27 +112,70 @@ class _TokenPartition(InputPartition):
     num_tokens: int
 
 
-class PaginatedApiReader(DataSourceReader):
+def _token_fanout(token_idx: int, num_tokens: int):
+    """Arrow expression for the per-token user fan-out (user_id mod
+    num_tokens; Arrow expressions have no %, so spelled via truncating
+    int division -- user ids are non-negative)."""
+    import pyarrow.compute as pc
+
+    f_user = pc.field("user_id")
+    return (f_user - (f_user / num_tokens).cast("int64") * num_tokens) == token_idx
+
+
+class ScanBackend:
+    """What ONE concrete paginated API looks like, behind the generic
+    pagination / pushdown / partition-planning machinery of
+    ``PaginatedApiReader``. A backend owns:
+
+    * ``schema`` -- the rendered output rows' Spark schema (must expose an
+      ``id`` string column for the reader's id-filter pushdown contract),
+    * ``columns`` -- the raw columns its scan reads,
+    * ``scan_filter(token_idx, num_tokens, id_allow)`` -- the FULL pushed
+      Arrow filter for one token partition (fan-out + translated id
+      filter + any backend-side predicate),
+    * ``render(pdf, id_allow)`` -- one fetched raw page -> one rendered
+      ``pyarrow.RecordBatch`` in ``schema`` shape (vectorized; must
+      re-enforce its predicates row-wise so it is correct standalone).
+
+    Select with ``option("backend", name)``; add new ones with
+    ``register_backend`` -- the reader itself never changes.
+    """
+
+    schema: StructType
+    columns: list[str]
+
     def __init__(self, options: dict) -> None:
         self.path = options["path"]
-        self.page_size = int(options.get("page_size", "500"))
-        self.num_tokens = int(options.get("tokens", "3"))
-        self.throttle_ms = int(options.get("throttle_ms", "0"))
-        # Pushed row limit (per partition). The Python DataSource API has no
-        # SupportsPushDownLimit hook yet, so the limit arrives as an option;
-        # the page loop stops REQUESTING pages once it is satisfied -- the
-        # paginated-API analog of Spark's LocalLimit (each partition serves
-        # at most `limit` rows; the global limit still trims on the driver).
-        # When a pushed id filter collapses the plan to one partition (see
-        # partitions()), the surviving partition's cap is scaled by
-        # num_tokens so the total cap is unchanged by the collapse.
-        limit_opt = options.get("limit")
-        self.limit: int | None = int(limit_opt) if limit_opt is not None else None
+
+    def scan_filter(self, token_idx: int, num_tokens: int, id_allow):
+        raise NotImplementedError
+
+    def render(self, pdf, id_allow):
+        raise NotImplementedError
+
+
+BACKENDS: dict[str, type[ScanBackend]] = {}
+
+
+def register_backend(name: str, cls: type[ScanBackend]) -> None:
+    """Register a ScanBackend under an ``option("backend", ...)`` name."""
+    BACKENDS[name] = cls
+
+
+class GmailEventsBackend(ScanBackend):
+    """The default backend: renders the driver's ``events`` parquet into
+    Gmail-shaped messages (the reference's messages.list/messages.get
+    surface, etl_service/main.py:147-217)."""
+
+    schema = MESSAGE_SCHEMA
+    columns = ["event_id", "ts", "user_id", "event_type"]
+
+    def __init__(self, options: dict) -> None:
+        super().__init__(options)
         include, exclude = parse_label_query(options.get("q", ""))
         self.include, self.exclude = include, exclude
         header_opt = options.get("headers", _DEFAULT_HEADERS)
         self.wanted_headers = [h.strip() for h in header_opt.split(",") if h.strip()]
-        self.id_allow: set[str] | None = None  # None = no pushed id filter
 
     def _labels_pass(self, labels: list[str]) -> bool:
         """Evaluate the parsed label query against one label set."""
@@ -135,60 +185,11 @@ class PaginatedApiReader(DataSourceReader):
             return False
         return True
 
-    def pushFilters(self, filters: list[Filter]) -> list[Filter]:
-        """Accept id equality+IN and id/threadId IsNotNull; everything else
-        is returned for Spark to evaluate after the scan. Eager (not a
-        generator): the accepted-filter state must exist before Spark
-        pickles this reader out to the executors."""
-        self.pushed: list[Filter] = []
-        unsupported: list[Filter] = []
-        for f in filters:
-            if isinstance(f, EqualTo) and f.attribute == ("id",):
-                self.id_allow = {f.value}
-                self.pushed.append(f)
-            elif isinstance(f, In) and f.attribute == ("id",):
-                self.id_allow = set(f.value)
-                self.pushed.append(f)
-            elif isinstance(f, IsNotNull) and f.attribute in (("id",), ("threadId",)):
-                self.pushed.append(f)  # never null here: accept, emit all
-            else:
-                unsupported.append(f)
-        return unsupported
-
-    def partitions(self) -> list[_TokenPartition]:
-        # A pushed point filter (id = / id IN) bounds the answer to at most
-        # |id_allow| messages; the full per-token fan-out would pay
-        # num_tokens x (Python worker spin-up + Arrow scanner setup) to
-        # serve mostly-empty slices. One partition spanning every token
-        # (num_tokens=1 makes the user_id-mod fan-out filter pass all rows)
-        # returns the identical row set from a single task. Spark calls
-        # pushFilters before partitions, so id_allow is settled here.
-        if self.id_allow is not None and len(self.id_allow) <= 10_000:
-            # `limit` is documented as PER-PARTITION: the pre-collapse plan
-            # could serve up to limit*num_tokens rows, so scale the single
-            # surviving partition's cap to keep the collapse a pure plan
-            # optimization (same row set, fewer tasks) even when a reader
-            # combines .option("limit", N) with an id IN list of >N ids.
-            if self.limit is not None:
-                self.limit *= self.num_tokens
-            return [_TokenPartition(0, 1)]
-        return [
-            _TokenPartition(i, self.num_tokens) for i in range(self.num_tokens)
-        ]
-
-    def read(self, partition: _TokenPartition) -> Iterator:
-        """Yields pyarrow RecordBatches (one per page): the Spark 4 Python
-        DataSource arrow fast path -- no per-row tuple pickling between the
-        reader and the worker's arrow serializer."""
-        yield from self._pages(partition)
-
-    def _scan_filter(self, partition: _TokenPartition):
+    def scan_filter(self, token_idx: int, num_tokens: int, id_allow):
         """ALL source-side predicates, pushed into the Arrow scan so each
         token partition decodes only its own slice (a full-table read per
         partition was num_tokens-times redundant I/O):
-          * the token fan-out (user_id mod num_tokens; arrow Expressions
-            have no %, so spelled via truncating int division -- user ids
-            are non-negative),
+          * the token fan-out,
           * pushed id equality/IN filters (ids are "m<event_id>"),
           * the label query, folded to an event_type membership test
             (labels are a pure function of event_type; unknown types get
@@ -196,11 +197,9 @@ class PaginatedApiReader(DataSourceReader):
         """
         import pyarrow.compute as pc
 
-        f_user = pc.field("user_id")
-        n = partition.num_tokens
-        expr = (f_user - (f_user / n).cast("int64") * n) == partition.token_idx
-        if self.id_allow is not None:
-            eids = [int(i[1:]) for i in self.id_allow if i[:1] == "m" and i[1:].isdigit()]
+        expr = _token_fanout(token_idx, num_tokens)
+        if id_allow is not None:
+            eids = [int(i[1:]) for i in id_allow if i[:1] == "m" and i[1:].isdigit()]
             expr = expr & pc.field("event_id").isin(eids)
         known = list(_LABELS_BY_TYPE)
         allowed = [t for t, ls in _LABELS_BY_TYPE.items() if self._labels_pass(ls)]
@@ -212,48 +211,7 @@ class PaginatedApiReader(DataSourceReader):
             expr = expr & type_expr
         return expr
 
-    def _pages(self, partition: _TokenPartition) -> Iterator:
-        """Lazy page loop: one rendered RecordBatch per fetched Arrow batch.
-
-        Laziness is the point -- a consumer that stops (Spark's LocalLimit,
-        or the pushed ``limit`` option) stops the underlying scanner, so
-        unneeded pages are never fetched, matching a real paginated API
-        where the next pageToken is simply never requested.
-        """
-        import pyarrow.dataset as ds
-
-        # Fetch/render coarse (vectorization amortizes the per-call pandas
-        # cost -- 500-row render units were 5x slower end-to-end), then
-        # slice the rendered batch into page_size pages for the API's
-        # page/throttle/limit semantics. True fetch laziness is bounded by
-        # the parquet row-group size regardless of batch_size, so coarse
-        # fetching gives up nothing real.
-        scanner = ds.dataset(self.path).scanner(
-            columns=["event_id", "ts", "user_id", "event_type"],
-            filter=self._scan_filter(partition),
-            batch_size=max(self.page_size, 16384),
-        )
-        remaining = self.limit
-        first = True
-        for batch in scanner.to_batches():
-            if remaining is not None and remaining <= 0:
-                return
-            if batch.num_rows == 0:
-                continue
-            rendered = self._render_batch(batch.to_pandas())
-            for off in range(0, rendered.num_rows, self.page_size):
-                if remaining is not None and remaining <= 0:
-                    return
-                if not first and self.throttle_ms:
-                    time.sleep(self.throttle_ms / 1000.0)
-                first = False
-                page = rendered.slice(off, self.page_size)
-                if remaining is not None:
-                    page = page.slice(0, remaining)
-                    remaining -= page.num_rows
-                yield page
-
-    def _render_batch(self, df):
+    def render(self, df, id_allow):
         """Render one page of raw events into a Gmail-shaped message
         RecordBatch, fully vectorized: the headers list<struct> column is
         assembled from flat name/value arrays + offsets (ListArray), not a
@@ -278,8 +236,8 @@ class PaginatedApiReader(DataSourceReader):
             keep &= labels_col.map(lambda ls: not (set(ls) & self.exclude))
         eid = df["event_id"]
         ids = "m" + eid.astype(str)
-        if self.id_allow is not None:
-            keep &= ids.isin(self.id_allow)
+        if id_allow is not None:
+            keep &= ids.isin(id_allow)
         df, ids, labels_col = df[keep], ids[keep], labels_col[keep]
         eid = df["event_id"]
         n = len(df)
@@ -340,6 +298,180 @@ class PaginatedApiReader(DataSourceReader):
             ],
             names=["id", "threadId", "headers", "labelIds"],
         )
+
+
+class RawEventsBackend(ScanBackend):
+    """Minimal second backend: serves events rows nearly as-is (id =
+    "e<event_id>"). Exists to prove -- and test -- that the reader's
+    pagination/pushdown/partitioning machinery is backend-agnostic, and as
+    the template for pointing the source at a differently-shaped API."""
+
+    schema = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("event_type", StringType(), True),
+        ]
+    )
+    columns = ["event_id", "user_id", "event_type"]
+
+    def scan_filter(self, token_idx: int, num_tokens: int, id_allow):
+        import pyarrow.compute as pc
+
+        expr = _token_fanout(token_idx, num_tokens)
+        if id_allow is not None:
+            eids = [int(i[1:]) for i in id_allow if i[:1] == "e" and i[1:].isdigit()]
+            expr = expr & pc.field("event_id").isin(eids)
+        return expr
+
+    def render(self, df, id_allow):
+        import pyarrow as pa
+
+        ids = "e" + df["event_id"].astype(str)
+        if id_allow is not None:
+            keep = ids.isin(id_allow)
+            df, ids = df[keep], ids[keep]
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids.to_numpy(dtype=object), type=pa.string()),
+                pa.array(df["event_type"].to_numpy(dtype=object), type=pa.string()),
+            ],
+            names=["id", "event_type"],
+        )
+
+
+register_backend("gmail_events", GmailEventsBackend)
+register_backend("raw_events", RawEventsBackend)
+
+
+def _make_backend(options: dict) -> ScanBackend:
+    name = options.get("backend", "gmail_events")
+    if name not in BACKENDS:
+        raise ValueError(
+            f"unknown paginated_api backend {name!r}; "
+            f"registered: {sorted(BACKENDS)}"
+        )
+    return BACKENDS[name](options)
+
+
+class PaginatedApiReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.backend = _make_backend(options)
+        self.path = self.backend.path
+        self.page_size = int(options.get("page_size", "500"))
+        self.num_tokens = int(options.get("tokens", "3"))
+        self.throttle_ms = int(options.get("throttle_ms", "0"))
+        # Pushed row limit (per partition). The Python DataSource API has no
+        # SupportsPushDownLimit hook yet, so the limit arrives as an option;
+        # the page loop stops REQUESTING pages once it is satisfied -- the
+        # paginated-API analog of Spark's LocalLimit (each partition serves
+        # at most `limit` rows; the global limit still trims on the driver).
+        # When a pushed id filter collapses the plan to one partition (see
+        # partitions()), the surviving partition's cap is scaled by
+        # num_tokens so the total cap is unchanged by the collapse.
+        limit_opt = options.get("limit")
+        self.limit: int | None = int(limit_opt) if limit_opt is not None else None
+        self.id_allow: set[str] | None = None  # None = no pushed id filter
+
+    def pushFilters(self, filters: list[Filter]) -> list[Filter]:
+        """Accept id equality+IN and id/threadId IsNotNull; everything else
+        is returned for Spark to evaluate after the scan. Eager (not a
+        generator): the accepted-filter state must exist before Spark
+        pickles this reader out to the executors."""
+        self.pushed: list[Filter] = []
+        unsupported: list[Filter] = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("id",):
+                self.id_allow = {f.value}
+                self.pushed.append(f)
+            elif isinstance(f, In) and f.attribute == ("id",):
+                self.id_allow = set(f.value)
+                self.pushed.append(f)
+            elif isinstance(f, IsNotNull) and f.attribute in (("id",), ("threadId",)):
+                self.pushed.append(f)  # never null here: accept, emit all
+            else:
+                unsupported.append(f)
+        return unsupported
+
+    def partitions(self) -> list[_TokenPartition]:
+        # A pushed point filter (id = / id IN) bounds the answer to at most
+        # |id_allow| messages; the full per-token fan-out would pay
+        # num_tokens x (Python worker spin-up + Arrow scanner setup) to
+        # serve mostly-empty slices. One partition spanning every token
+        # (num_tokens=1 makes the user_id-mod fan-out filter pass all rows)
+        # returns the identical row set from a single task. Spark calls
+        # pushFilters before partitions, so id_allow is settled here.
+        if self.id_allow is not None and len(self.id_allow) <= 10_000:
+            # `limit` is documented as PER-PARTITION: the pre-collapse plan
+            # could serve up to limit*num_tokens rows, so scale the single
+            # surviving partition's cap to keep the collapse a pure plan
+            # optimization (same row set, fewer tasks) even when a reader
+            # combines .option("limit", N) with an id IN list of >N ids.
+            if self.limit is not None:
+                self.limit *= self.num_tokens
+            return [_TokenPartition(0, 1)]
+        return [
+            _TokenPartition(i, self.num_tokens) for i in range(self.num_tokens)
+        ]
+
+    def read(self, partition: _TokenPartition) -> Iterator:
+        """Yields pyarrow RecordBatches (one per page): the Spark 4 Python
+        DataSource arrow fast path -- no per-row tuple pickling between the
+        reader and the worker's arrow serializer."""
+        yield from self._pages(partition)
+
+    def _scan_filter(self, partition: _TokenPartition):
+        """The backend's full pushed filter for one token partition."""
+        return self.backend.scan_filter(
+            partition.token_idx, partition.num_tokens, self.id_allow
+        )
+
+    def _pages(self, partition: _TokenPartition) -> Iterator:
+        """Lazy page loop: one rendered RecordBatch per fetched Arrow batch.
+
+        Laziness is the point -- a consumer that stops (Spark's LocalLimit,
+        or the pushed ``limit`` option) stops the underlying scanner, so
+        unneeded pages are never fetched, matching a real paginated API
+        where the next pageToken is simply never requested.
+        """
+        import pyarrow.dataset as ds
+
+        # Fetch/render coarse (vectorization amortizes the per-call pandas
+        # cost -- 500-row render units were 5x slower end-to-end), then
+        # slice the rendered batch into page_size pages for the API's
+        # page/throttle/limit semantics. True fetch laziness is bounded by
+        # the parquet row-group size regardless of batch_size, so coarse
+        # fetching gives up nothing real.
+        scanner = ds.dataset(self.path).scanner(
+            columns=self.backend.columns,
+            filter=self._scan_filter(partition),
+            batch_size=max(self.page_size, 16384),
+        )
+        remaining = self.limit
+        first = True
+        for batch in scanner.to_batches():
+            if remaining is not None and remaining <= 0:
+                return
+            if batch.num_rows == 0:
+                continue
+            rendered = self._render_batch(batch.to_pandas())
+            if rendered.num_rows == 0:
+                continue
+            for off in range(0, rendered.num_rows, self.page_size):
+                if remaining is not None and remaining <= 0:
+                    return
+                if not first and self.throttle_ms:
+                    time.sleep(self.throttle_ms / 1000.0)
+                first = False
+                page = rendered.slice(off, self.page_size)
+                if remaining is not None:
+                    page = page.slice(0, remaining)
+                    remaining -= page.num_rows
+                yield page
+
+    def _render_batch(self, df):
+        """Delegate to the backend's vectorized renderer (kept as a method
+        so unit tests and the streaming reader share one entry point)."""
+        return self.backend.render(df, self.id_allow)
 
 
 @dataclass
@@ -414,7 +546,7 @@ class PaginatedApiStreamReader(DataSourceStreamReader):
 
         r = self._batch
         scanner = ds.dataset(r.path).scanner(
-            columns=["event_id", "ts", "user_id", "event_type"],
+            columns=r.backend.columns,
             filter=r._scan_filter(
                 _TokenPartition(partition.token_idx, partition.num_tokens)
             ),
@@ -448,7 +580,7 @@ class PaginatedApiDataSource(DataSource):
         return "paginated_api"
 
     def schema(self) -> StructType:
-        return MESSAGE_SCHEMA
+        return _make_backend(self.options).schema
 
     def reader(self, schema: StructType) -> PaginatedApiReader:
         return PaginatedApiReader(self.options)
