@@ -4,11 +4,14 @@ Images/audio/video are opaque BinaryType payloads with a typed metadata
 struct alongside. The Spark-side plumbing -- schema, Arrow batch shape,
 mapInPandas signatures, partitioning -- is real and tested. Codec status:
 ``decode_features(fake=False)`` REALLY decodes binary PPM (P6) images via
-the pure-Python parser below (header parse + pixel-length validation);
-every other format, and the resize/frame-sample codecs, stay STUBBED
-behind NotImplementedError (the container ships no image/audio libs) with
-a deterministic md5-derived fake behind ``fake=True`` keeping every
-downstream operator exercisable end-to-end.
+the pure-Python parser below (header parse + pixel-length validation),
+and ``audio_features(fake=False)`` REALLY decodes PCM WAV (RIFF) headers
+(chunk walk + fmt/data consistency validation) -- the two formats simple
+enough to parse with zero codec libraries. Every other format, and the
+resize/frame-sample codecs, stay STUBBED behind NotImplementedError (the
+container ships no image/audio libs) with a deterministic md5-derived
+fake behind ``fake=True`` keeping every downstream operator exercisable
+end-to-end.
 
 Scale notes: binary payloads ride in Arrow record batches; mapInPandas
 streams batches (never materializes a partition); payload columns are
@@ -160,6 +163,125 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("bits_per_sample", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+    ]
+)
+
+
+def parse_wav_meta(b: bytes) -> tuple[int, int, int, int]:
+    """REAL audio decode for PCM WAV: RIFF/WAVE container walk (chunk ids,
+    little-endian sizes, word alignment) + fmt/data consistency validation
+    per the WAVE spec. Pure Python/stdlib -- no audio library needed --
+    which is exactly why PCM WAV joins PPM as a format this environment
+    decodes for real. Returns (n_channels, sample_rate, bits_per_sample,
+    n_frames). Raises NotImplementedError for any non-RIFF/WAVE payload
+    and for compressed (non-PCM) WAV variants (honest stub: those need
+    the absent codec libs); ValueError for malformed/truncated PCM WAV."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only PCM WAV (RIFF/WAVE) payloads decode without codec "
+            "libraries; pass fake=True for other formats"
+        )
+    riff_size = int.from_bytes(b[4:8], "little")
+    if riff_size != len(b) - 8:
+        raise ValueError(
+            f"RIFF size field says {riff_size}, payload has {len(b) - 8}"
+        )
+    fmt = None
+    data_len = None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > len(b):
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk shorter than PCM's 16 bytes")
+            audio_format, n_ch, rate, byte_rate, block_align, bits = (
+                struct.unpack("<HHIIHH", b[pos + 8 : pos + 24])
+            )
+            if audio_format != 1:
+                raise NotImplementedError(
+                    f"WAV audio format {audio_format} is compressed; only "
+                    "PCM (format 1) decodes without codec libraries"
+                )
+            fmt = (n_ch, rate, byte_rate, block_align, bits)
+        elif cid == b"data":
+            data_len = size
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data_len is None:
+        raise ValueError("missing fmt or data chunk")
+    n_ch, rate, byte_rate, block_align, bits = fmt
+    if n_ch <= 0 or rate <= 0 or bits <= 0 or bits % 8:
+        raise ValueError(f"bad PCM params: ch={n_ch} rate={rate} bits={bits}")
+    if block_align != n_ch * bits // 8:
+        raise ValueError(f"block_align {block_align} != ch*bits/8")
+    if byte_rate != rate * block_align:
+        raise ValueError(f"byte_rate {byte_rate} != rate*block_align")
+    if data_len % block_align:
+        raise ValueError(f"data size {data_len} not frame-aligned")
+    return n_ch, rate, bits, data_len // block_align
+
+
+def _fake_audio(digest: str) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for decoded audio metadata."""
+    return (
+        int(digest[:2], 16) % 2 + 1,
+        8000 + int(digest[2:6], 16) % 4 * 4000,
+        (int(digest[6:8], 16) % 2 + 1) * 8,
+        int(digest[8:12], 16) % 48000 + 1,
+    )
+
+
+def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Batch audio-metadata extraction over binary payloads (mapInPandas,
+    Arrow-batched) -- the audio twin of ``decode_features``.
+
+    fake=False runs the REAL stdlib PCM WAV parser (RIFF chunk walk +
+    validation) and raises NotImplementedError for non-WAV/compressed
+    payloads; fake=True substitutes deterministic md5-derived metadata
+    for any payload. Same production Arrow plumbing either way.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            none4 = (None, None, None, None)
+            if fake:
+                metas = pdf["payload"].map(
+                    lambda b: _fake_audio(hashlib.md5(bytes(b)).hexdigest())
+                    if b is not None
+                    else none4
+                )
+            else:
+                metas = pdf["payload"].map(
+                    lambda b: parse_wav_meta(bytes(b)) if b is not None else none4
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda b: len(b) if b is not None else None
+                    ),
+                    "n_channels": metas.map(lambda t: t[0]),
+                    "sample_rate": metas.map(lambda t: t[1]),
+                    "bits_per_sample": metas.map(lambda t: t[2]),
+                    "n_frames": metas.map(lambda t: t[3]),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(extract, AUDIO_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

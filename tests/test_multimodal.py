@@ -98,3 +98,68 @@ def test_metadata_query_prunes_payload(spark, media):
     agg = media.groupBy("meta.source").agg(F.sum("meta.n_bytes").alias("b"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "mapInPandas" not in plan.lower()
+
+
+def test_parse_wav_meta_real_decode():
+    """The stdlib PCM WAV parser: agreement with the stdlib `wave` writer
+    (a fully independent RIFF implementation), chunk-walk robustness, and
+    loud failures on truncation / compressed formats / foreign payloads."""
+    import io
+    import wave as wave_mod
+
+    from gmail_bigquery_etl_spark.operators.multimodal import parse_wav_meta
+
+    for ch, rate, sampwidth, nframes in [
+        (1, 8000, 1, 37),
+        (2, 44100, 2, 480),
+        (2, 16000, 2, 1),
+    ]:
+        buf = io.BytesIO()
+        w = wave_mod.open(buf, "wb")
+        w.setnchannels(ch)
+        w.setframerate(rate)
+        w.setsampwidth(sampwidth)
+        w.writeframes(b"\x78" * (nframes * ch * sampwidth))
+        w.close()
+        assert parse_wav_meta(buf.getvalue()) == (ch, rate, sampwidth * 8, nframes)
+
+    buf = io.BytesIO()
+    w = wave_mod.open(buf, "wb")
+    w.setnchannels(1)
+    w.setframerate(8000)
+    w.setsampwidth(2)
+    w.writeframes(b"\x01\x02" * 10)
+    w.close()
+    good = buf.getvalue()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RIFF size"):
+        parse_wav_meta(good[:-4])  # truncated: size field disagrees
+    with _pytest.raises(NotImplementedError):
+        parse_wav_meta(b"\x89PNG\r\n")
+    with _pytest.raises(NotImplementedError):
+        parse_wav_meta(b"OggS" + b"\0" * 40)
+    # compressed (non-PCM) format tag -> honest stub, not a parse error
+    import struct
+
+    mulaw = bytearray(good)
+    mulaw[20:22] = struct.pack("<H", 7)  # format 7 = mu-law
+    with _pytest.raises(NotImplementedError, match="compressed"):
+        parse_wav_meta(bytes(mulaw))
+    # corrupt block_align -> ValueError
+    bad_align = bytearray(good)
+    bad_align[32:34] = struct.pack("<H", 5)
+    with _pytest.raises(ValueError, match="block_align"):
+        parse_wav_meta(bytes(bad_align))
+
+
+def test_audio_features_fake_path(spark, media):
+    """fake=True substitutes deterministic md5-derived audio metadata for
+    ANY payload -- same Arrow plumbing, no codec."""
+    from gmail_bigquery_etl_spark.operators.multimodal import audio_features
+
+    out = audio_features(media.limit(20), fake=True).collect()
+    assert len(out) == 20
+    assert all(r.n_channels in (1, 2) for r in out)
+    assert all(r.sample_rate in (8000, 12000, 16000, 20000) for r in out)
+    assert all(r.bits_per_sample in (8, 16) for r in out)
