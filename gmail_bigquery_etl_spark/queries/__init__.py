@@ -23,63 +23,65 @@ from . import events as _events  # noqa: E402,F401
 from . import tpch as _tpch  # noqa: E402,F401
 from . import pipeline as _pipeline  # noqa: E402,F401  (split/shard assembly)
 
-# Round-3 rotation: front-load (a) every query whose last independent
-# driver row is from round 1 (registration positions 50+ last round --
-# q18/subquery_in first, both edited since that row), (b) queries new
-# this round, (c) queries whose code changed this round and so need a
-# fresh row. Everything else carries a green round-2 row and rotates to
-# the tail. Registration position NEVER gates local correctness: the
-# pytest suite (tests/test_correctness.py) and tools/check_oracle.py run
-# the FULL corpus against the DuckDB oracle every round.
-_ROUND3_FRONT = [
-    # (a) round-1-only rows, edited since
-    "q18_large_volume",
-    "subquery_in",
-    # (a) round-1-only rows, unchanged
-    "subquery_scalar_corr",
-    "set_ops",
-    "sort_topk_global",
-    "window_rank_topn",
-    "window_running_sum",
-    "window_lag_lead",
-    "window_ntile_stats",
-    "join_semi_exists",
-    "join_anti_not_exists",
-    "join_left_outer_agg",
-    "join_full_outer",
-    "join_cross_theta",
-    "agg_approx_tolerance",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_distinct_multi",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_array_map_funcs",
-    "conditional_funcs",
-    "pivot_status_by_priority",
-    # (b) new this round
-    "dedup_simhash_pairs_wide",
-    "stream_stateful_user_counts",
-    "ingest_shuffle_anti_join",
+# Round-4 rotation: front-load (a) queries new this round, (b) queries
+# whose code paths changed this round (paginated backend injection,
+# shingle-cache locking, packing materialization, stateful rounding,
+# multimodal codecs, fused component rounds) so the driver revalidates
+# them, then (c) the 33 queries whose latest driver row is round 2 --
+# after this round everything touched since its last row is <=1 round
+# stale. Registration position NEVER gates local correctness: the pytest
+# suite (tests/test_correctness.py) and tools/check_oracle.py run the
+# FULL corpus against the DuckDB oracle every round.
+_ROUND4_FRONT = [
+    # (a) new this round
+    "multimodal_wav_decode",
+    "q2_min_cost_supplier",
+    "q16_supplier_cnt",
+    # (b) code path edited this round -> revalidate under the driver
+    "ingest_via_datasource",
+    "ingest_point_lookup",
     "multimodal_ppm_decode",
-    "docs_stratified_split",
     "docs_token_shards",
-    "docs_balanced_sample",
-    "embedding_near_dup_lsh",
-    # (c) edited this round (broadcast-hint removal / partition planning /
-    # fused component rounds) -> revalidate under the driver
-    "q5_local_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q14_promo_revenue",
+    "stream_stateful_user_counts",
     "dedup_clusters",
     "dedup_survivor_stats",
-    "ingest_point_lookup",
-    "ingest_via_datasource",
-    "ingest_incremental",
-    "ingest_idempotent",
+    "dedup_simhash_pairs_wide",
+    "dedup_exact_groups",
+    "dedup_exact_survivors_count",
+    # (c) latest driver row is round 2 (module-edited members first)
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_metadata_stats",
+    "text_tfidf_top_terms",
+    "knn_bruteforce_cosine",
+    "ann_lsh_buckets",
+    "ann_ivf_cells",
+    "embedding_centroids",
+    "embedding_near_dup",
+    "header_extraction",
+    "ingest_parse_errors",
+    "events_json_extract",
+    "events_tumbling_hourly",
+    "events_sliding_6h_3h",
+    "events_sessionization",
+    "events_asof_last_purchase",
+    "events_asof_join_op",
+    "events_range_join_daily",
+    "events_daily_from_hourly",
+    "skew_salted_user_counts",
+    "join_salted_skew",
+    "scan_partition_pruned",
+    "q1_pricing_summary",
+    "join_right_outer_agg",
+    "join_bucketed_colocated",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
 ]
 
 
@@ -93,6 +95,6 @@ def _rotate(front: list[str]) -> None:
         d.update(ordered)
 
 
-_rotate(_ROUND3_FRONT)
+_rotate(_ROUND4_FRONT)
 
 __all__ = ["ALL_QUERIES", "ALL_ORACLES"]
