@@ -45,11 +45,72 @@ def _time(spark, name: str, sf_dir: str) -> tuple[float, int]:
     return best, n
 
 
+def _time_skew(spark, sf_dir: str, clique: int = 5000) -> dict:
+    """Mega-bucket skew slice: the sf corpus plus a `clique`-wide clique
+    of identical boilerplate documents (one bucket of width `clique` in
+    EVERY band). Reports capped wall time on the plain vs skewed corpus
+    -- a flat ratio is the measured 100 TB skew story (the cap keeps
+    cost tracking output, not bucket-width**2). The uncapped
+    counterfactual on the same skewed corpus is the divergence."""
+    from pyspark.sql import functions as F
+
+    from gmail_bigquery_etl_spark.catalog import load_table
+    from gmail_bigquery_etl_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = docs.filter(F.col("doc_id") == 1).select("text")
+    clones = (
+        spark.range(10_000_000, 10_000_000 + clique)
+        .select(F.col("id").alias("doc_id"))
+        .crossJoin(F.broadcast(boiler))
+    )
+    skewed = docs.unionAll(clones).localCheckpoint()  # pin inputs: time LSH only
+    plain = docs.localCheckpoint()
+
+    def best2(frame, max_bucket):
+        best, n = None, None
+        for _ in range(2):
+            t0 = time.time()
+            n = lsh_candidate_pairs(frame, max_bucket=max_bucket).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best, n
+
+    t_plain, n_plain = best2(plain, 1000)
+    t_capped, n_capped = best2(skewed, 1000)
+    t_uncapped, n_uncapped = best2(skewed, 10_000_000)
+    out = {
+        "clique": clique,
+        "plain_sec": round(t_plain, 2),
+        "capped_sec": round(t_capped, 2),
+        "uncapped_sec": round(t_uncapped, 2),
+        "capped_over_plain": round(t_capped / t_plain, 2) if t_plain else None,
+        "uncapped_over_capped": (
+            round(t_uncapped / t_capped, 2) if t_capped else None
+        ),
+        "plain_pairs": n_plain,
+        "capped_pairs": n_capped,
+        "uncapped_pairs": n_uncapped,
+    }
+    for f in (skewed, plain):
+        try:
+            f.unpersist()
+        except Exception:
+            pass
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", default="/root/testdata/sf0.1")
     ap.add_argument("--big", default="scratch/sf1")
     ap.add_argument("--out", default="SCALE.json")
+    ap.add_argument(
+        "--skew",
+        type=int,
+        default=0,
+        help="also measure the mega-bucket skew slice with this clique width",
+    )
     args = ap.parse_args()
     spark = get_spark()
     # warm the JVM/session so the first op doesn't absorb startup
@@ -66,10 +127,12 @@ def main() -> None:
             "big_rows": n_big,
         }
         print(json.dumps({name: report[name]}))
+    payload = {"small": args.small, "big": args.big, "ops": report}
+    if args.skew:
+        payload["skew"] = _time_skew(spark, args.small, clique=args.skew)
+        print(json.dumps({"skew": payload["skew"]}))
     with open(args.out, "w") as f:
-        json.dump(
-            {"small": args.small, "big": args.big, "ops": report}, f, indent=1
-        )
+        json.dump(payload, f, indent=1)
     print(f"wrote {args.out}")
 
 
