@@ -37,6 +37,10 @@ _ROUND4_FRONT = [
     "multimodal_wav_decode",
     "q2_min_cost_supplier",
     "q16_supplier_cnt",
+    "q12_ship_delay",
+    "q13_order_distribution",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
     # (b) code path edited this round -> revalidate under the driver
     "ingest_via_datasource",
     "ingest_point_lookup",

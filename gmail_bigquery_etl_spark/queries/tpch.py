@@ -1316,3 +1316,183 @@ def scalar_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("map_keys_sorted"),
         F.size(F.slice("_w", 2, 2)).alias("mid_slice_len"),
     )
+
+
+# --- Round-4 TPC-H breadth: Q12/Q13/Q19/Q22 shapes ----------------------------
+# The fixture lacks l_shipmode/l_receiptdate/c_phone, so each query keeps
+# the CLASSIC plan shape (the part the engine must execute well) over the
+# columns that exist; the stand-ins are noted per query.
+
+@query(
+    "q12_ship_delay",
+    oracle="""
+SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 365 THEN 'late'
+            WHEN date_diff('day', o.o_orderdate, l.l_shipdate) >= 0 THEN 'on_time'
+            ELSE 'early' END AS ship_bucket,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY 1
+""",
+)
+def q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipping modes and order priority): fact-fact equi-join +
+    conditional two-way counts per category. Ship-delay buckets stand in
+    for the absent l_shipmode. Both sides scale with SF -- no broadcast
+    hint; the shipdate filter reaches the lineitem scan (PushedFilters)
+    and the CASE counts fold into one partial+final hash aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.when(delay > 365, "late")
+            .when(delay >= 0, "on_time")
+            .otherwise("early")
+            .alias("ship_bucket"),
+            high.alias("_high"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(F.col("_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("_high"), 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+SELECT n_orders, COUNT(*) AS n_customers
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY n_orders
+""",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape (customer order-count distribution): left outer join with
+    an extra join-side predicate (the o_comment NOT LIKE stand-in), a
+    per-customer count that keeps zero-order customers, then a second
+    aggregation over the counts. Two shuffles by design (custkey, then
+    n_orders); the second input is one row per customer, tiny."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape (discounted revenue under an OR-of-ANDs predicate): the
+    classic disjunctive-pushdown test. Catalyst extracts the per-side
+    residuals of the disjunction (brand/size sets for part, quantity
+    hull for lineitem) below the join, so neither scan reads rows no
+    branch can accept; the exact mixed predicate evaluates post-join.
+    p_size/l_quantity stand in for the absent container/shipinstruct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(p, p.p_partkey == li.l_partkey)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    disc_price = _dec(F.col("l_extendedprice"), 12) * (
+        1 - _dec(F.col("l_discount"), 12)
+    )
+    return j.filter(branch).agg(
+        F.round(F.sum(disc_price), 2).cast("double").alias("revenue")
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+SELECT CAST(c.c_custkey % 10 AS INT) AS cseg,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*)
+        FROM customer c2 WHERE c2.c_acctbal > 0.0
+      )
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1
+""",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (global sales opportunity): an uncorrelated scalar AVG
+    threshold + NOT EXISTS exclusion + grouped rollup of who remains.
+    The id-derived segment stands in for the absent c_phone country code,
+    and "no RECENT orders" for "no orders" (the fixture's every customer
+    has some order; the date scope keeps the cohort non-vacuous). The
+    1-row threshold broadcasts (the TF-IDF doc-count pattern); the NOT
+    EXISTS is a left anti join on custkey with no broadcast hint (orders
+    scales with SF; AQE size-picks the strategy). The threshold is an
+    exact decimal sum divided in double, so both engines compare against
+    the bit-identical cutoff."""
+    c = load_table(spark, sf_dir, "customer")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((_dsum(F.col("c_acctbal")) / F.count("*")).alias("_thr"))
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    rich = c.join(F.broadcast(thr)).filter(F.col("c_acctbal") > F.col("_thr"))
+    dormant = rich.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    )
+    return dormant.groupBy(
+        (F.col("c_custkey") % 10).cast("int").alias("cseg")
+    ).agg(
+        F.count("*").alias("numcust"),
+        _dsum(F.col("c_acctbal")).alias("totacctbal"),
+    )

@@ -47,9 +47,53 @@ def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
     return h, len(lines)
 
 
+def time_oracles(sf_dir: str) -> None:
+    """DuckDB-side corpus timing: run every declared oracle SQL on the same
+    parquet files bench.py times Spark against, warm best-of-2 per query
+    (bench.py's policy), and print ONE JSON line with the corpus total.
+    BASELINE.md pairs this with the same-round bench.py Spark total so the
+    Spark-vs-oracle ratio is measured in one session, not estimated across
+    rounds."""
+    import json
+    import time
+
+    from gmail_bigquery_etl_spark.queries import ALL_ORACLES
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    per = {}
+    for name, sql in sorted(ALL_ORACLES.items()):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        per[name] = round(best, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb oracle corpus wall time (best-of-2 warm)",
+                "value": round(sum(per.values()), 3),
+                "unit": "sec",
+                "n_queries": len(per),
+                "sf_dir": sf_dir,
+                "slowest": dict(
+                    sorted(per.items(), key=lambda kv: -kv[1])[:8]
+                ),
+            }
+        )
+    )
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--time"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    if "--time" in sys.argv:
+        time_oracles(sf_dir)
+        return
+    only = set(argv[1:])
 
     from gmail_bigquery_etl_spark.queries import ALL_ORACLES, ALL_QUERIES
     from gmail_bigquery_etl_spark.session import get_spark
