@@ -41,6 +41,9 @@ _ROUND4_FRONT = [
     "q13_order_distribution",
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q21_waiting_suppliers",
     # (b) code path edited this round -> revalidate under the driver
     "ingest_via_datasource",
     "ingest_point_lookup",
@@ -49,9 +52,9 @@ _ROUND4_FRONT = [
     "stream_stateful_user_counts",
     "dedup_clusters",
     "dedup_survivor_stats",
-    "dedup_simhash_pairs_wide",
-    "dedup_exact_groups",
-    "dedup_exact_survivors_count",
+    # (dedup_simhash_pairs_wide / dedup_exact_* keep their green r03 rows:
+    # the round-4 dedup.py edits touched only the shingle-cache lock path,
+    # not their code, and the front is capped at the driver's ~50 window)
     # (c) latest driver row is round 2 (module-edited members first)
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",

@@ -1496,3 +1496,152 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("numcust"),
         _dsum(F.col("c_acctbal")).alias("totacctbal"),
     )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                        * (1 - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS suppkey, s.s_name AS name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape (top supplier): a derived revenue view consumed twice --
+    once as the join input, once reduced to a scalar MAX -- with the
+    equality filter picking the winner(s). The MAX side reduces to ONE
+    row before joining, so the second consumption is an equi-join on the
+    (rounded-exact) revenue value, not a hint-forced broadcast of
+    anything SF-scaled; revenue is decimal-summed then rounded so both
+    engines compare bit-identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    disc_price = _dec(F.col("l_extendedprice"), 12) * (
+        1 - _dec(F.col("l_discount"), 12)
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.round(F.sum(disc_price), 2).cast("double").alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("total_revenue"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(top, "total_revenue")  # 1-row side: equi-join on the max
+        .join(s, s.s_suppkey == F.col("suppkey"))
+        .select("suppkey", F.col("s_name").alias("name"), "total_revenue")
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) / 7.0, 2) AS DOUBLE)
+         AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#5' AND p.p_size < 15
+  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape (small-quantity-order revenue): a correlated per-part AVG
+    threshold. Spark decorrelates it explicitly: the per-part averages are
+    ONE aggregate over lineitem re-joined on partkey -- the scalar
+    subquery never executes per row. The threshold is deterministic
+    cross-engine because quantities are small integers whose double sums
+    are exact at any accumulation order. p_brand/p_size stand in for the
+    absent container; the /7.0 annualization keeps Q17's output shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#5") & (F.col("p_size") < 15)
+    )
+    thr = li.groupBy(F.col("l_partkey").alias("_tk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_qty_thr")
+    )
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .join(thr, F.col("_tk") == li.l_partkey)
+        .filter(F.col("l_quantity") < F.col("_qty_thr"))
+        .agg(
+            (F.round(_dsum(F.col("l_extendedprice")) / F.lit(7.0), 2))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH lines AS (
+  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+         date_diff('day', o.o_orderdate, l.l_shipdate) > 90 AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name AS name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lines l1 JOIN supplier s ON s.s_suppkey = l1.sk
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM lines l2 WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+  AND NOT EXISTS (SELECT 1 FROM lines l3
+                  WHERE l3.ok = l1.ok AND l3.sk <> l1.sk AND l3.late)
+GROUP BY s.s_name
+ORDER BY numwait DESC, name
+LIMIT 20
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting): the classic
+    EXISTS + NOT EXISTS double self-join on the same derived line set.
+    The annotated lines build once (one lineitem-orders join); the
+    EXISTS is a left-semi and the NOT EXISTS a left-anti self-join on
+    orderkey with a suppkey inequality residual -- both hash-join shaped
+    on the equi key. Ship-delay > 90 days stands in for the absent
+    receipt/commit dates; (numwait DESC, name) totally orders the LIMIT
+    cut so both engines pick the identical 20 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    lines = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").alias("sk"),
+            (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90).alias(
+                "late"
+            ),
+        )
+    )
+    l1 = lines.filter(F.col("late"))
+    l2 = lines.select(F.col("ok").alias("ok2"), F.col("sk").alias("sk2"))
+    l3 = l1.select(F.col("ok").alias("ok3"), F.col("sk").alias("sk3"))
+    waiting = (
+        l1.join(
+            l2, (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3, (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        waiting.join(s, s.s_suppkey == F.col("sk"))
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "name")
+        .limit(20)
+    )
