@@ -44,6 +44,7 @@ _ROUND4_FRONT = [
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "q21_waiting_suppliers",
+    "events_dedup_first_arrival",
     # (b) code path edited this round -> revalidate under the driver
     "ingest_via_datasource",
     "ingest_point_lookup",
@@ -88,7 +89,8 @@ _ROUND4_FRONT = [
     "q3_shipping_priority",
     "q10_returned_items",
     "q4_priority_exists",
-    "q6_forecast_revenue",
+    # (q6_forecast_revenue keeps its r02 row: unchanged single-scan agg,
+    # bumped to hold the front at the driver's ~50-row window)
 ]
 
 

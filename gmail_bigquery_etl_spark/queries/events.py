@@ -522,3 +522,47 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.last_event_type").alias("last_event_type"),
         )
     )
+
+
+@query(
+    "events_dedup_first_arrival",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(event_id AS DECIMAL(18,0))) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM (
+  SELECT DISTINCT * FROM (
+    SELECT * FROM events
+    UNION ALL
+    SELECT * FROM events WHERE event_id % 7 = 0
+  )
+)
+GROUP BY event_type
+""",
+)
+def events_dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming dedup operator (streaming/dedup.py):
+    a retransmitted slice (every 7th event arrives twice, byte-identical
+    -- the reference API's retry behavior) collapses back to exactly-once
+    via dedup_events. On batch input that is exact dropDuplicates on
+    event_id; the streaming path (dropDuplicatesWithinWatermark, bounded
+    state) is proven stream==batch by tests/test_streaming.py. id_sum
+    pins WHICH rows survive, not just how many."""
+    from ..streaming.dedup import dedup_events
+
+    ev = load_table(spark, sf_dir, "events")
+    retransmitted = ev.unionAll(ev.filter(F.col("event_id") % 7 == 0))
+    return (
+        dedup_events(retransmitted)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("event_id").cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("id_sum"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -20,6 +20,7 @@ from .replay import replay_events_stream, write_replay_dir
 from .windows import session_counts, sliding_counts, tumbling_counts
 from .ingest import start_incremental_ingest
 from .stateful import running_user_counts
+from .dedup import dedup_events
 
 __all__ = [
     "replay_events_stream",

@@ -263,3 +263,42 @@ def test_stateful_counts_survive_checkpoint_restart(spark, tmp_path):
     }
     grew = [u for u, n in p1.items() if got_rows[u][0] > n]
     assert grew, "no user's state advanced across the restart"
+
+
+def test_streaming_dedup_within_watermark_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (streaming/dedup.py): replay the
+    corpus where EVERY chunk is delivered twice (the source retransmits),
+    and the streamed output still equals the batch distinct of the
+    fixture. Duplicates of recent rows exercise the dedup state store;
+    duplicates older than the watermark horizon are dropped as late data
+    -- either mechanism yields exactly-once, and the diff proves it."""
+    from gmail_bigquery_etl_spark.streaming.dedup import dedup_events
+
+    live = str(tmp_path / "live")
+    out = str(tmp_path / "out")
+    write_replay_dir(spark, SMOKE_SF, live, chunks=3)
+    # retransmit: the same three time-ordered chunks arrive again
+    ev = spark.read.parquet(live)
+    ev.coalesce(1).write.mode("append").parquet(live)
+
+    stream = replay_events_stream(spark, live)
+    deduped = dedup_events(stream)
+    assert deduped.isStreaming
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    want = load_table(spark, SMOKE_SF, "events")
+    assert got.count() == want.count(), "retransmissions leaked or rows lost"
+    assert (
+        got.select("event_id").distinct().count() == want.count()
+    ), "duplicate event_ids in deduped stream output"
+    # full-row equality, not just counts
+    assert got.unionAll(want).distinct().count() == want.count()
