@@ -45,6 +45,8 @@ _ROUND4_FRONT = [
     "q17_small_qty_revenue",
     "q21_waiting_suppliers",
     "events_dedup_first_arrival",
+    "q9_product_profit",
+    "q11_important_stock",
     # (b) code path edited this round -> revalidate under the driver
     "ingest_via_datasource",
     "ingest_point_lookup",
@@ -87,10 +89,9 @@ _ROUND4_FRONT = [
     "join_right_outer_agg",
     "join_bucketed_colocated",
     "q3_shipping_priority",
-    "q10_returned_items",
-    "q4_priority_exists",
-    # (q6_forecast_revenue keeps its r02 row: unchanged single-scan agg,
-    # bumped to hold the front at the driver's ~50-row window)
+    # (q4_priority_exists / q6_forecast_revenue / q10_returned_items keep
+    # their r02 rows: unchanged since, bumped in favor of never-gated new
+    # queries to hold the front at the driver's ~50-row window)
 ]
 
 

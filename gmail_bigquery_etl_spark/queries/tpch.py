@@ -1645,3 +1645,132 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "name")
         .limit(20)
     )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(ROUND(l_extendedprice / l_quantity, 6)) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS yr,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                        * (1 - CAST(l.l_discount AS DECIMAL(12,4)))
+                      - CAST(c.supply_cost AS DECIMAL(18,6))
+                        * CAST(l.l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE)
+         AS profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN cost c     ON c.l_partkey = l.l_partkey AND c.l_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_type = 'PROMO'
+GROUP BY n.n_name, year(o.o_orderdate)
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit): the widest classic join -- lineitem
+    against part, supplier, orders, nation AND the partsupp-stand-in cost
+    rollup (min unit price per (part, supplier), the q2 convention) --
+    with a two-sided profit expression and a (nation, year) rollup.
+    Profit is computed entirely in decimal (the 6dp-rounded cost cast to
+    DECIMAL(18,6) is unambiguous: a double produced by round(x, 6) is
+    never midway between two 6dp targets), so the sum is exact and
+    order-independent in both engines. nation broadcasts (fixed 25 rows);
+    everything else shuffles on its join key; the cost rollup reuses
+    lineitem's (partkey, suppkey) grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    cost = li.groupBy(
+        F.col("l_partkey").alias("_ck"), F.col("l_suppkey").alias("_cs")
+    ).agg(
+        F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)).alias(
+            "supply_cost"
+        )
+    )
+    profit = _dec(F.col("l_extendedprice"), 12) * (
+        1 - _dec(F.col("l_discount"), 12)
+    ) - F.col("supply_cost").cast("decimal(18,6)") * _dec(F.col("l_quantity"), 12)
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(cost, (F.col("_ck") == li.l_partkey) & (F.col("_cs") == li.l_suppkey))
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(ROUND(l_extendedprice / l_quantity, 6)) AS supply_cost,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS availqty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+val AS (
+  SELECT ps.l_partkey AS partkey,
+         SUM(CAST(ps.supply_cost AS DECIMAL(18,6)) * ps.availqty) AS v
+  FROM ps
+  JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+  GROUP BY ps.l_partkey
+)
+SELECT partkey, CAST(ROUND(v, 2) AS DOUBLE) AS total_value
+FROM val
+WHERE v > (SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) * 2.5 FROM val)
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock identification): per-part inventory
+    value within a nation group, kept only where it exceeds a FRACTION OF
+    THE GLOBAL TOTAL -- the grouped-agg-vs-global-scalar-of-the-same-agg
+    shape. The per-part values build once; the global total is a 1-row
+    re-aggregation of that same frame joined back by broadcast (no second
+    scan of lineitem). The cut is 2.5x the MEAN per-part value -- scale-
+    invariant, like the spec's fraction = 0.0001/SF, so the query stays
+    non-vacuous at every SF. Value arithmetic stays in decimal
+    end-to-end; the threshold converts to double once on each engine
+    (deterministic), so the > cut is identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)).alias(
+            "supply_cost"
+        ),
+        F.sum(_dec(F.col("l_quantity"))).alias("availqty"),
+    )
+    val = (
+        ps.join(s, s.s_suppkey == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                F.col("supply_cost").cast("decimal(18,6)") * F.col("availqty")
+            ).alias("v")
+        )
+    )
+    total = val.agg(
+        (F.sum("v").cast("double") / F.count("*") * F.lit(2.5)).alias("_thr")
+    )
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("v") > F.col("_thr"))
+        .select("partkey", F.round(F.col("v"), 2).cast("double").alias("total_value"))
+    )

@@ -73,6 +73,7 @@ def test_no_accidental_cartesian_products(spark):
         "dedup_exact_survivors_count",  # crossJoin of two 1-row aggregates
         "text_tfidf_top_terms",  # broadcast crossJoin of the 1-row doc count
         "q22_dormant_customers",  # broadcast crossJoin of the 1-row threshold
+        "q11_important_stock",  # broadcast crossJoin of the 1-row global total
         # broadcast crossJoin against an O(K)-row hash-function/band dim
         # table (replaces posexplode; broadcast side is 8-16 literal rows)
         "dedup_minhash_signatures",
@@ -136,11 +137,10 @@ def test_no_forced_broadcast_of_fact_tables(spark):
                 # A broadcast subtree that AGGREGATES a fact table down to
                 # a global (ungrouped) scalar ships O(1) rows at every SF;
                 # the marker match is the scan feeding the aggregate, not
-                # the fact table itself. q22's 1-row acctbal threshold is
-                # the declared instance of this shape.
-                if hits and name == "q22_dormant_customers" and (
-                    "hashaggregate" in low
-                ):
+                # the fact table itself. Declared instances: q22's 1-row
+                # acctbal threshold, q11's 1-row global inventory total.
+                scalar_of_fact = {"q22_dormant_customers", "q11_important_stock"}
+                if hits and name in scalar_of_fact and "hashaggregate" in low:
                     continue
                 if hits:
                     offenders.append((name, hits))
