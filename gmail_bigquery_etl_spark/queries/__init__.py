@@ -47,6 +47,7 @@ _ROUND4_FRONT = [
     "events_dedup_first_arrival",
     "q9_product_profit",
     "q11_important_stock",
+    "q20_promotable_suppliers",
     # (b) code path edited this round -> revalidate under the driver
     "ingest_via_datasource",
     "ingest_point_lookup",
@@ -88,10 +89,10 @@ _ROUND4_FRONT = [
     "q1_pricing_summary",
     "join_right_outer_agg",
     "join_bucketed_colocated",
-    "q3_shipping_priority",
-    # (q4_priority_exists / q6_forecast_revenue / q10_returned_items keep
-    # their r02 rows: unchanged since, bumped in favor of never-gated new
-    # queries to hold the front at the driver's ~50-row window)
+    # (q3_shipping_priority / q4_priority_exists / q6_forecast_revenue /
+    # q10_returned_items keep their r02 rows: unchanged since, bumped in
+    # favor of never-gated new queries to hold the front at the driver's
+    # ~50-row window)
 ]
 
 

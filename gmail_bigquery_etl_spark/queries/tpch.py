@@ -1774,3 +1774,95 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("v") > F.col("_thr"))
         .select("partkey", F.round(F.col("v"), 2).cast("double").alias("total_value"))
     )
+
+
+@query(
+    "q20_promotable_suppliers",
+    oracle="""
+WITH avail AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS availqty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+shipped AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty97
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_name AS name, CAST(s.s_acctbal AS DOUBLE) AS acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT a.l_suppkey
+    FROM avail a
+    JOIN shipped sh ON a.l_partkey = sh.l_partkey
+                   AND a.l_suppkey = sh.l_suppkey
+    WHERE a.l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'small%')
+      AND a.availqty > 0.5 * sh.qty97
+  )
+  AND s.s_nationkey IN (
+    SELECT n_nationkey FROM nation
+    WHERE n_name IN ('NATION_1','NATION_3','NATION_5','NATION_7',
+                     'NATION_9','NATION_11','NATION_13')
+  )
+ORDER BY name
+""",
+)
+def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (potential part promotion): the nested-IN chain --
+    suppliers IN (part-supplier pairs whose prior-year flow beats half
+    the next year's, for parts IN a name-prefix set), nations IN a name
+    set. Every IN becomes a left-semi join; the part filter semi-joins
+    BEFORE the avail/shipped rollup comparison so only candidate parts
+    aggregate. Prior-year flow (1996) stands in for the absent
+    ps_availqty against 1997 shipments; quantities stay decimal so the
+    0.5x comparison is exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def year_qty(lo: str, hi: str, alias: str) -> DataFrame:
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum(_dec(F.col("l_quantity"))).alias(alias))
+        )
+
+    avail = year_qty("1996-01-01 00:00:00", "1997-01-01 00:00:00", "availqty")
+    shipped = year_qty("1997-01-01 00:00:00", "1998-01-01 00:00:00", "qty97")
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    promotable = (
+        avail.join(parts, "l_partkey", "left_semi")
+        .join(shipped, ["l_partkey", "l_suppkey"])
+        .filter(F.col("availqty") > F.lit(0.5) * F.col("qty97"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    nations = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_1", "NATION_3", "NATION_5", "NATION_7",
+            "NATION_9", "NATION_11", "NATION_13",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(promotable, "s_suppkey", "left_semi")
+        .join(
+            F.broadcast(nations.select(F.col("n_nationkey").alias("s_nationkey"))),
+            "s_nationkey",
+            "left_semi",
+        )
+        .select(F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal"))
+        .orderBy("name")
+    )
