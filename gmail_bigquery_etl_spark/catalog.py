@@ -11,6 +11,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from .schemas import FIXTURE_TABLES
 
@@ -24,15 +25,24 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as int64 nanos (legacy conf, runtime-settable)
-    and truncate to microseconds -- bit-identical to what DuckDB does when it
-    reads the same file as TIMESTAMP (verified: epoch_us(ts) == ts div 1000).
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) (which
+    Spark's vectorized reader rejects -- read as int64 nanos via the legacy
+    conf and truncate to micros, bit-identical to DuckDB's TIMESTAMP read)
+    and plain TIMESTAMP(MICROS) (native read). Branch on the landed type so
+    either fixture generation works.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # Native TIMESTAMP(MICROS) parquet arrives as TIMESTAMP_NTZ;
+            # normalize to TimestampType (session tz is pinned UTC) so the
+            # whole corpus sees ONE ts type regardless of fixture vintage
+            # (unix_micros / watermarks reject NTZ).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
