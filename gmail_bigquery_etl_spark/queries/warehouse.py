@@ -1,0 +1,272 @@
+"""Warehouse-maintenance queries: CDC merge, SCD2 history, histogram
+binning, and one-pass column profiling.
+
+The reference's table maintenance is append-only (BigQuery
+``insert_rows_json``, etl_service/main.py:240-253); these queries cover
+the other maintenance verbs a warehouse user needs -- applying an
+upsert/delete batch, keeping dimension history, and profiling landed data
+-- each expressed as the standard scale-safe Spark shape (anti-join +
+union, one window shuffle, one-pass aggregate).
+
+Determinism: every double aggregate goes through DECIMAL(18,4) (registry
+rules); the CDC change batch is derived from the orders fixture itself by
+exact integer arithmetic so both engines build bit-identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.merge import merge_upsert, scd2_from_events
+from .registry import query
+
+
+def _dec(col: F.Column, p: int = 18) -> F.Column:
+    return col.cast(f"decimal({p},4)")
+
+
+# --- CDC merge (upsert + delete) ----------------------------------------------
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+WITH changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice,
+         o_orderdate, '5-RESTATED' AS o_orderpriority,
+         (o_orderkey % 15 = 0) AS is_delete
+  FROM orders WHERE o_orderkey % 5 = 0
+), merged AS (
+  SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, o.o_orderpriority
+  FROM orders o LEFT JOIN changes c ON o.o_orderkey = c.o_orderkey
+  WHERE c.o_orderkey IS NULL
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM changes WHERE NOT is_delete
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+       COUNT(CASE WHEN o_orderpriority = '5-RESTATED' THEN 1 END) AS n_restated
+FROM merged
+GROUP BY o_orderstatus
+""",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics on the orders table: a CDC batch (10%-restated
+    price for every 5th key, delete for every 15th) applied via
+    operators/merge.merge_upsert -- one broadcast anti-join + union, the
+    same J1 shape as the reference's incremental ingest
+    (etl_service/main.py:175), pointed at the update/delete half of the
+    contract the reference never implements."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    changes = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(1.1))
+        .withColumn("o_orderpriority", F.lit("5-RESTATED"))
+        .withColumn("is_delete", F.col("o_orderkey") % 15 == 0)
+    )
+    merged = merge_upsert(orders, changes, ["o_orderkey"], delete_col="is_delete")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_price"),
+        F.count(F.when(F.col("o_orderpriority") == "5-RESTATED", 1)).alias(
+            "n_restated"
+        ),
+    )
+
+
+# --- SCD2 dimension history ---------------------------------------------------
+
+@query(
+    "scd2_customer_history",
+    oracle="""
+WITH v AS (
+  SELECT o_custkey,
+         o_orderdate AS effective_from,
+         LEAD(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS effective_to
+  FROM orders
+)
+SELECT (effective_to IS NULL) AS is_current,
+       COUNT(*) AS n_versions,
+       COUNT(DISTINCT o_custkey) AS n_keys,
+       CAST(SUM(date_diff('day', CAST(effective_from AS DATE),
+                          CAST(effective_to AS DATE))) AS BIGINT) AS total_days
+FROM v
+GROUP BY 1
+""",
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 intervals built from a change stream (orders as the
+    per-customer change feed): one LEAD window over the key -- a single
+    shuffle, no self-join. Validity spans and the current-version flag are
+    aggregated so the check pins every interval boundary."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    versions = scd2_from_events(
+        orders, ["o_custkey"], "o_orderdate", tiebreakers=["o_orderkey"]
+    )
+    return versions.groupBy("is_current").agg(
+        F.count("*").alias("n_versions"),
+        F.countDistinct("o_custkey").alias("n_keys"),
+        F.sum(
+            F.datediff(
+                F.col("effective_to").cast("date"),
+                F.col("effective_from").cast("date"),
+            )
+        )
+        .cast("bigint")
+        .alias("total_days"),
+    )
+
+
+# --- Equal-width histogram ----------------------------------------------------
+
+@query(
+    "agg_price_histogram",
+    oracle="""
+SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1
+""",
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram via integer bucket arithmetic (exact in both
+    engines -- no libm). The bucket id is a codegen'd projection; the only
+    shuffle is the final per-bucket aggregate, partial-aggregated map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25000).cast("bigint")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_price"),
+    )
+
+
+# --- One-pass column profiling ------------------------------------------------
+
+_PROFILE_NUM = ["o_orderkey", "o_custkey", "o_totalprice"]
+_PROFILE_STR = ["o_orderstatus", "o_orderpriority"]
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+WITH s AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(o_orderkey) AS nn_0, COUNT(DISTINCT o_orderkey) AS nd_0,
+         CAST(MIN(o_orderkey) AS DOUBLE) AS mn_0, CAST(MAX(o_orderkey) AS DOUBLE) AS mx_0,
+         COUNT(o_custkey) AS nn_1, COUNT(DISTINCT o_custkey) AS nd_1,
+         CAST(MIN(o_custkey) AS DOUBLE) AS mn_1, CAST(MAX(o_custkey) AS DOUBLE) AS mx_1,
+         COUNT(o_totalprice) AS nn_2, COUNT(DISTINCT o_totalprice) AS nd_2,
+         CAST(MIN(o_totalprice) AS DOUBLE) AS mn_2, CAST(MAX(o_totalprice) AS DOUBLE) AS mx_2,
+         COUNT(o_orderstatus) AS nn_3, COUNT(DISTINCT o_orderstatus) AS nd_3,
+         MIN(o_orderstatus) AS smn_3, MAX(o_orderstatus) AS smx_3,
+         COUNT(o_orderpriority) AS nn_4, COUNT(DISTINCT o_orderpriority) AS nd_4,
+         MIN(o_orderpriority) AS smn_4, MAX(o_orderpriority) AS smx_4
+  FROM orders
+)
+SELECT 'o_orderkey' AS column_name, n_rows, nn_0 AS n_nonnull, nd_0 AS n_distinct,
+       mn_0 AS min_num, mx_0 AS max_num, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM s
+UNION ALL
+SELECT 'o_custkey', n_rows, nn_1, nd_1, mn_1, mx_1, NULL, NULL FROM s
+UNION ALL
+SELECT 'o_totalprice', n_rows, nn_2, nd_2, mn_2, mx_2, NULL, NULL FROM s
+UNION ALL
+SELECT 'o_orderstatus', n_rows, nn_3, nd_3, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), smn_3, smx_3 FROM s
+UNION ALL
+SELECT 'o_orderpriority', n_rows, nn_4, nd_4, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), smn_4, smx_4 FROM s
+""",
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass: per-column non-null / exact-distinct / min /
+    max in ONE aggregate over the table (not one scan per column), then an
+    unpivot to long form. Numeric extremes stay DOUBLE and string extremes
+    stay VARCHAR so no engine-specific double-to-string formatting enters
+    the comparison."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs: list[F.Column] = [F.count("*").alias("n_rows")]
+    for i, c in enumerate(_PROFILE_NUM):
+        aggs += [
+            F.count(c).alias(f"nn_{i}"),
+            F.countDistinct(c).alias(f"nd_{i}"),
+            F.min(c).cast("double").alias(f"mn_{i}"),
+            F.max(c).cast("double").alias(f"mx_{i}"),
+        ]
+    for j, c in enumerate(_PROFILE_STR):
+        i = len(_PROFILE_NUM) + j
+        aggs += [
+            F.count(c).alias(f"nn_{i}"),
+            F.countDistinct(c).alias(f"nd_{i}"),
+            F.min(c).alias(f"smn_{i}"),
+            F.max(c).alias(f"smx_{i}"),
+        ]
+    s = orders.agg(*aggs)
+    # Unpivot with stack() over the single aggregated row -- one scan, one
+    # aggregate, no reliance on exchange reuse across union branches.
+    rows = []
+    for i, c in enumerate(_PROFILE_NUM):
+        rows.append(
+            f"'{c}', n_rows, nn_{i}, nd_{i}, mn_{i}, mx_{i}, "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        )
+    for j, c in enumerate(_PROFILE_STR):
+        i = len(_PROFILE_NUM) + j
+        rows.append(
+            f"'{c}', n_rows, nn_{i}, nd_{i}, "
+            f"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), smn_{i}, smx_{i}"
+        )
+    n = len(rows)
+    stack = (
+        f"stack({n}, " + ", ".join(rows) + ") AS (column_name, n_rows, "
+        "n_nonnull, n_distinct, min_num, max_num, min_str, max_str)"
+    )
+    return s.select(F.expr(stack))
+
+
+# --- Exact interpolated percentiles -------------------------------------------
+
+@query(
+    "agg_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`, both the classic R-7 interpolation). Exact
+    percentile is a sort-based aggregate -- fine per group at any scale
+    when groups are small-cardinality; the approx_percentile sketch is the
+    scale path for high-cardinality grouping (agg_approx_tolerance)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.percentile(
+        F.col("o_totalprice"),
+        F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75), F.lit(0.99)),
+    )
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"), pct.alias("_p")
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n_orders",
+        F.round(F.col("_p")[0], 4).alias("p25"),
+        F.round(F.col("_p")[1], 4).alias("p50"),
+        F.round(F.col("_p")[2], 4).alias("p75"),
+        F.round(F.col("_p")[3], 4).alias("p99"),
+    )
