@@ -1,0 +1,233 @@
+"""Corpus-curation queries: the quality-filtering passes an LLM training
+pipeline runs between raw ingest and dedup/sharding.
+
+  text_dup_ngram_ratio -- per-document fraction of word 5-grams that occur
+                          in more than one document (the RefinedWeb-style
+                          "duplicated n-gram" quality signal), aggregated
+                          per source. Candidate generation is an equi-join
+                          on the gram string -- never a doc x doc compare.
+  text_pii_redaction   -- regex redaction of emails / URLs / long digit
+                          runs with per-source match accounting. The
+                          patterns are RE2-and-Java-compatible so Spark
+                          (JVM codegen) and the DuckDB oracle execute the
+                          same automaton; the fixture corpus carries no
+                          natural PII, so a deterministic synthetic payload
+                          is appended to every document ON BOTH SIDES
+                          before redaction -- the operator under test is
+                          the redaction pipeline, not the fixture.
+  docs_weighted_sample -- weighted Bernoulli sampling (p proportional to
+                          document length) via exact integer arithmetic on
+                          an md5-derived 16-bit draw: no RNG, no libm, the
+                          identical sample set on any engine/partitioning.
+
+Scale posture: dup-ngram ratio is two shuffles (gram -> doc-frequency,
+gram -> doc re-agg) on uniformly-hashed gram keys; redaction and sampling
+are pure codegen'd projections with one final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, spread
+from ..functions.text import ngram_shingles_from_tokens, whitespace_tokens
+from .registry import query
+
+_SQL_TOKS = r"regexp_split_to_array(trim(lower({c})), '\s+')"
+
+# Word 5-gram shingles (matches ngram_shingles_from_tokens(toks, 5)).
+_SQL_GRAMS5 = (
+    "CASE WHEN len(" + _SQL_TOKS + ") >= 5 THEN "
+    "list_transform(generate_series(1, len(" + _SQL_TOKS + ") - 4), "
+    "i -> array_to_string((" + _SQL_TOKS + ")[i:i+4], ' ')) "
+    "ELSE [array_to_string(" + _SQL_TOKS + ", ' ')] END"
+)
+
+
+@query(
+    "text_dup_ngram_ratio",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, source, unnest({_SQL_GRAMS5.format(c='text')}) AS gram
+  FROM documents
+), gram_df AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY gram
+), per_doc AS (
+  SELECT g.doc_id, g.source,
+         COUNT(*) AS n_grams,
+         COUNT(CASE WHEN d.df > 1 THEN 1 END) AS n_dup
+  FROM grams g JOIN gram_df d ON g.gram = d.gram
+  GROUP BY g.doc_id, g.source
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+       CAST(SUM(n_dup) AS BIGINT) AS dup_grams,
+       COUNT(CASE WHEN n_dup * 2 > n_grams THEN 1 END) AS n_docs_majority_dup
+FROM per_doc
+GROUP BY source
+""",
+)
+def text_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-5-gram curation signal. Two shuffles: gram->document
+    frequency, then gram->doc re-aggregation; the gram join key is a
+    near-uniform string hash so neither shuffle skews. At corpus scale the
+    doc-frequency side is exactly the MinHash shingle frequency table --
+    the two passes share physical shape and can share a staged gram table
+    (operators/dedup.py stages the same split)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    grams = (
+        docs.select(
+            "doc_id",
+            "source",
+            whitespace_tokens("text").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(ngram_shingles_from_tokens("toks", 5)).alias("gram"),
+        )
+    )
+    gram_df = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    per_doc = (
+        grams.join(gram_df, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("df") > 1, 1)).alias("n_dup"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("total_grams"),
+        F.sum("n_dup").cast("bigint").alias("dup_grams"),
+        F.count(F.when(F.col("n_dup") * 2 > F.col("n_grams"), 1)).alias(
+            "n_docs_majority_dup"
+        ),
+    )
+
+
+# RE2- and java.util.regex-compatible patterns (no backrefs, no lookaround).
+_PAT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PAT_URL = r"https?://[^ ]+"
+_PAT_LONGNUM = r"[0-9]{6,}"
+
+
+@query(
+    "text_pii_redaction",
+    oracle=f"""
+WITH payload AS (
+  SELECT doc_id, source,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com via http://ex.com/d/' || CAST(doc_id AS VARCHAR)
+              || ' ref ' || CAST(1000000 + doc_id * 7 AS VARCHAR) AS body
+  FROM documents
+), redacted AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(body, '{_PAT_EMAIL}')) AS n_emails,
+         len(regexp_extract_all(body, '{_PAT_URL}')) AS n_urls,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(body, '{_PAT_EMAIL}', '[EMAIL]', 'g'),
+             '{_PAT_URL}', '[URL]', 'g'),
+           '{_PAT_LONGNUM}', '[NUM]', 'g') AS clean
+  FROM payload
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+       CAST(SUM(n_urls) AS BIGINT) AS total_urls,
+       CAST(SUM(LENGTH(clean)) AS BIGINT) AS total_clean_chars
+FROM redacted
+GROUP BY source
+""",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing as a codegen'd projection chain: match counting via
+    regexp_count, redaction via ordered regexp_replace (emails before digit
+    runs so addresses don't half-redact). Zero Python, zero shuffles before
+    the final per-source rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via http://ex.com/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" ref "),
+        (F.lit(1000000) + F.col("doc_id") * 7).cast("string"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(body, _PAT_EMAIL, "[EMAIL]"),
+            _PAT_URL,
+            "[URL]",
+        ),
+        _PAT_LONGNUM,
+        "[NUM]",
+    )
+    red = docs.select(
+        "source",
+        F.regexp_count(body, F.lit(_PAT_EMAIL)).alias("n_emails"),
+        F.regexp_count(body, F.lit(_PAT_URL)).alias("n_urls"),
+        F.length(clean).alias("clean_chars"),
+    )
+    return red.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_emails").cast("bigint").alias("total_emails"),
+        F.sum("n_urls").cast("bigint").alias("total_urls"),
+        F.sum("clean_chars").cast("bigint").alias("total_clean_chars"),
+    )
+
+
+# Draw: first 4 md5 hex digits of 'w'||doc_id -> uniform 16-bit integer.
+_SQL_DRAW = (
+    "CAST(('0x' || substring(md5('w' || CAST(doc_id AS VARCHAR)), 1, 4)) "
+    "AS BIGINT)"
+)
+
+
+@query(
+    "docs_weighted_sample",
+    oracle=f"""
+SELECT source,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents
+WHERE {_SQL_DRAW} < n_chars * 16
+GROUP BY source
+""",
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted Bernoulli sample: include a document iff its
+    md5-derived 16-bit draw is below n_chars*16, i.e. p = min(1,
+    n_chars*16/65536) -- longer documents proportionally likelier, the
+    standard token-weighted corpus subsample. Exact integer comparison
+    means the same sample on any engine and any partitioning; id_sum pins
+    the exact draw, not just its size."""
+    docs = load_table(spark, sf_dir, "documents")
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+    )
+    return (
+        docs.filter(draw < F.col("n_chars") * 16)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+    )
