@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from ..catalog import load_table
 from .registry import query
@@ -474,7 +475,8 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
 
     path = os.path.join(sf_dir, "events.parquet")
-    # same TIMESTAMP(NANOS) handling as catalog.load_table, readStream form
+    # same TIMESTAMP(NANOS)-vs-MICROS handling as catalog.load_table,
+    # readStream form: only long (nanosAsLong) fixtures need the truncation
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
     stream = (
@@ -483,9 +485,15 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # file, so stream the parent dir filtered down to that file
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("event_id", "ts", "user_id", "event_type", "value")
     )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        # NTZ -> TimestampType, same normalization as catalog.load_table
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = stream.select("event_id", "ts", "user_id", "event_type", "value")
     updates = running_user_counts(stream)
 
     def land(batch_df: DataFrame, _batch_id: int) -> None:
@@ -565,4 +573,138 @@ def events_dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_value"),
         )
+    )
+
+
+# --- Per-group linear regression (built-in regr_* aggregates) ------------------
+
+@query(
+    "events_regr_trend",
+    oracle="""
+WITH pts AS (
+  SELECT user_id, value,
+         (epoch_us(ts) - 1704067200000000) / 86400000000.0 AS x
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id,
+       COUNT(*) AS n_points,
+       ROUND(regr_slope(value, x), 4) AS slope,
+       ROUND(regr_intercept(value, x), 4) AS intercept
+FROM pts
+GROUP BY user_id
+HAVING COUNT(DISTINCT x) >= 2
+""",
+)
+def events_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of purchase value over time via the ANSI
+    regr_slope/regr_intercept aggregates -- per-group model fitting stays a
+    single partial+final hash aggregate (co-moment accumulators), no
+    applyInPandas and no second pass. x is exact integer micros since
+    2024-01-01 scaled to days; slopes are rounded to 4 decimals on both
+    sides (libm-free, but the co-moment division is float).
+
+    The COUNT(DISTINCT x) >= 2 guard removes zero-variance groups whose
+    slope is an engine-dependent NULL/NaN."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    anchor_us = 1704067200000000  # 2024-01-01T00:00:00Z in micros
+    pts = ev.select(
+        "user_id",
+        "value",
+        ((F.unix_micros(F.col("ts")) - F.lit(anchor_us)) / 86400000000.0).alias("x"),
+    )
+    return (
+        pts.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.regr_slope(F.col("value"), F.col("x")), 4).alias("slope"),
+            F.round(F.regr_intercept(F.col("value"), F.col("x")), 4).alias(
+                "intercept"
+            ),
+            F.countDistinct("x").alias("_nx"),
+        )
+        .filter(F.col("_nx") >= 2)
+        .drop("_nx")
+    )
+
+
+# --- Interval (stream-stream-shaped) join --------------------------------------
+
+@query(
+    "events_interval_join",
+    oracle="""
+SELECT p.user_id,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE) AS click_value
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >  p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+GROUP BY p.user_id
+""",
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks attributed to a purchase within the preceding hour: an equi
+    join on user_id with a time-range residual -- the batch twin of a
+    watermarked stream-stream interval join (tests/test_streaming.py runs
+    the streaming form and asserts it matches this). Hash join on the equi
+    key; the range predicate stays a residual filter, never a cartesian."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), "value"
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(_dec(F.col("value"))).cast("double").alias("click_value"),
+    )
+
+
+# --- Mergeable-sketch rollup (HLL hourly -> daily) -----------------------------
+
+@query(
+    "events_hll_daily_rollup",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_ok
+FROM events
+GROUP BY 1
+""",
+)
+def events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: hourly HLL sketches unioned into daily
+    cardinalities WITHOUT touching raw rows twice -- the pattern that lets a
+    100 TB pipeline keep pre-aggregated hourly sketches and serve any
+    coarser rollup by merge alone. Like agg_approx_tolerance, the oracle
+    contract is the tolerance: approx_ok asserts the merged-sketch estimate
+    lands within 5% of the exact count (HLL sketches are order-insensitive,
+    so the flag is deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("hour")).alias("day")
+    ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+    exact = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(daily, "day").select(
+        "day",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_ok"),
     )

@@ -21,6 +21,7 @@ from .windows import session_counts, sliding_counts, tumbling_counts
 from .ingest import start_incremental_ingest
 from .stateful import running_user_counts
 from .dedup import dedup_events
+from .joins import interval_join_pairs
 
 __all__ = [
     "replay_events_stream",

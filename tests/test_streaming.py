@@ -302,3 +302,31 @@ def test_streaming_dedup_within_watermark_matches_batch(spark, tmp_path):
     ), "duplicate event_ids in deduped stream output"
     # full-row equality, not just counts
     assert got.unionAll(want).distinct().count() == want.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path, replay_dir):
+    """Watermarked stream-stream interval join (streaming/joins.py): the
+    purchase and click sides arrive as unbounded streams (two readers over
+    the time-ordered replay), the join keeps bounded state via the
+    2h watermarks, and the appended pair set equals the identical plan run
+    on the static table."""
+    from gmail_bigquery_etl_spark.streaming.joins import interval_join_pairs
+
+    out = str(tmp_path / "pairs")
+    stream = replay_events_stream(spark, replay_dir)
+    pairs = interval_join_pairs(stream)
+    assert pairs.isStreaming
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    want = interval_join_pairs(load_table(spark, SMOKE_SF, "events"))
+    assert got.count() == want.count()
+    assert got.unionAll(want).distinct().count() == want.count()
