@@ -22,6 +22,8 @@ from . import ingest as _ingest  # noqa: E402,F401  (reference-parity ETL)
 from . import events as _events  # noqa: E402,F401
 from . import tpch as _tpch  # noqa: E402,F401
 from . import pipeline as _pipeline  # noqa: E402,F401  (split/shard assembly)
+from . import warehouse as _warehouse  # noqa: E402,F401  (merge/SCD2/profiling)
+from . import curation as _curation  # noqa: E402,F401  (corpus curation ops)
 
 # Round-4 rotation: front-load (a) queries new this round, (b) queries
 # whose code paths changed this round (paginated backend injection,
@@ -34,6 +36,17 @@ from . import pipeline as _pipeline  # noqa: E402,F401  (split/shard assembly)
 # FULL corpus against the DuckDB oracle every round.
 _ROUND4_FRONT = [
     # (a) new this round
+    "merge_upsert_orders",
+    "scd2_customer_history",
+    "agg_price_histogram",
+    "profile_orders_columns",
+    "text_dup_ngram_ratio",
+    "text_pii_redaction",
+    "docs_weighted_sample",
+    "events_regr_trend",
+    "events_interval_join",
+    "events_hll_daily_rollup",
+    "agg_percentiles",
     "multimodal_wav_decode",
     "q2_min_cost_supplier",
     "q16_supplier_cnt",
