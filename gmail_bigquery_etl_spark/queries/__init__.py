@@ -47,6 +47,7 @@ _ROUND4_FRONT = [
     "events_interval_join",
     "events_hll_daily_rollup",
     "agg_percentiles",
+    "docs_curated_pipeline",
     "multimodal_wav_decode",
     "q2_min_cost_supplier",
     "q16_supplier_cnt",

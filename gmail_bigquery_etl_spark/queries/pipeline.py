@@ -154,3 +154,50 @@ def docs_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "docs_curated_pipeline",
+    oracle=f"""
+WITH kept AS (
+  SELECT doc_id, text, lang, source, n_chars
+  FROM documents
+  WHERE n_chars >= 100 AND lang IS NOT NULL
+), survivors AS (
+  SELECT k.* FROM kept k
+  JOIN (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)) s
+    ON k.doc_id = s.doc_id
+)
+SELECT {_SQL_SPLIT} AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM survivors
+GROUP BY 1, 2
+""",
+)
+def docs_curated_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition: length/lang quality gate ->
+    deterministic exact dedup (min-id survivor per content hash) ->
+    stratified split assignment -- the three pipeline stages chained as ONE
+    lazy plan, proving the operators compose without materialization
+    boundaries. Plan shape: scan -> filter (pushed) -> one dedup window
+    shuffle -> split projection -> final aggregate; nothing quadratic,
+    nothing driver-side."""
+    from ..operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(
+        (F.col("n_chars") >= 100) & F.col("lang").isNotNull()
+    )
+    survivors = exact_dedup(kept)
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    split = F.when(h < 8, "train").when(h == 8, "val").otherwise("test")
+    return survivors.groupBy(split.alias("split"), "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -181,3 +181,44 @@ def test_lsh_candidates_are_equi_join_shaped(spark):
     assert "CartesianProduct" not in plan
     # the verify joins hash-partition on composite keys
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime filter injection (the 100 TB fact-side pruning story): with
+    a selective dim filter, Catalyst plants a bloom filter built from the
+    dim side onto the fact scan, so most fact rows die before the shuffle.
+    The size thresholds are lowered because the fixture is tiny; at real
+    scale the defaults (10 MB creation side / 10 GB probe side) gate the
+    same rule."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # force the non-broadcast join path: broadcast joins don't need a
+        # runtime filter (the hashed relation IS the filter)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "BloomFilter" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -111,12 +111,19 @@ def main() -> None:
         default=0,
         help="also measure the mega-bucket skew slice with this clique width",
     )
+    ap.add_argument(
+        "--ops",
+        default="",
+        help="comma list of ops to run (default: the built-in OPS list); "
+        "results merge into --out if it already exists",
+    )
     args = ap.parse_args()
+    ops = [o for o in args.ops.split(",") if o] or OPS
     spark = get_spark()
     # warm the JVM/session so the first op doesn't absorb startup
     spark.read.parquet(os.path.join(args.small, "documents.parquet")).count()
     report = {}
-    for name in OPS:
+    for name in ops:
         t_small, n_small = _time(spark, name, args.small)
         t_big, n_big = _time(spark, name, args.big)
         report[name] = {
@@ -131,6 +138,11 @@ def main() -> None:
     if args.skew:
         payload["skew"] = _time_skew(spark, args.small, clique=args.skew)
         print(json.dumps({"skew": payload["skew"]}))
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        merged_ops = {**prior.get("ops", {}), **payload["ops"]}
+        payload = {**prior, **payload, "ops": merged_ops}
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
     print(f"wrote {args.out}")

@@ -90,17 +90,87 @@ def replicate_embeddings(spark, src: str, dst: str, mult: int) -> int:
     return out.count()
 
 
+def replicate_events(spark, src: str, dst: str, mult: int) -> int:
+    """Replica k shifts event_id AND user_id by k*STRIDE: per-user time
+    structure (sessions, purchase/click interleaving) is preserved while
+    the user population grows mult-fold -- the realistic way event volume
+    scales, so per-user joins/windows see mult-x keys, not mult-x rows per
+    key."""
+    from gmail_bigquery_etl_spark.catalog import load_table
+
+    ev = load_table(spark, src, "events")
+    parts = []
+    for k in range(mult):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + k * ID_STRIDE).alias("event_id"),
+                "ts",
+                (F.col("user_id") + k * ID_STRIDE).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst, "events.parquet")
+    )
+    return out.count()
+
+
+def replicate_orders(spark, src: str, dst: str, mult: int) -> int:
+    """Replica k shifts o_orderkey and o_custkey by k*STRIDE. The stride
+    is a multiple of 5, so the CDC change-batch selector (o_orderkey % 5)
+    picks exactly the same per-replica subset; the delete selector (% 15)
+    shifts phase per replica but keeps its ~1/15 density."""
+    orders = spark.read.parquet(os.path.join(src, "orders.parquet"))
+    parts = []
+    for k in range(mult):
+        parts.append(
+            orders.select(
+                (F.col("o_orderkey") + k * ID_STRIDE).alias("o_orderkey"),
+                (F.col("o_custkey") + k * ID_STRIDE).alias("o_custkey"),
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst, "orders.parquet")
+    )
+    return out.count()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="scratch/sf1")
+    ap.add_argument(
+        "--tables",
+        default="documents,embeddings,events,orders",
+        help="comma list of tables to replicate",
+    )
     args = ap.parse_args()
     spark = get_spark()
     os.makedirs(args.dst, exist_ok=True)
-    n_docs = replicate_documents(spark, args.src, args.dst, args.mult)
-    n_emb = replicate_embeddings(spark, args.src, args.dst, args.mult)
-    print(f"wrote {args.dst}: documents={n_docs} embeddings={n_emb}")
+    tables = set(args.tables.split(","))
+    counts = {}
+    if "documents" in tables:
+        counts["documents"] = replicate_documents(spark, args.src, args.dst, args.mult)
+    if "embeddings" in tables:
+        counts["embeddings"] = replicate_embeddings(spark, args.src, args.dst, args.mult)
+    if "events" in tables:
+        counts["events"] = replicate_events(spark, args.src, args.dst, args.mult)
+    if "orders" in tables:
+        counts["orders"] = replicate_orders(spark, args.src, args.dst, args.mult)
+    print(f"wrote {args.dst}: " + " ".join(f"{k}={v}" for k, v in counts.items()))
 
 
 if __name__ == "__main__":
