@@ -942,16 +942,20 @@ def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_suppkey AS suppkey, l_orderkey AS orderkey, l_linenumber AS linenumber,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
          PARTITION BY l_suppkey
-         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
 FROM lineitem
 """,
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l_partkey joins the tiebreak chain because the generated fixture can
+    # carry duplicate (orderkey, linenumber) pairs (observed at sf0.1);
+    # without it the running sum's order is ambiguous at the tie and the
+    # two engines may disagree by one row's quantity.
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return li.select(
