@@ -158,8 +158,9 @@ def _diff(s_cols, s_rows, d_cols, d_rows, limit: int = 3) -> None:
     order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
     s_set = sorted("\x01".join(canon(r[i]) for i in order_s) for r in s_rows)
     d_set = sorted("\x01".join(canon(r[i]) for i in order_d) for r in d_rows)
-    s_only = [x for x in s_set if x not in set(d_set)][:limit]
-    d_only = [x for x in d_set if x not in set(s_set)][:limit]
+    d_lookup, s_lookup = set(d_set), set(s_set)
+    s_only = [x for x in s_set if x not in d_lookup][:limit]
+    d_only = [x for x in d_set if x not in s_lookup][:limit]
     cols = [s_cols[i] for i in order_s]
     print(f"      cols: {cols}")
     for x in s_only:
