@@ -330,3 +330,69 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path, replay_dir):
     want = interval_join_pairs(load_table(spark, SMOKE_SF, "events"))
     assert got.count() == want.count()
     assert got.unionAll(want).distinct().count() == want.count()
+
+
+def test_streaming_cdc_merge_apply_matches_sequential_batch(spark, tmp_path):
+    """Streaming MERGE INTO (streaming/merge_sink.py): three time-ordered
+    CDC batches with OVERLAPPING keys (later post-images must win) plus
+    deletes, replayed one file per micro-batch; the final snapshot equals
+    the same batches folded through the batch merge operator in order."""
+    from pyspark.sql import functions as F
+
+    from gmail_bigquery_etl_spark.operators.merge import merge_upsert
+    from gmail_bigquery_etl_spark.streaming.merge_sink import (
+        current_snapshot_dir,
+        start_merge_apply,
+    )
+
+    orders = load_table(spark, SMOKE_SF, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    feed_dir = str(tmp_path / "feed")
+    chunks = []
+    for k, mod in enumerate((2, 3, 5)):
+        chunk = orders.filter(F.col("o_orderkey") % mod == 0).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000 * k).alias("o_totalprice"),
+            # chunk 2 deletes every 10th key it touches
+            ((F.lit(k) == 2) & (F.col("o_orderkey") % 10 == 0)).alias(
+                "is_delete"
+            ),
+        )
+        chunks.append(chunk)
+        chunk.coalesce(1).write.mode(
+            "overwrite" if k == 0 else "append"
+        ).parquet(feed_dir)
+
+    schema = spark.read.parquet(feed_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    sink_root = str(tmp_path / "sink")
+    q = start_merge_apply(
+        stream, sink_root, str(tmp_path / "ckpt"), keys=["o_orderkey"]
+    )
+    assert q.awaitTermination(300)
+
+    got = spark.read.parquet(current_snapshot_dir(sink_root))
+
+    expected = spark.createDataFrame(
+        [], "o_orderkey bigint, o_totalprice double"
+    )
+    for chunk in chunks:
+        expected = merge_upsert(
+            expected, chunk, ["o_orderkey"], delete_col="is_delete"
+        )
+
+    assert got.count() == expected.count()
+    assert got.unionAll(expected).distinct().count() == expected.count()
+    # later post-image won: a key in chunks 0 AND 1 carries the +1000 price
+    overlap = got.filter(F.col("o_orderkey") % 6 == 0).join(
+        orders.withColumnRenamed("o_totalprice", "orig"), "o_orderkey"
+    )
+    n_bad = overlap.filter(
+        F.col("o_totalprice") != F.col("orig") + 1000
+    ).filter(F.col("o_orderkey") % 5 != 0).count()
+    assert n_bad == 0
