@@ -48,6 +48,8 @@ _ROUND4_FRONT = [
     "events_hll_daily_rollup",
     "agg_percentiles",
     "docs_curated_pipeline",
+    "docs_contamination_check",
+    "text_repetition_scores",
     "multimodal_wav_decode",
     "q2_min_cost_supplier",
     "q16_supplier_cnt",

@@ -231,3 +231,112 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("id_sum"),
         )
     )
+
+
+@query(
+    "docs_contamination_check",
+    oracle=f"""
+WITH split_docs AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 AS bucket
+  FROM documents
+), test_grams AS (
+  SELECT DISTINCT unnest({_SQL_GRAMS5.format(c='text')}) AS gram
+  FROM split_docs WHERE bucket = 9
+), train_grams AS (
+  SELECT doc_id, unnest({_SQL_GRAMS5.format(c='text')}) AS gram
+  FROM split_docs WHERE bucket < 8
+), contaminated AS (
+  SELECT t.doc_id, COUNT(*) AS n_hits
+  FROM train_grams t JOIN test_grams g ON t.gram = g.gram
+  GROUP BY t.doc_id
+)
+SELECT COUNT(*) AS n_contaminated,
+       CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM contaminated
+""",
+)
+def docs_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination detection (the GPT-3-style n-gram
+    decontamination pass): any train-split document sharing a word 5-gram
+    with the held-out split is flagged. Shape: distinct grams of the
+    (small) test split equi-joined against train grams -- a semi-join on a
+    near-uniform string key, never doc x doc; at 100 TB the test-gram side
+    broadcasts. id_sum pins the exact flagged set, not just its size."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    staged = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        whitespace_tokens("text").alias("toks"),
+    )
+    grams = staged.select(
+        "doc_id",
+        "bucket",
+        F.explode(ngram_shingles_from_tokens("toks", 5)).alias("gram"),
+    )
+    test_grams = (
+        grams.filter(F.col("bucket") == 9).select("gram").distinct()
+    )
+    train_grams = grams.filter(F.col("bucket") < 8).select("doc_id", "gram")
+    contaminated = (
+        train_grams.join(F.broadcast(test_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return contaminated.agg(
+        F.count("*").alias("n_contaminated"),
+        F.sum("n_hits").cast("bigint").alias("total_hits"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+@query(
+    "text_repetition_scores",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         len({_SQL_GRAMS5.format(c='text')}) AS n_grams,
+         len({_SQL_GRAMS5.format(c='text')})
+           - len(list_distinct({_SQL_GRAMS5.format(c='text')})) AS n_repeated
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+       CAST(SUM(n_repeated) AS BIGINT) AS repeated_grams,
+       COUNT(CASE WHEN n_repeated * 5 > n_grams THEN 1 END) AS n_docs_high_rep
+FROM scored
+GROUP BY source
+""",
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition (the other half of the duplicated-n-gram
+    family: text_dup_ngram_ratio is cross-document): fraction of a doc's
+    5-grams that repeat inside the same document. Pure per-row HOF
+    arithmetic -- no explode, no shuffle before the final per-source
+    rollup; the repeated-gram counter is size(grams) - size(distinct)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "source", ngram_shingles_from_tokens(whitespace_tokens("text"), 5).alias("grams")
+    )
+    scored = staged.select(
+        "source",
+        F.size("grams").alias("n_grams"),
+        (F.size("grams") - F.size(F.array_distinct("grams"))).alias(
+            "n_repeated"
+        ),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("total_grams"),
+        F.sum("n_repeated").cast("bigint").alias("repeated_grams"),
+        F.count(F.when(F.col("n_repeated") * 5 > F.col("n_grams"), 1)).alias(
+            "n_docs_high_rep"
+        ),
+    )
