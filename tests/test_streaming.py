@@ -396,3 +396,64 @@ def test_streaming_cdc_merge_apply_matches_sequential_batch(spark, tmp_path):
         F.col("o_totalprice") != F.col("orig") + 1000
     ).filter(F.col("o_orderkey") % 5 != 0).count()
     assert n_bad == 0
+
+
+def test_cdc_merge_sink_restart_continues_from_checkpoint(spark, tmp_path):
+    """CDC merge sink across a restart: run batch 1 to completion, then
+    land two MORE change files and restart a new query on the SAME
+    checkpoint. The final snapshot must equal the three batches folded
+    sequentially -- possible only if the restarted query (a) skipped the
+    already-applied batch and (b) applied exactly the two new ones on top
+    of the surviving snapshot pointer."""
+    from pyspark.sql import functions as F
+
+    from gmail_bigquery_etl_spark.operators.merge import merge_upsert
+    from gmail_bigquery_etl_spark.streaming.merge_sink import (
+        current_snapshot_dir,
+        start_merge_apply,
+    )
+
+    orders = load_table(spark, SMOKE_SF, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    feed_dir = str(tmp_path / "feed")
+    sink_root = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def chunk(k: int, mod: int):
+        return orders.filter(F.col("o_orderkey") % mod == 0).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000 * k).alias("o_totalprice"),
+            ((F.lit(k) == 2) & (F.col("o_orderkey") % 10 == 0)).alias(
+                "is_delete"
+            ),
+        )
+
+    def run():
+        schema = spark.read.parquet(feed_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        q = start_merge_apply(stream, sink_root, ckpt, keys=["o_orderkey"])
+        assert q.awaitTermination(300)
+
+    chunks = [chunk(0, 2), chunk(1, 3), chunk(2, 5)]
+    chunks[0].coalesce(1).write.mode("overwrite").parquet(feed_dir)
+    run()  # phase 1: only batch 0 exists
+    snap1 = spark.read.parquet(current_snapshot_dir(sink_root))
+    assert snap1.count() == chunks[0].count()
+
+    for c in chunks[1:]:
+        c.coalesce(1).write.mode("append").parquet(feed_dir)
+    run()  # restart on the same checkpoint
+
+    got = spark.read.parquet(current_snapshot_dir(sink_root))
+    expected = spark.createDataFrame(
+        [], "o_orderkey bigint, o_totalprice double"
+    )
+    for c in chunks:
+        expected = merge_upsert(expected, c, ["o_orderkey"], delete_col="is_delete")
+    assert got.count() == expected.count()
+    assert got.unionAll(expected).distinct().count() == expected.count()
