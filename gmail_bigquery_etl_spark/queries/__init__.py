@@ -65,6 +65,9 @@ _ROUND4_FRONT = [
     "q11_important_stock",
     "q20_promotable_suppliers",
     # (b) code path edited this round -> revalidate under the driver
+    # (window_running_sum: tiebreak chain extended for the regenerated
+    # fixture's duplicate (orderkey, linenumber) row)
+    "window_running_sum",
     "ingest_via_datasource",
     "ingest_point_lookup",
     "multimodal_ppm_decode",
