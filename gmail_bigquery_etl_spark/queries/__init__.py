@@ -50,6 +50,7 @@ _ROUND4_FRONT = [
     "docs_curated_pipeline",
     "docs_contamination_check",
     "text_repetition_scores",
+    "multimodal_bmp_decode",
     "multimodal_wav_decode",
     "q2_min_cost_supplier",
     "q16_supplier_cnt",

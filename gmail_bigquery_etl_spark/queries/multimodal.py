@@ -3,10 +3,11 @@
 ``documents`` stands in as the media corpus: utf-8 payload bytes in a
 BinaryType column with a typed metadata struct. Feature extraction runs
 through the real Arrow/mapInPandas plumbing (operators/multimodal.py).
-Codec status: multimodal_ppm_decode runs a REAL pure-Python PPM (P6)
-decode end-to-end (fake=False); the other queries use the deterministic
-md5-derived fake (non-PPM decode stays stubbed behind NotImplementedError
--- no codec libs in this container).
+Codec status: multimodal_ppm_decode (PPM/P6 image), multimodal_wav_decode
+(PCM WAV audio) and multimodal_bmp_decode (uncompressed BMP image) each
+run a REAL pure-Python decode end-to-end (fake=False); the remaining
+queries use the deterministic md5-derived fake (other formats stay
+stubbed behind NotImplementedError -- no codec libs in this container).
 """
 
 from __future__ import annotations
@@ -206,3 +207,62 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("meta.n_bytes").alias("total_bytes"),
         F.max("meta.n_bytes").alias("max_bytes"),
     )
+
+
+@query(
+    "multimodal_bmp_decode",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 13 + 2 AS INT) AS w,
+         CAST(doc_id % 7 + 2 AS INT) AS h
+  FROM documents
+)
+SELECT media_id,
+       CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+       w AS width,
+       h AS height,
+       CAST(24 AS INT) AS bits_per_pixel
+FROM m
+""",
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REAL codec end-to-end: synthesize a valid uncompressed 24-bit
+    BMP per document (BITMAPFILEHEADER + BITMAPINFOHEADER with
+    little-endian fields via hex/unhex, 4-byte-padded rows, all
+    codegen'd), push the payloads through bmp_features(fake=False) -- the
+    stdlib BMP parser, which validates file size, DIB layout, compression
+    and the padded-raster length -- and gate the recovered dimensions and
+    byte counts against an oracle that predicts them arithmetically. The
+    dimensions the parser RETURNS come from binary header fields it READ,
+    so a builder or parser bug cannot cancel out of the comparison."""
+    from ..operators.multimodal import bmp_features
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 13 + 2).cast("int").alias("w"),
+        (F.col("doc_id") % 7 + 2).cast("int").alias("h"),
+    )
+    d = d.withColumn(
+        "stride", ((F.col("w") * 3 + 3) / 4).cast("int") * 4
+    ).withColumn("raster", F.col("stride") * F.col("h"))
+    hex_payload = F.concat(
+        F.lit("424D"),  # "BM"
+        _le_hex(F.lit(54) + F.col("raster"), 4),  # file size
+        F.lit("00000000"),  # reserved
+        _le_hex(F.lit(54), 4),  # pixel data offset
+        _le_hex(F.lit(40), 4),  # BITMAPINFOHEADER size
+        _le_hex(F.col("w"), 4),
+        _le_hex(F.col("h"), 4),
+        F.lit("0100"),  # planes = 1, LE u16
+        _le_hex(F.lit(24), 2),  # bits per pixel
+        F.lit("00000000"),  # BI_RGB
+        _le_hex(F.col("raster"), 4),  # biSizeImage
+        _le_hex(F.lit(2835), 4),  # x pixels/meter
+        _le_hex(F.lit(2835), 4),  # y pixels/meter
+        F.lit("00000000"),  # colors used
+        F.lit("00000000"),  # important colors
+        F.expr("repeat('78', raster)"),  # 'x' pixel bytes
+    )
+    media = d.select("media_id", F.unhex(hex_payload).alias("payload"))
+    return bmp_features(media, fake=False)

@@ -163,3 +163,36 @@ def test_audio_features_fake_path(spark, media):
     assert all(r.n_channels in (1, 2) for r in out)
     assert all(r.sample_rate in (8000, 12000, 16000, 20000) for r in out)
     assert all(r.bits_per_sample in (8, 16) for r in out)
+
+
+def test_parse_bmp_meta_real_decode():
+    import struct
+
+    from gmail_bigquery_etl_spark.operators.multimodal import parse_bmp_meta
+
+    def build(w, h, bpp=24, compression=0, dib=40, corrupt_size=False):
+        stride = (w * bpp // 8 + 3) // 4 * 4
+        raster = stride * abs(h)
+        size = 54 + raster
+        head = b"BM" + struct.pack(
+            "<III", size + (1 if corrupt_size else 0), 0, 54
+        )
+        info = struct.pack("<IiiHHI", dib, w, h, 1, bpp, compression)
+        info += b"\x00" * (40 - len(info))
+        return head + info + b"x" * raster
+
+    assert parse_bmp_meta(build(5, 3)) == (5, 3, 24)
+    assert parse_bmp_meta(build(4, 2, bpp=32)) == (4, 2, 32)
+    # top-down (negative height) reports positive height
+    assert parse_bmp_meta(build(5, -3)) == (5, 3, 24)
+    # row padding matters: width 5 @24bpp pads 15 -> 16-byte rows
+    with pytest.raises(ValueError):
+        parse_bmp_meta(build(5, 3)[:-1])
+    with pytest.raises(ValueError):
+        parse_bmp_meta(build(5, 3, corrupt_size=True))
+    with pytest.raises(NotImplementedError):
+        parse_bmp_meta(b"PNG\x00" * 20)
+    with pytest.raises(NotImplementedError):
+        parse_bmp_meta(build(5, 3, compression=1))  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        parse_bmp_meta(build(5, 3, dib=124))  # BITMAPV5HEADER
