@@ -23,12 +23,20 @@ def interval_join_pairs(
     events: DataFrame,
     interval: str = "1 hour",
     watermark: str = "2 hours",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Pair purchases with same-user clicks in (p_ts - interval, p_ts].
 
     ``events`` may be a streaming OR batch DataFrame with columns
     (user_id, ts, event_type, value); the same plan compiles either way,
     which is how the tests cross-check.
+
+    ``join_type="left_outer"`` keeps purchases with no qualifying click as
+    null-click rows. In the streaming form those rows are emitted only once
+    the watermark passes the purchase's match window (no earlier click can
+    still arrive) -- so a run over a finite source leaves the final
+    ``watermark`` span of purchases unemitted; the tests compare against
+    the batch twin on the watermark-closed region only.
     """
     purchases = (
         events.filter(F.col("event_type") == "purchase")
@@ -49,4 +57,5 @@ def interval_join_pairs(
         (F.col("user_id") == F.col("c_user"))
         & (F.col("c_ts") > F.col("p_ts") - F.expr(f"INTERVAL {interval}"))
         & (F.col("c_ts") <= F.col("p_ts")),
+        join_type,
     ).select("user_id", "p_ts", "c_ts", "value")

@@ -457,3 +457,53 @@ def test_cdc_merge_sink_restart_continues_from_checkpoint(spark, tmp_path):
         expected = merge_upsert(expected, c, ["o_orderkey"], delete_col="is_delete")
     assert got.count() == expected.count()
     assert got.unionAll(expected).distinct().count() == expected.count()
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path, replay_dir):
+    """LEFT OUTER stream-stream interval join: purchases with no click in
+    the preceding hour surface as null-click rows, emitted only after the
+    watermark passes their match window. Compared to the batch twin on the
+    watermark-closed region (purchases older than max_ts - watermark);
+    younger outer rows are legitimately still held back at end-of-run."""
+    from pyspark.sql import functions as F
+
+    from gmail_bigquery_etl_spark.streaming.joins import interval_join_pairs
+
+    out = str(tmp_path / "pairs")
+    stream = replay_events_stream(spark, replay_dir)
+    pairs = interval_join_pairs(stream, join_type="left_outer")
+    assert pairs.isStreaming
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    events = load_table(spark, SMOKE_SF, "events")
+    # The global watermark is the MIN across both sides' watermark nodes
+    # (purchases and clicks advance separately), and outer-row eviction
+    # additionally waits out the join interval; stay strictly clear of
+    # both bounds with an extra interval of margin.
+    cutoff = (
+        events.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(
+            (F.min("m") - F.expr("INTERVAL 3 HOURS")).alias("c")
+        )
+        .collect()[0]["c"]
+    )
+
+    got = spark.read.parquet(out).filter(F.col("p_ts") < F.lit(cutoff))
+    want = interval_join_pairs(events, join_type="left_outer").filter(
+        F.col("p_ts") < F.lit(cutoff)
+    )
+    # the closed region must agree exactly, including the null-click rows
+    assert got.count() == want.count()
+    assert got.unionAll(want).distinct().count() == want.count()
+    # and outer rows actually exist (the join isn't silently inner)
+    assert got.filter(F.col("c_ts").isNull()).count() > 0
