@@ -65,3 +65,29 @@ def test_json_null_vs_empty_distinction(spark, records, tmp_path):
     assert back.filter(F.col("threadId") == "").count() == records.filter(
         F.col("threadId") == ""
     ).count()
+
+
+def test_parquet_schema_evolution_merge_schema(spark, tmp_path):
+    """Schema evolution on a landed dataset: a later writer adds a column;
+    mergeSchema reads the union schema with NULLs for the old files --
+    the append-only contract a long-lived sink depends on (the reference
+    simply relies on BigQuery's schema for this)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(0, 10).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).write.parquet(p)
+    spark.range(10, 20).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit("en").alias("lang")
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "v", "lang"}
+    assert merged.count() == 20
+    assert merged.filter(F.col("lang").isNull()).count() == 10
+    assert merged.filter(F.col("lang") == "en").count() == 10
+    # predicate on the evolved column still prunes/pushes cleanly
+    assert merged.filter(F.col("lang").isNotNull()).agg(
+        F.sum("v")
+    ).collect()[0][0] == sum(i * 2 for i in range(10, 20))
