@@ -51,6 +51,7 @@ _ROUND4_FRONT = [
     "docs_contamination_check",
     "text_repetition_scores",
     "multimodal_bmp_decode",
+    "events_interval_join_outer",
     "multimodal_wav_decode",
     "q2_min_cost_supplier",
     "q16_supplier_cnt",

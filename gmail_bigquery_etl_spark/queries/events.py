@@ -708,3 +708,40 @@ def events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("approx_ok"),
     )
+
+
+@query(
+    "events_interval_join_outer",
+    oracle="""
+SELECT p.user_id,
+       COUNT(*) AS n_rows,
+       COUNT(c.ts) AS n_matched,
+       CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(18,4))), 0) AS DOUBLE)
+         AS click_value
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >  p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+GROUP BY p.user_id
+""",
+)
+def events_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join, batch form of streaming/joins.py's outer
+    mode (this query calls THAT operator, so the driver gate exercises the
+    exact code the stream runs): purchases with no qualifying click keep a
+    null-click row. Same equi-key + range-residual shape as the inner
+    form."""
+    from ..streaming.joins import interval_join_pairs
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    pairs = interval_join_pairs(ev, join_type="left_outer")
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_rows"),
+        F.count("c_ts").alias("n_matched"),
+        F.coalesce(F.sum(_dec(F.col("value"))), F.lit(0).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("click_value"),
+    )
