@@ -52,6 +52,8 @@ _ROUND4_FRONT = [
     "text_repetition_scores",
     "multimodal_bmp_decode",
     "events_interval_join_outer",
+    "agg_collect_arrays",
+    "events_posexplode_props",
     "multimodal_wav_decode",
     "q2_min_cost_supplier",
     "q16_supplier_cnt",

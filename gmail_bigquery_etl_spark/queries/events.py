@@ -745,3 +745,69 @@ def events_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("click_value"),
     )
+
+
+# --- Collection aggregates (array-valued result columns) -----------------------
+
+@query(
+    "agg_collect_arrays",
+    oracle="""
+SELECT user_id % 100 AS bucket,
+       list_sort(list(DISTINCT event_type)) AS types,
+       COUNT(DISTINCT event_type) AS n_types,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+""",
+)
+def agg_collect_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation: collect_set + sort_array gives a
+    DETERMINISTIC array result (collect_list order is partition-dependent
+    and would never hash-match an oracle -- the sort is the portability
+    contract). One partial+final hash aggregate; array cells compare
+    value-wise against DuckDB's list_sort(list(DISTINCT ...))."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy((F.col("user_id") % 100).alias("bucket")).agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --- Positional explode (LATERAL / UNNEST WITH ORDINALITY) ---------------------
+
+@query(
+    "events_posexplode_props",
+    oracle="""
+WITH toks AS (
+  SELECT event_id,
+         unnest(string_split(event_type, '')) AS ch,
+         generate_subscripts(string_split(event_type, ''), 1) AS pos
+  FROM events
+  WHERE event_id % 997 = 0
+)
+SELECT ch,
+       CAST(pos - 1 AS INT) AS pos,
+       COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM toks
+GROUP BY 1, 2
+""",
+)
+def events_posexplode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (UNNEST WITH ORDINALITY): each row fans out to
+    (position, element) pairs -- the lateral-view shape. posexplode keeps
+    the ordinal so downstream logic can be position-aware; the generated
+    rows flow straight into a partial-aggregated rollup (Generate never
+    materializes the fan-out to storage)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 997 == 0
+    )
+    chars = ev.select(
+        "event_id",
+        F.posexplode(F.split(F.col("event_type"), "")).alias("pos", "ch"),
+    )
+    return chars.groupBy("ch", "pos").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+    )
