@@ -222,3 +222,15 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cli_surface(spark):
+    """The __main__ CLI: list names every registered query; run/explain
+    route to the declared corpus (exercised via main() directly -- no
+    subprocess, the session is shared)."""
+    from gmail_bigquery_etl_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    assert main(["oracle", "q1_pricing_summary"]) == 0
+    assert main(["run", "nope_not_a_query"]) == 2
+    assert main(["definitely-bad-cmd"]) == 2
