@@ -54,6 +54,7 @@ _ROUND4_FRONT = [
     "events_interval_join_outer",
     "agg_collect_arrays",
     "events_posexplode_props",
+    "text_unigram_logprob",
     "multimodal_wav_decode",
     "q2_min_cost_supplier",
     "q16_supplier_cnt",

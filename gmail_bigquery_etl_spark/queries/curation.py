@@ -340,3 +340,73 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_high_rep"
         ),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({_SQL_TOKS.format(c='text')}) AS w
+  FROM documents
+), freq AS (
+  SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS t FROM freq
+), scored AS (
+  SELECT doc_id, source,
+         COUNT(*) AS n_toks,
+         CAST(SUM(CAST(ROUND(-LN(c / t), 6) AS DECIMAL(18,6))) AS DOUBLE)
+           AS nll
+  FROM toks JOIN freq USING (w) CROSS JOIN tot
+  GROUP BY doc_id, source
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+       CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) AS total_nll,
+       COUNT(CASE WHEN nll > 8 * n_toks THEN 1 END) AS n_high_perplexity
+FROM scored
+GROUP BY source
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score (the KenLM-filter shape with a
+    unigram LM): the corpus term-frequency table IS the language model;
+    each document scores the sum of -ln p(w) over its tokens, and
+    documents whose mean NLL is high are surprise-heavy outliers. Plan:
+    one token explode, one vocabulary aggregate, a broadcast-joined score
+    pass (the LM table is vocab-sized -- the thing you'd broadcast at
+    100 TB too), a 1-row total crossJoin, and two rollup aggregates.
+    Determinism: each -ln p is rounded to 6dp then decimal-summed on both
+    engines (the registry's libm rule)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "source", F.explode(whitespace_tokens("text")).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("t"))
+    scored = (
+        toks.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum(
+                F.round(-F.log(F.col("c") / F.col("t")), 6).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("nll"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_toks"),
+        F.sum(F.col("nll").cast("decimal(18,6)")).cast("double").alias(
+            "total_nll"
+        ),
+        F.count(F.when(F.col("nll") > 8 * F.col("n_toks"), 1)).alias(
+            "n_high_perplexity"
+        ),
+    )

@@ -72,6 +72,7 @@ def test_no_accidental_cartesian_products(spark):
         "embedding_near_dup",
         "dedup_exact_survivors_count",  # crossJoin of two 1-row aggregates
         "text_tfidf_top_terms",  # broadcast crossJoin of the 1-row doc count
+        "text_unigram_logprob",  # broadcast crossJoin of the 1-row token total
         "q22_dormant_customers",  # broadcast crossJoin of the 1-row threshold
         "q11_important_stock",  # broadcast crossJoin of the 1-row global total
         # broadcast crossJoin against an O(K)-row hash-function/band dim
