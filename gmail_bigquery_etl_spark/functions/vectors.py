@@ -32,6 +32,22 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / denom
 
 
+def max_abs(a: Column | str) -> Column:
+    """Largest |element| as float64. Max is associative/exact on doubles,
+    so the left-fold result is partitioning- and engine-independent."""
+    return F.aggregate(
+        _c(a), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+
+
+def int_dot(a: Column | str, b: Column | str) -> Column:
+    """Exact int64 dot product of two integer-code arrays (int8-range
+    codes: |q| <= 127, so d * 127^2 stays far inside int64 -- no ANSI
+    overflow)."""
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
 def normalize(a: Column | str) -> Column:
     """Unit-normalize; zero vectors come back unchanged (not NULL/NaN)."""
     col = _c(a)

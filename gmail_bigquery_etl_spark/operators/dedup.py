@@ -300,6 +300,75 @@ def jaccard_pairs_from_grams(
     )
 
 
+def inverted_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = 64,
+) -> DataFrame:
+    """Direct n-gram-Jaccard near-dup pairs via a df-capped inverted index
+    (no MinHash stage): the all-pairs-similarity shape of Bayardo et al.
+
+    Any pair with Jaccard >= t shares >= 1 shingle, so candidate generation
+    is the inverted-index self-join on the shingle hash -- a hash equi-join,
+    never O(n^2) over documents. The document-frequency cap (``max_df``)
+    drops boilerplate shingles shared by many documents BEFORE the
+    self-join: a shingle hitting d documents would emit d*(d-1)/2 candidate
+    rows, so ubiquitous grams (licence headers, lorem ipsum) are the
+    quadratic risk, and they carry ~zero similarity signal. Jaccard is then
+    computed EXACTLY over the df-filtered shingle space: both the shared
+    count and the per-document set sizes count only kept shingles, so the
+    emitted score is the exact Jaccard of the filtered sets (not a lower
+    bound mixing filtered intersections with unfiltered sizes). Documents
+    whose every shingle is capped (pure boilerplate) leave the index;
+    exact-hash dedup already collapses those.
+
+    Plan shape: explode(distinct shingles) -> one window count over the
+    shingle hash (single shuffle, and its hash partitioning is exactly the
+    self-join's key, so the exchange is reused) -> pair groupBy -> two size
+    joins. Reference parity: the reference dedups exact-by-key only
+    (etl_service/main.py:205); this is the near-dup ladder's no-sketch rung,
+    complementing MinHash-LSH (approximate, for when even one window over
+    the full posting list is too wide).
+    """
+    kept = (
+        shingle_hash_stage(df, text_col, id_col, shingle_n, out_col="_hs")
+        # distinct AFTER the mod-P hash: two shingles colliding to one
+        # residue must still contribute one (id, g) posting, or shared
+        # counts would double-count.
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct("_hs")).alias("g"),
+        )
+        .withColumn("_df", F.count("*").over(W.partitionBy("g")))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+    sizes = kept.groupBy("_id").agg(F.count("*").cast("bigint").alias("sz"))
+    shared = (
+        kept.select(F.col("_id").alias("id_a"), "g")
+        .join(kept.select(F.col("_id").alias("id_b"), "g"), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        shared.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a"
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b"
+        )
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def simhash(text_col: Column | str, bits: int = 32) -> Column:
     """Sign-aggregated token-hash fingerprint as a bigint.
 

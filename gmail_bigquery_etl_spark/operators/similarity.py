@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, int_dot, max_abs
 
 
 def brute_force_topk(
@@ -48,6 +48,93 @@ def brute_force_topk(
             "query_id",
             "match_id",
             cosine_similarity("q_vec", "c_vec").alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def sq8_quantize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization (the faiss SQ8-flat
+    shape): codes_i = floor(x_i * 127 / max|x| + 0.5), an int in [-127, 127].
+
+    At 100 TB this is the memory lever for similarity search: codes are 4x
+    smaller than the float32 vectors (at rest they'd be array<tinyint> or a
+    packed binary blob; arithmetic here keeps them bigint, which changes
+    nothing semantically), so a scan over codes moves a quarter of the
+    bytes and composes with the IVF cell pruning (ivf_topk) the same way a
+    faiss IVF,SQ8 index does. The scale is staged as its own projection:
+    HOF lambdas get no common-subexpression elimination, so an inline
+    max-abs referenced per element would re-fold the array O(d) times per
+    element (O(d^2) per row). Zero vectors have no direction: their scale
+    is NULLIF'd to NULL, the codes come out NULL, and scorers drop them via
+    the norm>0 filter.
+    """
+    staged = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        F.nullif(max_abs(vec_col), F.lit(0.0)).alias("_s"),
+    )
+    return staged.select(
+        id_col,
+        F.transform(
+            "_v",
+            lambda x: F.floor(x.cast("double") * 127.0 / F.col("_s") + 0.5).cast(
+                "bigint"
+            ),
+        ).alias("codes"),
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over int8 codes (brute-force SQ8-flat).
+
+    Approximate cosine = int_dot(q, c) / (sqrt(|c|^2) * sqrt(|q|^2)) over
+    the quantized codes -- the per-vector scales cancel out of cosine up to
+    quantization error, so no dequantization happens in the hot loop: the
+    scan is exact int64 multiply-adds plus one double divide per pair,
+    deterministic across engines and partitionings (recall vs the float
+    baseline is pytest-gated). Same plan shape as brute_force_topk:
+    broadcast the query side, one codegen'd projection over the corpus, a
+    per-query top-k window.
+    """
+    c = sq8_quantize(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("match_id"), F.col("codes").alias("c_codes")
+    )
+    c = c.select(
+        "match_id", "c_codes", int_dot("c_codes", "c_codes").alias("c_nn")
+    ).filter(F.col("c_nn") > 0)
+    q = sq8_quantize(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("codes").alias("q_codes")
+    )
+    q = q.select(
+        "query_id", "q_codes", int_dot("q_codes", "q_codes").alias("q_nn")
+    ).filter(F.col("q_nn") > 0)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            (
+                int_dot("c_codes", "q_codes").cast("double")
+                / (
+                    F.sqrt(F.col("c_nn").cast("double"))
+                    * F.sqrt(F.col("q_nn").cast("double"))
+                )
+            ).alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))

@@ -36,6 +36,9 @@ from . import curation as _curation  # noqa: E402,F401  (corpus curation ops)
 # FULL corpus against the DuckDB oracle every round.
 _ROUND4_FRONT = [
     # (a) new this round
+    "dedup_ngram_jaccard_pairs",
+    "ann_sq8_topk",
+    "docs_chunk_windows",
     "merge_upsert_orders",
     "scd2_customer_history",
     "agg_price_histogram",

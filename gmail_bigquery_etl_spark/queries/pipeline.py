@@ -201,3 +201,81 @@ def docs_curated_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# Whitespace tokens of a text column (DuckDB side; mirrors
+# functions/text.py whitespace_tokens for non-empty fixture texts).
+_SQL_PTOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+# Sliding token-window chunking: window of 64 tokens, stride 48 (16-token
+# overlap). n_chunks = 1 if n <= 64 else floor((n - 17) / 48) + 1, i.e.
+# ceil((n - 64) / 48) + 1 -- the last window starts at the final stride
+# step and is allowed to run short.
+_CHUNK_W, _CHUNK_S = 64, 48
+
+
+@query(
+    "docs_chunk_windows",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_PTOKS} AS toks, len({_SQL_PTOKS}) AS n FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0,
+             CASE WHEN n <= {_CHUNK_W} THEN 0
+                  ELSE CAST(floor((n - {_CHUNK_W - _CHUNK_S + 1}) / {_CHUNK_S}.0) AS BIGINT)
+             END)) AS chunk_id
+  FROM t
+)
+SELECT doc_id, chunk_id,
+       chunk_id * {_CHUNK_S} AS start_tok,
+       CAST(len(toks[chunk_id * {_CHUNK_S} + 1 : chunk_id * {_CHUNK_S} + {_CHUNK_W}]) AS BIGINT) AS n_tokens,
+       substring(md5(array_to_string(toks[chunk_id * {_CHUNK_S} + 1 : chunk_id * {_CHUNK_S} + {_CHUNK_W}], ' ')), 1, 16) AS chunk_hash
+FROM c
+""",
+)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window document chunking with overlap -- the step that turns a
+    curated corpus into model-ready sequences (context-window packing's
+    sibling: docs_token_shards buckets whole docs, this SPLITS long docs).
+
+    Pure per-row explode of a sequence expression: tokens are staged once
+    per document (HOF/slice lambdas get no CSE), chunk starts are a
+    generated sequence, and each chunk row carries its token span plus an
+    md5 content fingerprint (so downstream chunk-level dedup can run
+    without re-tokenizing). No shuffle at all -- at 100 TB this is a
+    map-only stage that composes with the scan; the fan-out factor is
+    bounded by doc length / stride.
+    """
+    from ..functions.text import whitespace_tokens
+
+    w, s = _CHUNK_W, _CHUNK_S
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", whitespace_tokens("text").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    n_chunks = F.when(F.col("n") <= w, F.lit(1).cast("bigint")).otherwise(
+        F.floor((F.col("n") - (w - s + 1)) / s) + 1
+    )
+    chunks = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    ctoks = F.slice("toks", (F.col("chunk_id") * s + 1).cast("int"), w)
+    staged2 = chunks.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * s).alias("start_tok"),
+        ctoks.alias("ctoks"),
+    )
+    return staged2.select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        F.size("ctoks").cast("bigint").alias("n_tokens"),
+        F.substring(F.md5(F.array_join("ctoks", " ")), 1, 16).alias("chunk_hash"),
+    )

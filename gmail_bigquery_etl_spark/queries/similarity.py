@@ -253,3 +253,62 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "id_a", "id_b", F.round("score", 6).alias("score")
     )
+
+
+# Exact int64 dot product of DuckDB integer-code lists {a} x {b} (same
+# index-fold shape as _SQL_DOT; products/sums stay integer, so exact).
+_SQL_IDOT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i] * {b}[i])), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@query(
+    "ann_sq8_topk",
+    oracle=f"""
+WITH scales AS (
+  SELECT vec_id, embedding,
+         NULLIF(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+             (a, x) -> CASE WHEN x > a THEN x ELSE a END), 0) AS s
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)) AS codes
+  FROM scales
+),
+n AS (
+  SELECT vec_id, codes, {_SQL_IDOT.format(a='codes', b='codes')} AS nn FROM qz
+),
+q AS (SELECT vec_id AS query_id, codes AS qc, nn AS qn FROM n WHERE vec_id < 10 AND nn > 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS match_id,
+         CAST({_SQL_IDOT.format(a='c.codes', b='q.qc')} AS DOUBLE)
+           / (sqrt(CAST(c.nn AS DOUBLE)) * sqrt(CAST(q.qn AS DOUBLE))) AS score
+  FROM n c, q WHERE c.vec_id <> q.query_id AND c.nn > 0
+),
+ranked AS (
+  SELECT query_id, match_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, match_id) AS rank
+  FROM scored
+)
+SELECT query_id, match_id, rank, ROUND(score, 6) AS score
+FROM ranked WHERE rank <= 5
+""",
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) cosine top-k -- the MEMORY scale path for
+    similarity search (4x smaller than float32 at rest, composable with
+    the IVF cell pruning like a faiss IVF,SQ8 index). Correctness-gated on
+    the exact quantized ranking: integer dot products are exact, so both
+    engines produce bit-identical scores and an identical top-5 under the
+    (score DESC, match_id) total order. Recall vs the float32 brute-force
+    baseline is pytest-gated (tests/test_ann.py)."""
+    from ..operators.similarity import sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)

@@ -346,6 +346,47 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+WITH corpus AS ({_SQL_AUGMENTED}),
+hashed AS ({_SQL_HASHED}),
+kept AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df
+    FROM (SELECT doc_id, unnest(list_distinct(hs)) AS g FROM hashed)
+  ) WHERE df <= 64
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b,
+       ROUND(CAST(s.n_inter AS DOUBLE) / (sa.sz + sb.sz - s.n_inter), 6) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.id_a
+JOIN sizes sb ON sb.doc_id = s.id_b
+WHERE CAST(s.n_inter AS DOUBLE) / (sa.sz + sb.sz - s.n_inter) >= 0.6
+""",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct n-gram-Jaccard near-dup pairs -- the NO-SKETCH rung of the
+    dedup ladder (exact / n-gram-Jaccard / MinHash-LSH / SimHash): a
+    df-capped inverted index on the shingle hash generates candidates as a
+    hash self-join, and the emitted score is the exact Jaccard of the
+    df-filtered shingle sets. Unlike dedup_minhash_lsh_pairs there is no
+    probabilistic miss: every pair with Jaccard >= t over kept shingles is
+    found (sketch recall traded for a wider posting-list join). See
+    operators/dedup.py:inverted_jaccard_pairs for the 100 TB skew story
+    (the max_df cap bounds the quadratic posting-list blowup)."""
+    from ..operators.dedup import inverted_jaccard_pairs
+
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    return inverted_jaccard_pairs(corpus, threshold=0.6, max_df=64)
+
+
+@query(
     "dedup_clusters",
     oracle=f"""
 WITH RECURSIVE {_SQL_LSH_CTES},

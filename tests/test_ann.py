@@ -90,3 +90,34 @@ def test_lsh_near_dup_full_recall_on_directional_dupes(spark, emb):
     exact = {(r.id_a, r.id_b) for r in allpairs_cosine(corpus, 0.999).collect()}
     lsh = {(r.id_a, r.id_b) for r in lsh_near_dup_pairs(corpus, 0.999).collect()}
     assert exact and lsh == exact
+
+
+def test_sq8_recall_beats_floor(spark, emb):
+    """Int8 scalar quantization must barely perturb the cosine ranking:
+    recall@5 vs the float32 brute force should be near-perfect (the
+    contract that makes the 4x memory cut a free lunch)."""
+    from gmail_bigquery_etl_spark.operators.similarity import sq8_topk
+
+    qs = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = _hits(brute_force_topk(emb, qs, k=K))
+    approx = _hits(sq8_topk(emb, qs, k=K))
+    assert _recall(approx, exact) >= 0.9
+
+
+def test_sq8_scores_close_to_float_cosine(spark, emb):
+    """Quantized cosine tracks true cosine within SQ8's error envelope
+    (~1/127 per element, strongly cancelling over 64 dims)."""
+    from gmail_bigquery_etl_spark.operators.similarity import sq8_topk
+
+    qs = emb.filter(F.col("vec_id") < 5)
+    sq8 = {
+        (r.query_id, r.match_id): r.score for r in sq8_topk(emb, qs, k=K).collect()
+    }
+    exact = {
+        (r.query_id, r.match_id): r.score
+        for r in brute_force_topk(emb, qs, k=K).collect()
+    }
+    common = set(sq8) & set(exact)
+    assert common, "no overlapping top-k pairs to compare"
+    for pair in common:
+        assert abs(sq8[pair] - exact[pair]) < 0.02

@@ -1,0 +1,79 @@
+"""Token-window chunking invariants (queries/pipeline.py
+docs_chunk_windows): full coverage of every document's token span, fixed
+stride, bounded windows -- checked against an independent Python
+re-chunking of the same fixture texts. (The exact output is also
+oracle-gated via the registered query.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from gmail_bigquery_etl_spark.queries.pipeline import (
+    _CHUNK_S,
+    _CHUNK_W,
+    docs_chunk_windows,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _python_chunks(text: str):
+    toks = text.lower().split()
+    n = len(toks)
+    n_chunks = 1 if n <= _CHUNK_W else (n - (_CHUNK_W - _CHUNK_S + 1)) // _CHUNK_S + 1
+    out = []
+    for cid in range(n_chunks):
+        start = cid * _CHUNK_S
+        ctoks = toks[start : start + _CHUNK_W]
+        out.append(
+            (
+                cid,
+                start,
+                len(ctoks),
+                hashlib.md5(" ".join(ctoks).encode()).hexdigest()[:16],
+            )
+        )
+    return out
+
+
+def test_chunks_match_python_reference(spark):
+    got = {}
+    for r in docs_chunk_windows(spark, SF).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.start_tok, r.n_tokens, r.chunk_hash)
+        )
+    import duckdb
+
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+    )
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        assert sorted(got[doc_id]) == _python_chunks(text), doc_id
+
+
+def test_chunks_cover_and_overlap(spark):
+    rows = docs_chunk_windows(spark, SF).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        # chunk ids are dense from 0; starts advance by exactly the stride
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        assert all(c.start_tok == c.chunk_id * _CHUNK_S for c in chunks)
+        # every chunk is bounded by the window; all but the last are full
+        # (a short last window is the contract) and consecutive chunks
+        # overlap by w - s tokens
+        assert all(c.n_tokens <= _CHUNK_W for c in chunks)
+        for prev, nxt in zip(chunks, chunks[1:]):
+            assert prev.n_tokens == _CHUNK_W
+            assert nxt.start_tok < prev.start_tok + prev.n_tokens
+        # the final chunk reaches the end of the document exactly once:
+        # its span ends past every other chunk's span
+        last = chunks[-1]
+        end = last.start_tok + last.n_tokens
+        assert all(c.start_tok + c.n_tokens <= end for c in chunks)

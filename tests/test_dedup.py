@@ -108,3 +108,74 @@ def test_simhash_pairs_bucket_cap_drops_mega_buckets(spark):
     same = docs.select("doc_id", F.lit("same text every row here").alias("text"))
     assert simhash_pairs(same, max_distance=3, max_bucket=10).count() == 0
     assert simhash_pairs(same, max_distance=3, max_bucket=1000).count() == 190
+
+
+def test_inverted_jaccard_matches_python_bruteforce(spark):
+    """With the df cap disabled, inverted_jaccard_pairs is EXACT: every
+    pair at or above the threshold, with the true trigram-set Jaccard."""
+    import hashlib
+    from gmail_bigquery_etl_spark.operators.dedup import inverted_jaccard_pairs
+
+    corpus = _corpus(spark)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in inverted_jaccard_pairs(
+            corpus, threshold=0.6, max_df=1_000_000
+        ).collect()
+    }
+
+    P = 1_000_000_007
+
+    def shingle_hashes(text):
+        toks = text.lower().split()
+        grams = (
+            [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+            if len(toks) >= 3
+            else [" ".join(toks)]
+        )
+        return {
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % P for g in grams
+        }
+
+    rows = corpus.select("doc_id", "text").collect()
+    sets = {r.doc_id: shingle_hashes(r.text) for r in rows}
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / len(sets[a] | sets[b])
+                if j >= 0.6:
+                    want[(a, b)] = round(j, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_inverted_jaccard_df_cap_drops_boilerplate(spark):
+    """A shingle shared by every document (licence-header shape) must be
+    excluded by the df cap: two otherwise-disjoint docs that share ONLY
+    boilerplate never pair, and the posting-list join never sees the
+    mega-bucket."""
+    from gmail_bigquery_etl_spark.operators.dedup import inverted_jaccard_pairs
+
+    boiler = "generated by the acme pipeline all rights reserved"
+    rows = [(i, f"{boiler} unique token{i} payload{i} row{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # Every boilerplate trigram hits all 40 docs -> df 40 > cap 8; the
+    # unique tails share nothing, so no pair survives.
+    assert inverted_jaccard_pairs(docs, threshold=0.1, max_df=8).count() == 0
+    # Uncapped, the boilerplate dominates every pair's intersection.
+    uncapped = inverted_jaccard_pairs(docs, threshold=0.1, max_df=10_000)
+    assert uncapped.count() == 40 * 39 // 2
+
+
+def test_inverted_jaccard_plan_is_equi_join(spark):
+    """Candidate generation must stay a hash/sort-merge EQUI-join on the
+    shingle hash -- never a cartesian product over documents."""
+    from gmail_bigquery_etl_spark.operators.dedup import inverted_jaccard_pairs
+
+    plan = inverted_jaccard_pairs(_corpus(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
