@@ -39,6 +39,7 @@ _ROUND4_FRONT = [
     "dedup_ngram_jaccard_pairs",
     "ann_sq8_topk",
     "docs_chunk_windows",
+    "docs_repeated_chunks",
     "merge_upsert_orders",
     "scd2_customer_history",
     "agg_price_histogram",

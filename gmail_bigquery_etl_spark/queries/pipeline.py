@@ -214,25 +214,34 @@ _SQL_PTOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
 _CHUNK_W, _CHUNK_S = 64, 48
 
 
-@query(
-    "docs_chunk_windows",
-    oracle=f"""
-WITH t AS (
-  SELECT doc_id, {_SQL_PTOKS} AS toks, len({_SQL_PTOKS}) AS n FROM documents
+def _sql_chunks(src: str) -> str:
+    """CTE chain `chunk_t -> chunk_c -> chunks` producing the sliding
+    token-window chunk rows of table/CTE ``src`` (DuckDB side)."""
+    return f"""chunk_t AS (
+  SELECT doc_id, {_SQL_PTOKS} AS toks, len({_SQL_PTOKS}) AS n FROM {src}
 ),
-c AS (
+chunk_c AS (
   SELECT doc_id, toks,
          unnest(generate_series(0,
              CASE WHEN n <= {_CHUNK_W} THEN 0
                   ELSE CAST(floor((n - {_CHUNK_W - _CHUNK_S + 1}) / {_CHUNK_S}.0) AS BIGINT)
              END)) AS chunk_id
-  FROM t
-)
-SELECT doc_id, chunk_id,
-       chunk_id * {_CHUNK_S} AS start_tok,
-       CAST(len(toks[chunk_id * {_CHUNK_S} + 1 : chunk_id * {_CHUNK_S} + {_CHUNK_W}]) AS BIGINT) AS n_tokens,
-       substring(md5(array_to_string(toks[chunk_id * {_CHUNK_S} + 1 : chunk_id * {_CHUNK_S} + {_CHUNK_W}], ' ')), 1, 16) AS chunk_hash
-FROM c
+  FROM chunk_t
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         chunk_id * {_CHUNK_S} AS start_tok,
+         CAST(len(toks[chunk_id * {_CHUNK_S} + 1 : chunk_id * {_CHUNK_S} + {_CHUNK_W}]) AS BIGINT) AS n_tokens,
+         substring(md5(array_to_string(toks[chunk_id * {_CHUNK_S} + 1 : chunk_id * {_CHUNK_S} + {_CHUNK_W}], ' ')), 1, 16) AS chunk_hash
+  FROM chunk_c
+)"""
+
+
+@query(
+    "docs_chunk_windows",
+    oracle=f"""
+WITH {_sql_chunks('documents')}
+SELECT doc_id, chunk_id, start_tok, n_tokens, chunk_hash FROM chunks
 """,
 )
 def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,10 +257,15 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only stage that composes with the scan; the fan-out factor is
     bounded by doc length / stride.
     """
+    return chunk_windows(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_windows(docs: DataFrame) -> DataFrame:
+    """Sliding token-window chunk rows of a (doc_id, text) frame -- see
+    docs_chunk_windows for the contract."""
     from ..functions.text import whitespace_tokens
 
     w, s = _CHUNK_W, _CHUNK_S
-    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", whitespace_tokens("text").alias("toks")
     ).withColumn("n", F.size("toks"))
@@ -278,4 +292,53 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_tok",
         F.size("ctoks").cast("bigint").alias("n_tokens"),
         F.substring(F.md5(F.array_join("ctoks", " ")), 1, 16).alias("chunk_hash"),
+    )
+
+
+@query(
+    "docs_repeated_chunks",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang, source, n_chars FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' near dup', lang, source, n_chars
+  FROM documents WHERE doc_id % 25 = 0
+),
+{_sql_chunks('aug')}
+SELECT chunk_hash,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS first_doc
+FROM chunks
+GROUP BY chunk_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+)
+def docs_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-PASSAGE detection: chunk the corpus, then
+    group the chunk fingerprints -- any hash in >= 2 documents is a
+    duplicated span (the chunk-granularity approximation of suffix-array
+    substring dedup a la "Deduplicating Training Data Makes Language
+    Models Better"; whole-doc dedup cannot see a copied paragraph inside
+    an otherwise-unique document). Composition proof for the chunking
+    operator: chunk_windows feeds a plain aggregate with no
+    materialization boundary. Plan: map-only chunk explode -> one
+    hash-partitioned aggregate on the 64-bit fingerprint -- the same
+    scale-safe single-shuffle shape as exact_dedup. Runs over the
+    standard augmented corpus (text.py) so planted exact/near copies
+    yield non-vacuous shared spans."""
+    from .text import _augmented_corpus
+
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    return (
+        chunk_windows(corpus)
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
     )
