@@ -325,13 +325,18 @@ def inverted_jaccard_pairs(
     whose every shingle is capped (pure boilerplate) leave the index;
     exact-hash dedup already collapses those.
 
-    Plan shape: explode(distinct shingles) -> one window count over the
-    shingle hash (single shuffle, and its hash partitioning is exactly the
-    self-join's key, so the exchange is reused) -> pair groupBy -> two size
-    joins. Reference parity: the reference dedups exact-by-key only
-    (etl_service/main.py:205); this is the near-dup ladder's no-sketch rung,
-    complementing MinHash-LSH (approximate, for when even one window over
-    the full posting list is too wide).
+    Plan shape: ONE scan+shingle pass -> explode(distinct shingles) -> df
+    window (shuffle on the shingle hash) -> per-doc size window (shuffle on
+    the id) -> localCheckpoint -> self equi-join on the hash -> pair
+    groupBy. The per-doc set size rides each posting row into the join, so
+    the pair aggregate reads it off with first() -- no size-lookup joins --
+    and the checkpoint pins the posting list so neither self-join side
+    re-runs the shingle/md5 pipeline (without it Spark re-executes the
+    subtree once per consumer: four full text scans). Reference parity: the
+    reference dedups exact-by-key only (etl_service/main.py:205); this is
+    the near-dup ladder's no-sketch rung, complementing MinHash-LSH
+    (approximate, for when even one window over the full posting list is
+    too wide).
     """
     kept = (
         shingle_hash_stage(df, text_col, id_col, shingle_n, out_col="_hs")
@@ -345,27 +350,31 @@ def inverted_jaccard_pairs(
         .withColumn("_df", F.count("*").over(W.partitionBy("g")))
         .filter(F.col("_df") <= max_df)
         .drop("_df")
+        # sizes count KEPT shingles (exact Jaccard over the filtered
+        # space), so they can only be computed post-filter -- as a window,
+        # not a groupBy+join, and carried on the posting rows.
+        .withColumn("sz", F.count("*").over(W.partitionBy("_id")).cast("bigint"))
+        .localCheckpoint()
     )
-    sizes = kept.groupBy("_id").agg(F.count("*").cast("bigint").alias("sz"))
     shared = (
-        kept.select(F.col("_id").alias("id_a"), "g")
-        .join(kept.select(F.col("_id").alias("id_b"), "g"), "g")
+        kept.select(F.col("_id").alias("id_a"), F.col("sz").alias("_sz_a"), "g")
+        .join(
+            kept.select(F.col("_id").alias("id_b"), F.col("sz").alias("_sz_b"), "g"),
+            "g",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first("_sz_a").alias("sz_a"),
+            F.first("_sz_b").alias("sz_b"),
+        )
     )
     jac = F.col("n_inter").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
     ).cast("double")
-    return (
-        shared.join(
-            sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a"
-        )
-        .join(
-            sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b"
-        )
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    return shared.filter(jac >= threshold).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
 
 

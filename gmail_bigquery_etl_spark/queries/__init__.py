@@ -40,6 +40,7 @@ _ROUND4_FRONT = [
     "ann_sq8_topk",
     "docs_chunk_windows",
     "docs_repeated_chunks",
+    "docs_epoch_shuffle",
     "merge_upsert_orders",
     "scd2_customer_history",
     "agg_price_histogram",

@@ -342,3 +342,37 @@ def docs_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "docs_epoch_shuffle",
+    oracle="""
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY md5('e1:' || CAST(doc_id AS VARCHAR))) - 1 AS pos
+FROM documents
+""",
+)
+def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: every document gets a global position
+    in md5('<epoch-seed>:' || id) order -- the reshuffle-per-epoch a
+    training loader needs, reproducible across runs, engines, and
+    partitionings (unlike ORDER BY rand(), whose draw depends on row
+    order and partition count).
+
+    The naive formulation is ROW_NUMBER() over a GLOBAL order -- a
+    single-partition sort at 100 TB. Here the position is a distributed
+    prefix COUNT through operators/packing.py (range partition on the
+    hash -> parallel per-partition cumsum of 1s -> O(num_partitions)
+    offset window -> broadcast join): with size=1 and budget=1 the shard
+    id IS the 0-indexed global position. The oracle runs the naive global
+    window, which this plan must reproduce exactly."""
+    from ..operators.packing import assign_token_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("e1:"), F.col("doc_id").cast("string"))).alias("_h"),
+        F.lit(1).cast("bigint").alias("_one"),
+    )
+    pos = assign_token_shards(hashed, size_col="_one", budget=1, order_col="_h")
+    return pos.select("doc_id", F.col("shard").alias("pos"))

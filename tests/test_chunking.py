@@ -77,3 +77,37 @@ def test_chunks_cover_and_overlap(spark):
         last = chunks[-1]
         end = last.start_tok + last.n_tokens
         assert all(c.start_tok + c.n_tokens <= end for c in chunks)
+
+
+def test_chunking_runs_on_a_stream(spark, tmp_path):
+    """chunk_windows is a pure map-only transform (explode + projections,
+    no window/sort/aggregate), so it must run unmodified on a streaming
+    DataFrame and produce exactly the batch rows."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    from gmail_bigquery_etl_spark.queries.pipeline import chunk_windows
+
+    chunked = chunk_windows(stream)
+    assert chunked.isStreaming
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        chunked.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+    got = {
+        (r.doc_id, r.chunk_id, r.chunk_hash)
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_id, r.chunk_hash)
+        for r in chunk_windows(docs).collect()
+    }
+    assert got == want
