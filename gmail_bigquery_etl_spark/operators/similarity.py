@@ -76,20 +76,27 @@ def sq8_quantize(
     is NULLIF'd to NULL, the codes come out NULL, and scorers drop them via
     the norm>0 filter.
     """
-    staged = df.select(
-        F.col(id_col),
-        F.col(vec_col).alias("_v"),
-        F.nullif(max_abs(vec_col), F.lit(0.0)).alias("_s"),
+    return with_sq8_codes(df.select(id_col, vec_col), vec_col).select(
+        id_col, "codes"
     )
-    return staged.select(
-        id_col,
+
+
+def with_sq8_codes(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "codes"
+) -> DataFrame:
+    """Append the SQ8 code array to a frame, preserving its other columns
+    (the composable form: IVF assignment and the codes ride one
+    projection). Scale staged as an attribute -- see sq8_quantize."""
+    staged = df.withColumn("_s", F.nullif(max_abs(vec_col), F.lit(0.0)))
+    return staged.withColumn(
+        out_col,
         F.transform(
-            "_v",
+            vec_col,
             lambda x: F.floor(x.cast("double") * 127.0 / F.col("_s") + 0.5).cast(
                 "bigint"
             ),
-        ).alias("codes"),
-    )
+        ),
+    ).drop("_s")
 
 
 def sq8_topk(
@@ -489,6 +496,83 @@ def ivf_topk(
         .filter(F.col("match_id") != F.col("query_id"))
         .select(
             "query_id", "match_id", cosine_similarity("q_vec", "c_vec").alias("score")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF cell pruning + SQ8 in-cell scoring -- the faiss ``IVF,SQ8``
+    index as a DataFrame plan. Cell ASSIGNMENT happens once at build time
+    on the float vectors (exactly ivf_topk's quantizer); the scan-time
+    candidate scoring runs entirely over int8 codes, so the probe join
+    moves cell-pruned candidate lists of quarter-width codes and the hot
+    loop is exact int64 multiply-adds. Same scale posture as ivf_topk
+    (equi-join on cell id, broadcast query side) with SQ8's memory cut on
+    the big side. Recall vs float brute force is pytest-gated."""
+    cents = ivf_centroid_arrays(corpus, label_col, vec_col)
+    c = (
+        with_sq8_codes(
+            corpus.select(
+                F.col(id_col).alias("match_id"),
+                F.col(vec_col).alias("_v"),
+                ivf_assign(vec_col, cents).alias("cell"),
+            ),
+            vec_col="_v",
+            out_col="c_codes",
+        )
+        .select(
+            "match_id",
+            "cell",
+            "c_codes",
+            int_dot("c_codes", "c_codes").alias("c_nn"),
+        )
+        .filter(F.col("c_nn") > 0)
+    )
+    q = (
+        with_sq8_codes(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("_v"),
+                ivf_probe_cells(vec_col, cents, nprobe).alias("_cells"),
+            ),
+            vec_col="_v",
+            out_col="q_codes",
+        )
+        .select(
+            "query_id",
+            F.explode("_cells").alias("cell"),
+            "q_codes",
+            int_dot("q_codes", "q_codes").alias("q_nn"),
+        )
+        .filter(F.col("q_nn") > 0)
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            (
+                int_dot("c_codes", "q_codes").cast("double")
+                / (
+                    F.sqrt(F.col("c_nn").cast("double"))
+                    * F.sqrt(F.col("q_nn").cast("double"))
+                )
+            ).alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))

@@ -38,6 +38,7 @@ _ROUND4_FRONT = [
     # (a) new this round
     "dedup_ngram_jaccard_pairs",
     "ann_sq8_topk",
+    "ann_ivf_sq8_topk",
     "docs_chunk_windows",
     "docs_repeated_chunks",
     "docs_epoch_shuffle",

@@ -260,12 +260,17 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_windows(load_table(spark, sf_dir, "documents"))
 
 
-def chunk_windows(docs: DataFrame) -> DataFrame:
+def chunk_windows(
+    docs: DataFrame, window: int = _CHUNK_W, stride: int = _CHUNK_S
+) -> DataFrame:
     """Sliding token-window chunk rows of a (doc_id, text) frame -- see
-    docs_chunk_windows for the contract."""
+    docs_chunk_windows for the contract. Requires 0 < stride <= window
+    (stride > window would silently drop tokens between windows)."""
     from ..functions.text import whitespace_tokens
 
-    w, s = _CHUNK_W, _CHUNK_S
+    if not 0 < stride <= window:
+        raise ValueError(f"need 0 < stride <= window, got {window=} {stride=}")
+    w, s = window, stride
     toks = docs.select(
         "doc_id", whitespace_tokens("text").alias("toks")
     ).withColumn("n", F.size("toks"))

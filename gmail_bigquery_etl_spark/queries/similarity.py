@@ -312,3 +312,75 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return sq8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "ann_ivf_sq8_topk",
+    oracle=f"""
+WITH cent AS (
+  SELECT label, j - 1 AS dim, ROUND(AVG(CAST(embedding[j] AS DOUBLE)), 6) AS c
+  FROM embeddings, generate_series(1, 64) AS t(j)
+  GROUP BY label, j
+),
+carr AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+cellscore AS (
+  SELECT e.vec_id, ca.label,
+         {_SQL_COSINE.format(a='e.embedding', b='ca.cv')} AS score
+  FROM embeddings e CROSS JOIN carr ca
+),
+cellrank AS (
+  SELECT vec_id, label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, label) AS rn
+  FROM cellscore
+),
+assign AS (SELECT vec_id, label AS cell FROM cellrank WHERE rn = 1),
+probes AS (SELECT vec_id, label AS cell FROM cellrank WHERE rn <= 2 AND vec_id < 10),
+scales AS (
+  SELECT vec_id, embedding,
+         NULLIF(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+             (a, x) -> CASE WHEN x > a THEN x ELSE a END), 0) AS s
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)) AS codes
+  FROM scales
+),
+n AS (
+  SELECT vec_id, codes, {_SQL_IDOT.format(a='codes', b='codes')} AS nn FROM qz
+),
+cand AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS match_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.vec_id
+),
+scored AS (
+  SELECT cd.query_id, cd.match_id,
+         CAST({_SQL_IDOT.format(a='nm.codes', b='nq.codes')} AS DOUBLE)
+           / (sqrt(CAST(nm.nn AS DOUBLE)) * sqrt(CAST(nq.nn AS DOUBLE))) AS score
+  FROM cand cd
+  JOIN n nm ON nm.vec_id = cd.match_id AND nm.nn > 0
+  JOIN n nq ON nq.vec_id = cd.query_id AND nq.nn > 0
+),
+ranked AS (
+  SELECT query_id, match_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, match_id) AS rank
+  FROM scored
+)
+SELECT query_id, match_id, rank, ROUND(score, 6) AS score
+FROM ranked WHERE rank <= 5
+""",
+)
+def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell pruning composed with SQ8 int8 scoring (faiss ``IVF,SQ8``
+    shape): build-time float cell assignment, scan-time integer scoring
+    over quarter-width codes, candidates via the cell equi-join. The
+    oracle replicates the full composition (centroid ranking, nprobe=2
+    probes, quantization, integer dots) bit-exactly; recall vs float
+    brute force is pytest-gated."""
+    from ..operators.similarity import ivf_sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_sq8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2)

@@ -121,3 +121,17 @@ def test_sq8_scores_close_to_float_cosine(spark, emb):
     assert common, "no overlapping top-k pairs to compare"
     for pair in common:
         assert abs(sq8[pair] - exact[pair]) < 0.02
+
+
+def test_ivf_sq8_recall_matches_ivf_float(spark, emb):
+    """Composing SQ8 scoring into the IVF probe must not cost recall
+    beyond the quantization's own (near-zero) error: recall@5 within a
+    whisker of the float IVF at the same nprobe."""
+    from gmail_bigquery_etl_spark.operators.similarity import ivf_sq8_topk
+
+    qs = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = _hits(brute_force_topk(emb, qs, k=K))
+    ivf_float = _hits(ivf_topk(emb, qs, k=K, nprobe=2))
+    ivf_sq8 = _hits(ivf_sq8_topk(emb, qs, k=K, nprobe=2))
+    r_float, r_sq8 = _recall(ivf_float, exact), _recall(ivf_sq8, exact)
+    assert r_sq8 >= r_float - 0.05, (r_sq8, r_float)

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from gmail_bigquery_etl_spark.queries.pipeline import (
     _CHUNK_S,
     _CHUNK_W,
@@ -111,3 +113,46 @@ def test_chunking_runs_on_a_stream(spark, tmp_path):
         for r in chunk_windows(docs).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("w,s", [(64, 48), (8, 4), (5, 5), (7, 3), (1, 1)])
+def test_chunking_parametric_matches_python(spark, w, s):
+    """The window/stride arithmetic holds across parameterizations,
+    including no-overlap (w == s) and degenerate single-token windows."""
+    from gmail_bigquery_etl_spark.queries.pipeline import chunk_windows
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    got = {}
+    for r in chunk_windows(docs, window=w, stride=s).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_id, r.start_tok, r.n_tokens))
+    for doc_id, text in _texts().items():
+        toks = text.lower().split()
+        n = len(toks)
+        n_chunks = 1 if n <= w else (n - (w - s + 1)) // s + 1
+        want = [
+            (cid, cid * s, len(toks[cid * s : cid * s + w]))
+            for cid in range(n_chunks)
+        ]
+        assert sorted(got[doc_id]) == want, (doc_id, w, s)
+
+
+def test_chunking_rejects_lossy_stride(spark):
+    import pytest as _pytest
+
+    from gmail_bigquery_etl_spark.queries.pipeline import chunk_windows
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    with _pytest.raises(ValueError):
+        chunk_windows(docs, window=4, stride=5)
+    with _pytest.raises(ValueError):
+        chunk_windows(docs, window=4, stride=0)
+
+
+def _texts():
+    import duckdb
+
+    return dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+    )
