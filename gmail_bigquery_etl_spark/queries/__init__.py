@@ -39,6 +39,7 @@ _ROUND4_FRONT = [
     "dedup_ngram_jaccard_pairs",
     "ann_sq8_topk",
     "ann_ivf_sq8_topk",
+    "ann_rrf_fusion",
     "docs_chunk_windows",
     "docs_repeated_chunks",
     "docs_epoch_shuffle",

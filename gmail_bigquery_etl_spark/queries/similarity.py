@@ -9,7 +9,7 @@ list_dot_product) to pin the accumulation order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -384,3 +384,102 @@ def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_sq8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2)
+
+
+@query(
+    "ann_rrf_fusion",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+fscored AS (
+  SELECT q.query_id, c.vec_id AS match_id,
+         {_SQL_COSINE.format(a='q.q_vec', b='c.embedding')} AS score
+  FROM embeddings c, q
+  WHERE c.vec_id <> q.query_id
+),
+f_ranked AS (
+  SELECT query_id, match_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, match_id) AS rnk
+  FROM fscored
+),
+float_top AS (SELECT query_id, match_id, rnk FROM f_ranked WHERE rnk <= 10),
+scales AS (
+  SELECT vec_id, embedding,
+         NULLIF(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+             (a, x) -> CASE WHEN x > a THEN x ELSE a END), 0) AS s
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)) AS codes
+  FROM scales
+),
+n AS (
+  SELECT vec_id, codes, {_SQL_IDOT.format(a='codes', b='codes')} AS nn FROM qz
+),
+sq AS (SELECT vec_id AS query_id, codes AS qc, nn AS qn FROM n WHERE vec_id < 10 AND nn > 0),
+sscored AS (
+  SELECT sq.query_id, c.vec_id AS match_id,
+         CAST({_SQL_IDOT.format(a='c.codes', b='sq.qc')} AS DOUBLE)
+           / (sqrt(CAST(c.nn AS DOUBLE)) * sqrt(CAST(sq.qn AS DOUBLE))) AS score
+  FROM n c, sq WHERE c.vec_id <> sq.query_id AND c.nn > 0
+),
+s_ranked AS (
+  SELECT query_id, match_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, match_id) AS rnk
+  FROM sscored
+),
+sq8_top AS (SELECT query_id, match_id, rnk FROM s_ranked WHERE rnk <= 10),
+fused AS (
+  SELECT COALESCE(f.query_id, s.query_id) AS query_id,
+         COALESCE(f.match_id, s.match_id) AS match_id,
+         COALESCE(1.0 / (60 + f.rnk), 0) + COALESCE(1.0 / (60 + s.rnk), 0) AS rrf
+  FROM float_top f
+  FULL OUTER JOIN sq8_top s
+    ON s.query_id = f.query_id AND s.match_id = f.match_id
+),
+final AS (
+  SELECT query_id, match_id, rrf,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, match_id) AS rank
+  FROM fused
+)
+SELECT query_id, match_id, rank, ROUND(rrf, 6) AS rrf
+FROM final WHERE rank <= 5
+""",
+)
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion over two retrievers (hybrid retrieval):
+    fuse the float brute-force top-10 and the SQ8 quantized top-10 per
+    query with RRF = sum 1/(60+rank) -- the standard score-free fusion
+    that is robust to incomparable score scales. Rank lists are the two
+    already-gated retriever shapes; fusion is a full-outer join on
+    (query, match) plus a re-rank window. Deterministic end-to-end: RRF
+    sums are exact small-rational doubles, ties broken by match_id."""
+    from ..operators.similarity import brute_force_topk, sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    f = brute_force_topk(emb, qs, k=10).select(
+        "query_id", "match_id", F.col("rank").alias("f_rnk")
+    )
+    s = sq8_topk(emb, qs, k=10).select(
+        "query_id", "match_id", F.col("rank").alias("s_rnk")
+    )
+    fused = (
+        f.join(s, ["query_id", "match_id"], "full_outer")
+        .select(
+            "query_id",
+            "match_id",
+            (
+                F.coalesce(1.0 / (60 + F.col("f_rnk")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("s_rnk")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("match_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "match_id", "rank", F.round("rrf", 6).alias("rrf"))
+    )
