@@ -69,6 +69,8 @@ def test_no_accidental_cartesian_products(spark):
     allowed_nlj = {
         "join_cross_theta",
         "knn_bruteforce_cosine",
+        "ann_sq8_topk",  # SQ8-flat scan: same bounded-query-block NLJ as knn
+        "ann_rrf_fusion",  # fuses the two scans above; inherits their NLJs
         "embedding_near_dup",
         "dedup_exact_survivors_count",  # crossJoin of two 1-row aggregates
         "text_tfidf_top_terms",  # broadcast crossJoin of the 1-row doc count
