@@ -194,6 +194,38 @@ def lsh_candidate_pairs(
     )
 
 
+def banded_signatures(
+    grams: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(_id, band, band_key) LSH band rows over a pre-staged (id, _grams)
+    frame. Band ids join in as a broadcast dim (not posexplode -- see
+    _coeffs_df note). Factored out so both the self-join pair generator
+    and the two-sided incremental form bucket identically."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    hashed = hashes_from_grams(grams, id_col).select(
+        F.col(id_col).alias("_id"), "_hs"
+    )
+    sig = hashed.select(
+        "_id", minhash_from_hashes("_hs", num_hashes).alias("sig")
+    )
+    band_ids = F.broadcast(
+        grams.sparkSession.createDataFrame(
+            [(b,) for b in range(bands)], "band int"
+        )
+    )
+    return sig.crossJoin(band_ids).select(
+        "_id",
+        "band",
+        F.array_join(F.slice("sig", F.col("band") * r + 1, r), "_").alias(
+            "band_key"
+        ),
+    )
+
+
 def lsh_candidate_pairs_from_grams(
     grams: DataFrame,
     id_col: str = "doc_id",
@@ -204,26 +236,7 @@ def lsh_candidate_pairs_from_grams(
     """LSH banding over a pre-staged (id, _grams) frame -- callers that also
     verify with Jaccard should build grams once (and persist it) so the
     tokenize/shingle pass is not re-executed per consumer."""
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    df = grams
-    hashed = hashes_from_grams(grams, id_col).select(
-        F.col(id_col).alias("_id"), "_hs"
-    )
-    sig = hashed.select(
-        "_id", minhash_from_hashes("_hs", num_hashes).alias("sig")
-    )
-    # Band ids as a broadcast dim (not posexplode -- see _coeffs_df note).
-    band_ids = F.broadcast(
-        df.sparkSession.createDataFrame([(b,) for b in range(bands)], "band int")
-    )
-    banded = sig.crossJoin(band_ids).select(
-        "_id",
-        "band",
-        F.array_join(F.slice("sig", F.col("band") * r + 1, r), "_").alias(
-            "band_key"
-        ),
-    )
+    banded = banded_signatures(grams, id_col, num_hashes, bands)
     # One shuffle: gather each bucket's member ids, cap pathological
     # buckets (boilerplate shingles), and generate in-bucket pairs with
     # HOFs. This replaces the counts-join + bucket self-join shape, which

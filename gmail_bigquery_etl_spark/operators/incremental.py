@@ -18,7 +18,7 @@ what does NOT survive 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.headers import (
@@ -96,3 +96,88 @@ def ingest_increment(
     fresh = incremental_anti_join(fresh, existing, "id", broadcast_hint)
     records = extract_email_records(fresh)
     return records.dropDuplicates(["id"])
+
+
+def incremental_near_dup(
+    new: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Classify an incoming batch against an ALREADY-INGESTED corpus:
+    ``outcome`` in ('exact_dup', 'near_dup', 'ingest') per new document.
+
+    The reference's incremental ingest dedups exact-by-id only
+    (etl_service/main.py:175); a training-data pipeline must also refuse
+    near-copies of what the sink already holds -- WITHOUT re-pairing the
+    whole corpus per batch. Shape:
+
+      1. exact: content-hash LEFT join vs the sink's distinct hashes (the
+         J1 anti-join on md5(text) instead of id);
+      2. candidates: MinHash-LSH band join of the non-exact remainder
+         AGAINST the sink's band table -- two-sided equi-join on
+         (band, band_key), cost proportional to the BATCH, not the
+         corpus; in production the sink's bands/signatures are a
+         persisted index maintained alongside the data, not recomputed;
+      3. verify: exact shingle-set Jaccard on candidates only;
+      4. precedence: exact_dup beats near_dup beats ingest.
+
+    Skew: sink-side buckets wider than ``max_bucket`` are dropped before
+    the join (boilerplate mega-buckets; the same cap/rationale as
+    lsh_candidate_pairs). A capped bucket can only flip near_dup ->
+    ingest, never corrupt exact_dup.
+    """
+    from .dedup import banded_signatures, grams_stage, jaccard_pairs_from_grams
+
+    nh = new.withColumn("_h", F.md5(F.col(text_col)))
+    eh = existing.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    marked = nh.join(
+        F.broadcast(eh.withColumn("_is_exact", F.lit(True))), "_h", "left"
+    )
+    rest = marked.filter(F.col("_is_exact").isNull()).drop("_is_exact", "_h")
+
+    grams_n = grams_stage(rest, text_col, id_col, shingle_n)
+    grams_e = grams_stage(existing, text_col, id_col, shingle_n)
+    bands_n = banded_signatures(grams_n, id_col, num_hashes, bands)
+    bands_e = (
+        banded_signatures(grams_e, id_col, num_hashes, bands)
+        .withColumn(
+            "_bw", F.count("*").over(W.partitionBy("band", "band_key"))
+        )
+        .filter(F.col("_bw") <= max_bucket)
+        .drop("_bw")
+    )
+    cand = (
+        bands_n.select(F.col("_id").alias("id_a"), "band", "band_key")
+        .join(
+            bands_e.select(F.col("_id").alias("id_b"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # ids are disjoint across sides (caller contract), so one unioned
+    # gram frame serves both join legs of the verifier.
+    verified = jaccard_pairs_from_grams(grams_n.unionAll(grams_e), cand, id_col)
+    near_ids = (
+        verified.filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+        .withColumn("_is_near", F.lit(True))
+    )
+    return (
+        marked.drop("_h")
+        .join(near_ids, id_col, "left")
+        .select(
+            *[c for c in new.columns],
+            F.when(F.col("_is_exact").isNotNull(), "exact_dup")
+            .when(F.col("_is_near").isNotNull(), "near_dup")
+            .otherwise("ingest")
+            .alias("outcome"),
+        )
+    )

@@ -625,3 +625,150 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", F.round("score", 6).alias("score"), "rnk")
     )
+
+
+# Incremental near-dup ingest fixture: the sink is the base corpus; the
+# incoming batch is exact copies (%10), tail-mutated near copies (%25),
+# and genuinely-fresh md5-token docs (%7) -- every outcome class planted.
+_SQL_INC_BATCH = """
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' near dup' FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 300000,
+         'fresh ' || md5(CAST(doc_id AS VARCHAR)) || ' ' || md5(CAST(doc_id + 1 AS VARCHAR))
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+@query(
+    "ingest_near_dup_incremental",
+    oracle=f"""
+WITH existing AS (SELECT doc_id, text FROM documents),
+newb AS ({_SQL_INC_BATCH}),
+eh AS (SELECT DISTINCT md5(text) AS h FROM existing),
+nmark AS (
+  SELECT n.doc_id, n.text, (md5(n.text) IN (SELECT h FROM eh)) AS is_exact
+  FROM newb n
+),
+rest AS (SELECT doc_id, text FROM nmark WHERE NOT is_exact),
+sh_n AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES.format(c='text')}) AS grams FROM rest
+),
+sh_e AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES.format(c='text')}) AS grams FROM existing
+),
+h_n AS (
+  SELECT doc_id, list_transform(grams, s -> {_SQL_HASH.format(s='s')} % {MINHASH_P}) AS hs
+  FROM sh_n
+),
+h_e AS (
+  SELECT doc_id, list_transform(grams, s -> {_SQL_HASH.format(s='s')} % {MINHASH_P}) AS hs
+  FROM sh_e
+),
+coeffs AS ({_sql_coeffs(16)}),
+sig_n AS (
+  SELECT doc_id, i, list_min(list_transform(hs, h -> (h * a + b) % {MINHASH_P})) AS mh
+  FROM h_n, coeffs
+),
+sig_e AS (
+  SELECT doc_id, i, list_min(list_transform(hs, h -> (h * a + b) % {MINHASH_P})) AS mh
+  FROM h_e, coeffs
+),
+bands_n AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS band_key
+  FROM sig_n GROUP BY doc_id, i // 4
+),
+bands_e AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS band_key
+  FROM sig_e GROUP BY doc_id, i // 4
+),
+bands_e_capped AS (
+  SELECT doc_id, band, band_key FROM (
+    SELECT doc_id, band, band_key,
+           COUNT(*) OVER (PARTITION BY band, band_key) AS bw
+    FROM bands_e
+  ) WHERE bw <= 1000
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS id_a, e.doc_id AS id_b
+  FROM bands_n n JOIN bands_e_capped e USING (band, band_key)
+),
+ushin AS (
+  SELECT doc_id, unnest(grams) AS s FROM sh_n
+  UNION ALL
+  SELECT doc_id, unnest(grams) AS s FROM sh_e
+),
+usizes AS (
+  SELECT doc_id, len(grams) AS n_sh FROM sh_n
+  UNION ALL
+  SELECT doc_id, len(grams) AS n_sh FROM sh_e
+),
+verified AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN ushin x ON x.doc_id = c.id_a
+  JOIN ushin y ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY c.id_a, c.id_b
+),
+near AS (
+  SELECT DISTINCT v.id_a AS doc_id
+  FROM verified v
+  JOIN usizes sa ON sa.doc_id = v.id_a
+  JOIN usizes sb ON sb.doc_id = v.id_b
+  WHERE CAST(v.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - v.n_inter) >= 0.5
+),
+outcomes AS (
+  SELECT m.doc_id,
+         CASE WHEN m.is_exact THEN 'exact_dup'
+              WHEN m.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+              ELSE 'ingest' END AS outcome
+  FROM nmark m
+)
+SELECT outcome, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM outcomes GROUP BY outcome
+""",
+)
+def ingest_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest: classify an incoming batch against the
+    already-ingested corpus (exact content hash -> LSH band join vs the
+    sink's band table -> Jaccard verify; outcome precedence exact_dup >
+    near_dup > ingest). Extends the reference's load-bearing exact-by-id
+    anti-join (etl_service/main.py:175) to content near-duplicates with
+    batch-proportional cost -- the whole corpus is never re-paired. The
+    id_sum pins the exact per-document classification."""
+    from ..operators.incremental import incremental_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.select("doc_id", "text")
+    fresh_text = F.concat_ws(
+        " ",
+        F.lit("fresh"),
+        F.md5(F.col("doc_id").cast("string")),
+        F.md5((F.col("doc_id") + 1).cast("string")),
+    )
+    new_batch = spread(
+        existing.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionAll(
+            existing.filter(F.col("doc_id") % 25 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" near dup")).alias("text"),
+            )
+        )
+        .unionAll(
+            existing.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                fresh_text.alias("text"),
+            )
+        )
+    )
+    classified = incremental_near_dup(
+        new_batch, existing, threshold=0.5, num_hashes=16, bands=4
+    )
+    return classified.groupBy("outcome").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("doc_id").cast("bigint")).alias("id_sum"),
+    )

@@ -179,3 +179,45 @@ def test_inverted_jaccard_plan_is_equi_join(spark):
     plan = inverted_jaccard_pairs(_corpus(spark))._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_near_dup_outcomes(spark):
+    """Planted batch against the sf0.001 sink: exact copies classify as
+    exact_dup, tail-mutated near copies as near_dup, fresh md5-token docs
+    as ingest -- and outcome precedence is exact > near > ingest."""
+    from gmail_bigquery_etl_spark.catalog import load_table
+    from gmail_bigquery_etl_spark.operators.incremental import (
+        incremental_near_dup,
+    )
+
+    existing = load_table(spark, SF, "documents").select("doc_id", "text")
+    exact = existing.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = existing.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" near dup")).alias("text"),
+    )
+    fresh = existing.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("fresh"),
+            F.md5(F.col("doc_id").cast("string")),
+            F.md5((F.col("doc_id") + 1).cast("string")),
+        ).alias("text"),
+    )
+    out = {
+        r.doc_id: r.outcome
+        for r in incremental_near_dup(
+            exact.unionAll(near).unionAll(fresh), existing, threshold=0.5
+        ).collect()
+    }
+    for doc_id, outcome in out.items():
+        if doc_id >= 300000:
+            assert outcome == "ingest", (doc_id, outcome)
+        elif doc_id >= 200000:
+            assert outcome == "near_dup", (doc_id, outcome)
+        else:
+            assert outcome == "exact_dup", (doc_id, outcome)
+    assert {"exact_dup", "near_dup", "ingest"} == set(out.values())
