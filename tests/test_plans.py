@@ -81,6 +81,7 @@ def test_no_accidental_cartesian_products(spark):
         # table (replaces posexplode; broadcast side is 8-16 literal rows)
         "dedup_minhash_signatures",
         "dedup_minhash_lsh_pairs",
+        "ingest_near_dup_incremental",  # same band/coeff dim crossJoins
         "dedup_simhash_pairs",
         "dedup_simhash_pairs_wide",
         # broadcast crossJoin of the 16-row salts dim (small-side replication)

@@ -10,6 +10,7 @@ fits in seconds.
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -507,3 +508,89 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path, replay_dir):
     assert got.unionAll(want).distinct().count() == want.count()
     # and outer rows actually exist (the join isn't silently inner)
     assert got.filter(F.col("c_ts").isNull()).count() > 0
+
+
+def test_streaming_near_dup_ingest_matches_sequential_batch(spark, tmp_path):
+    """ST1 + near-dup: three micro-batches (fresh corpus; copies/near-
+    copies of batch 1 + fresh; copies of batch 2's survivors) stream
+    through the near-dup ingest sink. The final snapshot must equal
+    applying incremental_near_dup sequentially batch-by-batch -- i.e. the
+    stream dedups against EARLIER BATCHES' survivors, not just the
+    initial sink."""
+    from gmail_bigquery_etl_spark.catalog import load_table
+    from gmail_bigquery_etl_spark.operators.incremental import (
+        incremental_near_dup,
+    )
+    from gmail_bigquery_etl_spark.streaming.dedup_ingest import (
+        start_near_dup_ingest,
+    )
+    from gmail_bigquery_etl_spark.streaming.merge_sink import (
+        current_snapshot_dir,
+    )
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    b1 = docs
+    b2 = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionAll(
+            docs.filter(F.col("doc_id") % 25 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat("text", F.lit(" near dup")).alias("text"),
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.lit("fresh"),
+                    F.md5(F.col("doc_id").cast("string")),
+                    F.md5((F.col("doc_id") + 1).cast("string")),
+                ).alias("text"),
+            )
+        )
+    )
+    # batch 3: exact copies of batch 2's FRESH docs -- dupes only of rows
+    # that entered the sink mid-stream.
+    b3 = b2.filter(F.col("doc_id") >= 300000).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+
+    src = str(tmp_path / "src")
+    for i, b in enumerate((b1, b2, b3)):
+        time.sleep(0.05)  # distinct mtimes: the file source orders by them
+        b.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink_root = str(tmp_path / "sink")
+    q = start_near_dup_ingest(
+        stream, sink_root, str(tmp_path / "ckpt"), threshold=0.5
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+    got = {
+        r.doc_id for r in spark.read.parquet(current_snapshot_dir(sink_root)).collect()
+    }
+
+    # Batch twin: the same operator applied sequentially.
+    empty = spark.createDataFrame([], b1.schema)
+    sink = empty
+    for b in (b1, b2, b3):
+        surv = (
+            incremental_near_dup(b, sink, threshold=0.5)
+            .filter("outcome = 'ingest'")
+            .select("doc_id", "text")
+        )
+        sink = sink.unionAll(surv).localCheckpoint()
+    want = {r.doc_id for r in sink.collect()}
+    assert got == want
+    # and the mid-stream dupes were actually refused
+    assert not any(d >= 400000 for d in got)
