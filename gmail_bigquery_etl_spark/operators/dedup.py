@@ -313,6 +313,92 @@ def jaccard_pairs_from_grams(
     )
 
 
+def df_capped_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_df: int = 64,
+) -> DataFrame:
+    """The df-capped inverted index both no-sketch similarity operators
+    (:func:`inverted_jaccard_pairs`, :func:`inverted_containment_pairs`)
+    self-join on: posting rows (_id, g, sz) where ``g`` is a distinct
+    shingle hash, boilerplate shingles with document frequency > ``max_df``
+    are dropped BEFORE any join (they would each emit df*(df-1)/2 candidate
+    rows), and ``sz`` counts the KEPT shingles of the document so scores
+    are exact over the filtered shingle space. localCheckpointed: the
+    self-join's two consumers read one materialization instead of
+    re-running the shingle/md5 pipeline per side."""
+    return (
+        shingle_hash_stage(df, text_col, id_col, shingle_n, out_col="_hs")
+        # distinct AFTER the mod-P hash: two shingles colliding to one
+        # residue must still contribute one (id, g) posting, or shared
+        # counts would double-count.
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct("_hs")).alias("g"),
+        )
+        .withColumn("_df", F.count("*").over(W.partitionBy("g")))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+        # sizes count KEPT shingles (exact scores over the filtered
+        # space), so they can only be computed post-filter -- as a window,
+        # not a groupBy+join, and carried on the posting rows.
+        .withColumn("sz", F.count("*").over(W.partitionBy("_id")).cast("bigint"))
+        .localCheckpoint()
+    )
+
+
+def inverted_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+    max_df: int = 64,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    C(A in B) = |S_A intersect S_B| / |S_A|, the quote/subset-inclusion
+    score Jaccard misses -- a short document fully quoted inside a long one
+    has high containment but low Jaccard (the union is dominated by the
+    long side), which is why corpus-curation pipelines (RefinedWeb/Dolma
+    style) run containment alongside symmetric Jaccard.
+
+    Same candidate-generation shape as :func:`inverted_jaccard_pairs` (one
+    df-capped posting-list self-join, hash equi-join on the shingle hash,
+    never O(n^2) over documents); the undirected join (id_a < id_b) is kept
+    half-width and BOTH directed scores are emitted per surviving pair
+    (cont_a_in_b, cont_b_in_a), filtered on the max of the two. Scores are
+    exact over the df-filtered shingle space (intersection and sizes count
+    kept shingles only). Reference parity: the reference dedups
+    exact-by-key only (etl_service/main.py:205); this extends the near-dup
+    ladder per SURVEY.md §2.10.
+    """
+    kept = df_capped_postings(df, text_col, id_col, shingle_n, max_df)
+    shared = (
+        kept.select(F.col("_id").alias("id_a"), F.col("sz").alias("_sz_a"), "g")
+        .join(
+            kept.select(F.col("_id").alias("id_b"), F.col("sz").alias("_sz_b"), "g"),
+            "g",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first("_sz_a").alias("sz_a"),
+            F.first("_sz_b").alias("sz_b"),
+        )
+    )
+    c_ab = F.col("n_inter").cast("double") / F.col("sz_a").cast("double")
+    c_ba = F.col("n_inter").cast("double") / F.col("sz_b").cast("double")
+    return shared.filter(F.greatest(c_ab, c_ba) >= threshold).select(
+        "id_a",
+        "id_b",
+        F.round(c_ab, 6).alias("cont_a_in_b"),
+        F.round(c_ba, 6).alias("cont_b_in_a"),
+    )
+
+
 def inverted_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -351,24 +437,7 @@ def inverted_jaccard_pairs(
     (approximate, for when even one window over the full posting list is
     too wide).
     """
-    kept = (
-        shingle_hash_stage(df, text_col, id_col, shingle_n, out_col="_hs")
-        # distinct AFTER the mod-P hash: two shingles colliding to one
-        # residue must still contribute one (id, g) posting, or shared
-        # counts would double-count.
-        .select(
-            F.col(id_col).alias("_id"),
-            F.explode(F.array_distinct("_hs")).alias("g"),
-        )
-        .withColumn("_df", F.count("*").over(W.partitionBy("g")))
-        .filter(F.col("_df") <= max_df)
-        .drop("_df")
-        # sizes count KEPT shingles (exact Jaccard over the filtered
-        # space), so they can only be computed post-filter -- as a window,
-        # not a groupBy+join, and carried on the posting rows.
-        .withColumn("sz", F.count("*").over(W.partitionBy("_id")).cast("bigint"))
-        .localCheckpoint()
-    )
+    kept = df_capped_postings(df, text_col, id_col, shingle_n, max_df)
     shared = (
         kept.select(F.col("_id").alias("id_a"), F.col("sz").alias("_sz_a"), "g")
         .join(

@@ -387,6 +387,47 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_containment_pairs",
+    oracle=f"""
+WITH corpus AS ({_SQL_AUGMENTED}),
+hashed AS ({_SQL_HASHED}),
+kept AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df
+    FROM (SELECT doc_id, unnest(list_distinct(hs)) AS g FROM hashed)
+  ) WHERE df <= 64
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b,
+       ROUND(CAST(s.n_inter AS DOUBLE) / sa.sz, 6) AS cont_a_in_b,
+       ROUND(CAST(s.n_inter AS DOUBLE) / sb.sz, 6) AS cont_b_in_a
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.id_a
+JOIN sizes sb ON sb.doc_id = s.id_b
+WHERE GREATEST(CAST(s.n_inter AS DOUBLE) / sa.sz,
+               CAST(s.n_inter AS DOUBLE) / sb.sz) >= 0.9
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs -- the quote/subset-inclusion
+    rung of the dedup ladder (operators/dedup.py:
+    inverted_containment_pairs). A short document embedded verbatim in a
+    long one scores ~1.0 here while its Jaccard stays below any useful
+    threshold, so curation pipelines run both. Shares the df-capped
+    posting-list plan (and its skew bound) with dedup_ngram_jaccard_pairs;
+    emits BOTH directed scores per undirected candidate pair."""
+    from ..operators.dedup import inverted_containment_pairs
+
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    return inverted_containment_pairs(corpus, threshold=0.9, max_df=64)
+
+
+@query(
     "dedup_clusters",
     oracle=f"""
 WITH RECURSIVE {_SQL_LSH_CTES},

@@ -181,6 +181,55 @@ def test_inverted_jaccard_plan_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_containment_finds_quotes_jaccard_misses(spark):
+    """The asymmetric-score design claim: a short document quoted verbatim
+    inside a much longer one has containment ~1.0 but Jaccard well under
+    any useful threshold -- so the containment operator pairs them and the
+    Jaccard operator (same threshold-strength) does not."""
+    from gmail_bigquery_etl_spark.operators.dedup import (
+        inverted_containment_pairs,
+        inverted_jaccard_pairs,
+    )
+
+    quote = " ".join(f"quoted sentence token{i}" for i in range(6))
+    long_doc = (
+        " ".join(f"host prose word{i}" for i in range(60))
+        + " "
+        + quote
+        + " "
+        + " ".join(f"trailing prose word{i}" for i in range(60))
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc)], "doc_id bigint, text string"
+    )
+    cont = inverted_containment_pairs(docs, threshold=0.9, max_df=1000).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    # Every trigram of the quote (except the two splice-boundary grams on
+    # each side, which mix host and quote tokens) appears in the long doc.
+    assert r.cont_a_in_b >= 0.9
+    assert r.cont_b_in_a < 0.2
+    assert (
+        inverted_jaccard_pairs(docs, threshold=0.5, max_df=1000).count() == 0
+    )
+
+
+def test_containment_plan_is_equi_join(spark):
+    from gmail_bigquery_etl_spark.operators.dedup import (
+        inverted_containment_pairs,
+    )
+
+    plan = (
+        inverted_containment_pairs(_corpus(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_incremental_near_dup_outcomes(spark):
     """Planted batch against the sf0.001 sink: exact copies classify as
     exact_dup, tail-mutated near copies as near_dup, fresh md5-token docs
