@@ -37,6 +37,7 @@ from . import curation as _curation  # noqa: E402,F401  (corpus curation ops)
 _ROUND4_FRONT = [
     # (a) new this round
     "dedup_containment_pairs",
+    "embedding_dup_clusters",
     "dedup_ngram_jaccard_pairs",
     "ingest_near_dup_incremental",
     "ann_sq8_topk",

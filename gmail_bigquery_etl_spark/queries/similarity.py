@@ -157,10 +157,10 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb)
 
 
-@query(
-    "embedding_near_dup_lsh",
-    oracle=f"""
-WITH corpus AS (
+# LSH near-dup pairs as reusable CTE text: shared by the pairs query and
+# the semantic-dedup cluster query (whose oracle closes the pair graph
+# transitively), mirroring text.py's _SQL_LSH_CTES pattern.
+_SQL_EMB_LSH_CTES = f"""corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   UNION ALL
   SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
@@ -192,13 +192,21 @@ probes AS (
 cand AS (
   SELECT p.vec_id AS id_a, b.vec_id AS id_b
   FROM probes p JOIN buckets b ON p.bucket = b.bucket AND p.vec_id < b.vec_id
-)
-SELECT cand.id_a, cand.id_b,
+)"""
+
+_SQL_EMB_LSH_SELECT = f"""SELECT cand.id_a, cand.id_b,
        ROUND({_SQL_COSINE.format(a='a.v', b='b.v')}, 6) AS score
 FROM cand
 JOIN corpus a ON a.vec_id = cand.id_a
 JOIN corpus b ON b.vec_id = cand.id_b
-WHERE {_SQL_COSINE.format(a='a.v', b='b.v')} >= 0.999
+WHERE {_SQL_COSINE.format(a='a.v', b='b.v')} >= 0.999"""
+
+
+@query(
+    "embedding_near_dup_lsh",
+    oracle=f"""
+WITH {_SQL_EMB_LSH_CTES}
+{_SQL_EMB_LSH_SELECT}
 """,
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,6 +226,45 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = augmented_embeddings(emb)
     pairs = lsh_near_dup_pairs(corpus, threshold=0.999, n_planes=8, dim=64)
     return pairs.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
+@query(
+    "embedding_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SQL_EMB_LSH_CTES},
+pairs AS ({_SQL_EMB_LSH_SELECT}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS node, LEAST(u, MIN(v)) AS component
+FROM reach GROUP BY u
+""",
+)
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: sign-LSH near-dup pair generation over
+    the embedding column composed with distributed connected components
+    (min-label propagation, operators/components.py) -- the
+    SemDeDup-style grouping step that collapses chains of pairwise-similar
+    vectors into one cluster id per group, where pairwise thresholds alone
+    would keep every chain member. Same plan building blocks as the text
+    near-dup path (bucket equi-join candidates, O(log n) component
+    rounds), reused over a different modality; the oracle closes the
+    identical pair graph with a recursive-CTE transitive closure."""
+    from ..catalog import spread
+    from ..operators.components import connected_components
+    from ..operators.similarity import lsh_near_dup_pairs
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    corpus = augmented_embeddings(emb)
+    pairs = lsh_near_dup_pairs(corpus, threshold=0.999, n_planes=8, dim=64)
+    return connected_components(pairs.select("id_a", "id_b"))
 
 
 @query(
