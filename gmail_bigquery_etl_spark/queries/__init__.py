@@ -38,6 +38,7 @@ _ROUND4_FRONT = [
     # (a) new this round
     "dedup_containment_pairs",
     "embedding_dup_clusters",
+    "events_funnel_conversion",
     "dedup_ngram_jaccard_pairs",
     "ingest_near_dup_incremental",
     "ann_sq8_topk",

@@ -159,6 +159,114 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel_conversion",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+         CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM ordered
+), s1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+              OVER (PARTITION BY user_id, session_seq) AS t_view
+  FROM sessions
+), s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+              OVER (PARTITION BY user_id, session_seq) AS t_click
+  FROM s1
+), s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+              OVER (PARTITION BY user_id, session_seq) AS t_purchase
+  FROM s2
+), per_sess AS (
+  SELECT user_id, session_seq, MIN(ts) AS session_start,
+         MIN(t_view) AS t_view, MIN(t_click) AS t_click,
+         MIN(t_purchase) AS t_purchase
+  FROM s3 GROUP BY user_id, session_seq
+)
+SELECT CAST(session_start AS DATE) AS day,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+FROM per_sess GROUP BY 1
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED multi-step funnel within sessions: view -> click (strictly
+    after the first view) -> purchase (strictly after that click), the
+    product-analytics shape plain per-type counts can't express (a
+    purchase BEFORE the first view must not convert the session).
+
+    Composition: gaps-and-islands sessionization (one shuffle on user_id),
+    then three chained per-session MIN windows -- each step's timestamp
+    conditions on the previous step's, so the chain is inherently
+    sequential, but all three windows share the user_id partitioning and
+    the final per-session/per-day aggregates cluster on a prefix of it:
+    ONE wide shuffle total, then a small day-level rollup. Step chains of
+    depth k cost k window passes over co-partitioned data, never k joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new_session"),
+    )
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = tagged.withColumn("session_seq", F.sum("is_new_session").over(wrun))
+    per_sess_w = W.partitionBy("user_id", "session_seq")
+    typed = F.col("event_type")
+    ts = F.col("ts")
+    steps = (
+        sess.withColumn(
+            "t_view",
+            F.min(F.when(typed == "view", ts)).over(per_sess_w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when((typed == "click") & (ts > F.col("t_view")), ts)
+            ).over(per_sess_w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when((typed == "purchase") & (ts > F.col("t_click")), ts)
+            ).over(per_sess_w),
+        )
+    )
+    per_sess = steps.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    return per_sess.groupBy(
+        F.to_date("session_start").alias("day")
+    ).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.col("t_view").isNotNull().cast("bigint")).alias("n_view"),
+        F.sum(F.col("t_click").isNotNull().cast("bigint")).alias("n_view_click"),
+        F.sum(F.col("t_purchase").isNotNull().cast("bigint")).alias(
+            "n_view_click_purchase"
+        ),
+    )
+
+
+@query(
     "events_asof_last_purchase",
     oracle="""
 SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
