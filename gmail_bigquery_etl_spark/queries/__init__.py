@@ -39,6 +39,8 @@ _ROUND4_FRONT = [
     "dedup_containment_pairs",
     "embedding_dup_clusters",
     "events_funnel_conversion",
+    "window_range_frame",
+    "docs_domain_mixture",
     "dedup_ngram_jaccard_pairs",
     "ingest_near_dup_incremental",
     "ann_sq8_topk",

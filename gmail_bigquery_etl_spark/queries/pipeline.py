@@ -18,7 +18,7 @@ quality filtering (SURVEY.md §2.10 extensions):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -62,6 +62,65 @@ def docs_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(split.alias("split"), "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@query(
+    "docs_domain_mixture",
+    oracle="""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY source
+), shared AS (
+  SELECT *,
+         CAST(total_chars AS DOUBLE) / SUM(CAST(total_chars AS DOUBLE)) OVER () AS raw_share
+  FROM per
+), tempered AS (
+  SELECT *, CAST(ROUND(sqrt(raw_share), 9) AS DECIMAL(18,9)) AS t_dec FROM shared
+)
+SELECT source, n_docs, total_chars,
+       ROUND(raw_share, 6) AS raw_share,
+       ROUND(CAST(t_dec AS DOUBLE) / CAST(SUM(t_dec) OVER () AS DOUBLE), 6) AS mix_weight,
+       CAST(ROUND(CAST(t_dec AS DOUBLE) / CAST(SUM(t_dec) OVER () AS DOUBLE) * 100000, 0) AS BIGINT) AS epoch_quota
+FROM tempered
+""",
+)
+def docs_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (the alpha=0.5 upsampling rule from
+    multilingual/multi-domain LM training): per-source sampling weight
+    w_i = share_i^alpha / sum_j share_j^alpha, which flattens the domain
+    distribution toward uniform, plus the resulting per-epoch document
+    quota at a 100k budget. Plan: one tiny groupBy(source) aggregate, then
+    unpartitioned windows over the handful of domain rows -- the serial
+    part is O(n_domains), never O(n_docs).
+
+    Float determinism: raw_share is one exact double division; the
+    tempering uses sqrt (IEEE-correctly-rounded, bit-identical across
+    engines -- the reason alpha is 0.5 and not pow), and the cross-domain
+    denominator sums DECIMAL(18,9)-quantized terms so it is associative
+    and order-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    w_all = W.partitionBy()
+    share = F.col("total_chars").cast("double") / F.sum(
+        F.col("total_chars").cast("double")
+    ).over(w_all)
+    tempered = per.withColumn("raw_share", share).withColumn(
+        "t_dec", F.round(F.sqrt(F.col("raw_share")), 9).cast("decimal(18,9)")
+    )
+    weight = F.col("t_dec").cast("double") / F.sum("t_dec").over(w_all).cast(
+        "double"
+    )
+    return tempered.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round("raw_share", 6).alias("raw_share"),
+        F.round(weight, 6).alias("mix_weight"),
+        F.round(weight * 100000, 0).cast("bigint").alias("epoch_quota"),
     )
 
 

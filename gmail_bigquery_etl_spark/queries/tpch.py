@@ -967,6 +967,52 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_range_frame",
+    oracle="""
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY CAST(o_orderdate AS DATE)
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_30d_spend,
+       COUNT(*) OVER (
+         PARTITION BY o_custkey
+         ORDER BY CAST(o_orderdate AS DATE)
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+         AS trailing_30d_orders
+FROM orders
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-range window frame (vs window_running_sum's ROWS frame): the
+    trailing-30-day spend per customer. RANGE frames are tie-inclusive --
+    all orders on the same day are peers and every peer sees the full
+    peer-group sum, which a ROWS frame cannot express deterministically.
+    Spark's rangeBetween needs a numeric ordering key, so the date is
+    lowered to an epoch-day int and the interval to +/-30 -- exactly the
+    lowering DuckDB's INTERVAL arithmetic performs internally. Same
+    one-shuffle-per-partition-key plan shape as every other window query.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.to_date("o_orderdate")))
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.to_date("o_orderdate").alias("orderdate"),
+        F.sum(_dec(F.col("o_totalprice")))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d_spend"),
+        F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
+    )
+
+
+@query(
     "window_lag_lead",
     oracle="""
 SELECT o_custkey AS custkey, o_orderkey AS orderkey,
