@@ -597,3 +597,167 @@ def label_centroids(
         F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"),
         F.count("*").alias("n"),
     )
+
+
+def _l2sq_lit(sub: Column, cw: list[float]) -> Column:
+    """Sequential-fold squared-L2 distance between a sliced subvector and a
+    LITERAL codeword: left fold over ascending index, bit-identical to the
+    oracle's list_reduce(list_prepend(0.0, ...)) formulation. Squares are
+    plain multiplies (not pow) so both engines hit the same IEEE ops."""
+    lit = F.array(*[F.lit(float(x)) for x in cw])
+    diffs = F.zip_with(
+        sub,
+        lit,
+        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks: the label-mean centroids (the same
+    distributed quantizer IVF collects -- only K x dim scalars ever reach
+    the driver) sliced into ``m`` subspaces of dim/m components. Codebook
+    [s] holds (code_id, codeword) pairs for subspace s; code ids are the
+    label ids, so the codebook derivation is deterministic and exactly
+    replicable in oracle SQL (no iterative k-means state)."""
+    cents = ivf_centroid_arrays(corpus, label_col, vec_col, dim)
+    d_sub = dim // m
+    return [
+        [(lab, v[s * d_sub : (s + 1) * d_sub]) for lab, v in cents]
+        for s in range(m)
+    ]
+
+
+def pq_code_col(
+    vec_col: Column | str,
+    codebook_s: list[tuple[int, list[float]]],
+    s: int,
+    d_sub: int,
+) -> Column:
+    """Nearest-codeword id for subspace ``s``: argmin of squared-L2 via
+    array_min over (distance, code) structs -- one fold per codeword, ties
+    break to the smallest code id. Same single-expression-tree shape as
+    ivf_cell_scores (a when/otherwise argmin chain would re-embed every
+    prior fold exponentially; HOF expressions get no CSE)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    sub = F.slice(v, s * d_sub + 1, d_sub)
+    entries = F.array(
+        *[
+            F.struct(_l2sq_lit(sub, cw).alias("d"), F.lit(lab).alias("lab"))
+            for lab, cw in codebook_s
+        ]
+    )
+    return F.array_min(entries)["lab"]
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring --
+    the memory-scale rung of the quantization family (SQ8 shrinks each
+    component, PQ shrinks each vector to m code ids: 64 floats -> 4 bytes
+    here). Encode: each corpus vector becomes m nearest-codeword ids
+    (pure codegen'd projection against literal codebooks, no shuffle).
+    Search: each query precomputes its distance lookup table (query x
+    subspace x codeword -- k*m doubles, a broadcast-sized dimension at any
+    corpus size), folded into a per-query map; the corpus-side scan is
+    then one projection summing m map lookups per row. The per-subspace
+    terms are 9dp-quantized to DECIMAL before the m-way sum so the total
+    is associative/exact -- engine- and order-independent.
+
+    Scale shape: codebook derivation is the distributed IVF quantizer; the
+    scan is broadcast-join + projection + per-query top-k window. Recall
+    vs brute force is pytest-gated; the declared query's oracle replicates
+    encode + ADC bit-exactly."""
+    cbs = pq_codebooks(corpus, label_col, vec_col, m, dim)
+    d_sub = dim // m
+
+    codes = corpus.select(
+        F.col(id_col).alias("match_id"),
+        *[
+            pq_code_col(vec_col, cbs[s], s, d_sub).alias(f"_c{s}")
+            for s in range(m)
+        ],
+    )
+
+    # Per-query LUT rows: d(query, s, code) = L2^2(query_sub_s, codeword),
+    # 9dp-rounded. Folded to ONE map per query so the corpus scan stays a
+    # projection (no Generate on the big side, no per-subspace join).
+    cb_rows = [
+        (s, lab, [float(x) for x in cw])
+        for s in range(m)
+        for lab, cw in cbs[s]
+    ]
+    cb_df = corpus.sparkSession.createDataFrame(
+        cb_rows, "s int, lab int, cw array<double>"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    lut_entries = (
+        q.join(F.broadcast(cb_df))
+        .select(
+            "query_id",
+            (F.col("s") * 1000 + F.col("lab")).alias("_key"),
+            F.round(
+                _l2sq_fold_col(
+                    F.slice(F.col("_qv"), F.col("s") * d_sub + 1, d_sub),
+                    F.col("cw"),
+                ),
+                9,
+            ).alias("_d"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_key"), F.col("_d")))
+            ).alias("_lut")
+        )
+    )
+
+    dist = None
+    for s in range(m):
+        term = F.element_at(
+            F.col("_lut"), F.col(f"_c{s}") + F.lit(s * 1000)
+        ).cast("decimal(28,9)")
+        dist = term if dist is None else dist + term
+    scored = (
+        codes.crossJoin(F.broadcast(lut_entries))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn("_dist", dist)
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("_dist"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "match_id",
+            "rank",
+            F.round(F.col("_dist").cast("double"), 6).alias("adc_dist"),
+        )
+    )
+
+
+def _l2sq_fold_col(sub: Column, cw: Column) -> Column:
+    """_l2sq_lit for a COLUMN codeword (LUT build side): same sequential
+    fold, same IEEE op sequence."""
+    diffs = F.zip_with(
+        sub,
+        cw,
+        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)

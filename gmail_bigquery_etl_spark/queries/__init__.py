@@ -41,6 +41,7 @@ _ROUND4_FRONT = [
     "events_funnel_conversion",
     "window_range_frame",
     "docs_domain_mixture",
+    "ann_pq_topk",
     "dedup_ngram_jaccard_pairs",
     "ingest_near_dup_incremental",
     "ann_sq8_topk",

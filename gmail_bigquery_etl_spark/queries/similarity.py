@@ -530,3 +530,77 @@ def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "match_id", "rank", F.round("rrf", 6).alias("rrf"))
     )
+
+
+# Sequential-fold squared-L2 between subspace s of embedding column {e}
+# (elements {e}[{s}*d_sub + i]) and codeword list {cw}: left fold,
+# ascending index, plain multiplies -- the exact IEEE op sequence the
+# Spark side's zip_with/aggregate lowering performs.
+def _sql_l2sq(e: str, s: str, cw: str, d_sub: int = 8) -> str:
+    diff = f"(CAST({e}[{s}*{d_sub} + i] AS DOUBLE) - {cw}[i])"
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {d_sub}), i -> {diff} * {diff})), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+@query(
+    "ann_pq_topk",
+    oracle=f"""
+WITH cent AS (
+  SELECT label, j - 1 AS dim, ROUND(AVG(CAST(embedding[j] AS DOUBLE)), 6) AS c
+  FROM embeddings, generate_series(1, 64) AS t(j)
+  GROUP BY label, j
+),
+carr AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+cb AS (
+  SELECT s, label AS lab, cv[s*8+1 : s*8+8] AS cw
+  FROM carr, generate_series(0, 7) AS t(s)
+),
+enc AS (
+  SELECT vec_id, s, lab AS code FROM (
+    SELECT e.vec_id, cb.s, cb.lab,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.s
+                              ORDER BY {_sql_l2sq('e.embedding', 'cb.s', 'cb.cw')}, cb.lab) AS rn
+    FROM embeddings e CROSS JOIN cb
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.s, cb.lab,
+         CAST(ROUND({_sql_l2sq('q.embedding', 'cb.s', 'cb.cw')}, 9) AS DECIMAL(28,9)) AS d
+  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS match_id, SUM(l.d) AS dist
+  FROM enc c JOIN lut l ON l.s = c.s AND l.lab = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, match_id, rank, ROUND(CAST(dist AS DOUBLE), 6) AS adc_dist
+FROM (
+  SELECT query_id, match_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, match_id) AS rank,
+         dist
+  FROM adc
+) WHERE rank <= 5
+""",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC): completes the quantization family
+    (LSH buckets / IVF cells / SQ8 codes / IVF,SQ8 / RRF fusion) with the
+    memory-scale rung -- 64 floats per vector compress to m=8 one-byte
+    code ids against label-mean codebooks, and queries score candidates
+    through a per-query distance lookup table instead of touching raw
+    vectors (operators/similarity.py pq_topk). The corpus-side scan is a
+    pure projection + broadcast join (encode against literal codebooks,
+    m map lookups per row); the per-subspace distance terms are
+    9dp-quantized to DECIMAL before the m-way sum so the ADC total is
+    associative and engine-exact, which is what lets the oracle replicate
+    encode + search bit-for-bit. Recall vs the float brute force is
+    additionally pytest-gated."""
+    from ..operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(emb, queries_df, k=5, m=8, dim=64)

@@ -135,3 +135,43 @@ def test_ivf_sq8_recall_matches_ivf_float(spark, emb):
     ivf_sq8 = _hits(ivf_sq8_topk(emb, qs, k=K, nprobe=2))
     r_float, r_sq8 = _recall(ivf_float, exact), _recall(ivf_sq8, exact)
     assert r_sq8 >= r_float - 0.05, (r_sq8, r_float)
+
+
+def test_pq_shortlist_recall_beats_uniform(spark, emb):
+    """PQ/ADC contract: the shortlist is a CANDIDATE GENERATOR (re-rank
+    follows in a real pipeline), so the gate is containment of the exact
+    L2 top-5 in the ADC shortlist, with a uniform-random floor: a 50-of-n
+    random shortlist would contain ~50/n of the true neighbors (0.1 at
+    sf0.001's 500 vectors); label-mean codebooks must beat that 3x+."""
+    from pyspark.sql import Window as W
+    from gmail_bigquery_etl_spark.operators.similarity import pq_topk
+
+    qs = emb.filter(F.col("vec_id") < N_QUERIES)
+    q = qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("match_id"), F.col("embedding").alias("cv"))
+    d2 = F.aggregate(
+        F.zip_with(
+            "qv",
+            "cv",
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("d"), F.asc("match_id"))
+    exact = _hits(
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id", d2.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+    )
+    short20 = _hits(pq_topk(emb, qs, k=20, m=8))
+    short50 = _hits(pq_topk(emb, qs, k=50, m=8))
+    assert _recall(short50, exact) >= 0.4  # uniform floor is 0.1
+    # Monotone: a longer shortlist can only contain more true neighbors.
+    assert short20 <= short50
+    # Finer subspaces quantize with less error (pinned on this fixture).
+    coarse50 = _hits(pq_topk(emb, qs, k=50, m=4))
+    assert _recall(short50, exact) >= _recall(coarse50, exact)
