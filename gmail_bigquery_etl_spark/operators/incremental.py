@@ -141,8 +141,13 @@ def incremental_near_dup(
     )
     rest = marked.filter(F.col("_is_exact").isNull()).drop("_is_exact", "_h")
 
-    grams_n = grams_stage(rest, text_col, id_col, shingle_n)
-    grams_e = grams_stage(existing, text_col, id_col, shingle_n)
+    # Both gram stages feed TWO plan branches each (band signatures and
+    # the Jaccard verifier's union). The stage is a projection, not an
+    # exchange, so ReuseExchange cannot deduplicate it -- without pinning,
+    # Spark re-runs tokenize+shingle+md5 over the full corpus once per
+    # consumer. localCheckpoint materializes each exactly once.
+    grams_n = grams_stage(rest, text_col, id_col, shingle_n).localCheckpoint()
+    grams_e = grams_stage(existing, text_col, id_col, shingle_n).localCheckpoint()
     bands_n = banded_signatures(grams_n, id_col, num_hashes, bands)
     bands_e = (
         banded_signatures(grams_e, id_col, num_hashes, bands)
