@@ -42,6 +42,8 @@ _ROUND4_FRONT = [
     "window_range_frame",
     "docs_domain_mixture",
     "ann_pq_topk",
+    "events_cohort_retention",
+    "agg_exact_moments",
     "dedup_ngram_jaccard_pairs",
     "ingest_near_dup_incremental",
     "ann_sq8_topk",

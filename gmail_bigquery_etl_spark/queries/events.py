@@ -159,6 +159,57 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort_week
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS act_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST((a.act_week - f.cohort_week) // 7 AS BIGINT) AS weeks_since,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM act a JOIN firsts f USING (user_id)
+WHERE a.act_week >= f.cohort_week
+GROUP BY 1, 2
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users cohorted by first-PURCHASE week
+    (first-any-event would collapse every user into the fixture's opening
+    week), counted once per (cohort, weeks-since-cohort) they were active
+    in -- the standard product-analytics retention matrix. Shape: one
+    aggregation to find each user's cohort week, one distinct over
+    (user, active week), then a join back on user_id and a count-distinct
+    rollup; every shuffle keys on user_id or the small (cohort, offset)
+    pair, nothing quadratic. Week truncation is ISO-Monday in both
+    engines, so offsets are exact multiples of 7 days."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
+    ).distinct()
+    return (
+        act.join(firsts, "user_id")
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
     "events_funnel_conversion",
     oracle="""
 WITH ordered AS (

@@ -270,3 +270,95 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_p")[2], 4).alias("p75"),
         F.round(F.col("_p")[3], 4).alias("p99"),
     )
+
+
+@query(
+    "agg_exact_moments",
+    oracle="""
+WITH q AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice / 1000, 0) AS BIGINT) AS k
+  FROM orders
+),
+sums AS (
+  SELECT o_orderpriority AS priority, COUNT(*) AS n,
+         SUM(k) AS s1, SUM(k*k) AS s2, SUM(k*k*k) AS s3, SUM(k*k*k*k) AS s4
+  FROM q GROUP BY o_orderpriority
+),
+r AS (
+  SELECT priority, n,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         CAST(s2 AS DOUBLE) / n AS r2,
+         CAST(s3 AS DOUBLE) / n AS r3,
+         CAST(s4 AS DOUBLE) / n AS r4
+  FROM sums
+),
+m AS (
+  SELECT priority, n, mean,
+         r2 - mean * mean AS m2,
+         r3 - 3 * mean * r2 + 2 * mean * mean * mean AS m3,
+         r4 - 4 * mean * r3 + 6 * mean * mean * r2
+            - 3 * mean * mean * mean * mean AS m4
+  FROM r
+)
+SELECT priority, n,
+       ROUND(mean, 6) AS mean_k,
+       ROUND(m2, 6) AS var_k,
+       ROUND(m3 / (m2 * sqrt(m2)), 6) AS skew_k,
+       ROUND(m4 / (m2 * m2), 6) AS kurt_k
+FROM m
+""",
+)
+def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher central moments (variance / skewness / kurtosis) computed
+    EXACTLY from integer power sums -- the distribution-profiling step a
+    curation pipeline runs beyond min/max/mean. Values quantize to
+    thousand-dollar units so k^4 sums stay far inside int64 (600^4 *
+    1.5M rows ~ 2e17); the four power sums are then associative integer
+    aggregation (one shuffle, partial+final), and skewness/kurtosis are
+    derived in doubles through the SAME expression tree in both engines
+    (m2*sqrt(m2) rather than pow, plain multiply chains rather than ^)
+    so the emitted 6dp values are bit-stable -- unlike the engines'
+    native skewness()/kurtosis() whose fp accumulation order differs."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.round(F.col("o_totalprice") / 1000, 0).cast("bigint")
+    q = orders.select(F.col("o_orderpriority").alias("priority"), k.alias("k"))
+    sums = q.groupBy("priority").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("s1"),
+        F.sum(F.col("k") * F.col("k")).alias("s2"),
+        F.sum(F.col("k") * F.col("k") * F.col("k")).alias("s3"),
+        F.sum(F.col("k") * F.col("k") * F.col("k") * F.col("k")).alias("s4"),
+    )
+    n = F.col("n")
+    r = sums.select(
+        "priority",
+        "n",
+        (F.col("s1").cast("double") / n).alias("mean"),
+        (F.col("s2").cast("double") / n).alias("r2"),
+        (F.col("s3").cast("double") / n).alias("r3"),
+        (F.col("s4").cast("double") / n).alias("r4"),
+    )
+    mean, r2, r3, r4 = F.col("mean"), F.col("r2"), F.col("r3"), F.col("r4")
+    m = r.select(
+        "priority",
+        "n",
+        mean.alias("mean"),
+        (r2 - mean * mean).alias("m2"),
+        (r3 - F.lit(3) * mean * r2 + F.lit(2) * mean * mean * mean).alias("m3"),
+        (
+            r4
+            - F.lit(4) * mean * r3
+            + F.lit(6) * mean * mean * r2
+            - F.lit(3) * mean * mean * mean * mean
+        ).alias("m4"),
+    )
+    m2 = F.col("m2")
+    return m.select(
+        "priority",
+        "n",
+        F.round("mean", 6).alias("mean_k"),
+        F.round(m2, 6).alias("var_k"),
+        F.round(F.col("m3") / (m2 * F.sqrt(m2)), 6).alias("skew_k"),
+        F.round(F.col("m4") / (m2 * m2), 6).alias("kurt_k"),
+    )
