@@ -42,6 +42,7 @@ _ROUND4_FRONT = [
     "window_range_frame",
     "docs_domain_mixture",
     "ann_pq_topk",
+    "ann_pq_rerank",
     "events_cohort_retention",
     "agg_exact_moments",
     "dedup_ngram_jaccard_pairs",

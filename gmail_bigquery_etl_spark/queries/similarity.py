@@ -545,10 +545,9 @@ def _sql_l2sq(e: str, s: str, cw: str, d_sub: int = 8) -> str:
     )
 
 
-@query(
-    "ann_pq_topk",
-    oracle=f"""
-WITH cent AS (
+# PQ encode + ADC scoring as reusable CTE text (cent/carr/cb/enc/lut/adc
+# + ranked): shared by the plain ADC top-k and the shortlist+rerank query.
+_SQL_PQ_CTES = f"""cent AS (
   SELECT label, j - 1 AS dim, ROUND(AVG(CAST(embedding[j] AS DOUBLE)), 6) AS c
   FROM embeddings, generate_series(1, 64) AS t(j)
   GROUP BY label, j
@@ -576,14 +575,21 @@ adc AS (
   FROM enc c JOIN lut l ON l.s = c.s AND l.lab = c.code
   WHERE c.vec_id <> l.query_id
   GROUP BY 1, 2
-)
-SELECT query_id, match_id, rank, ROUND(CAST(dist AS DOUBLE), 6) AS adc_dist
-FROM (
+),
+ranked AS (
   SELECT query_id, match_id,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, match_id) AS rank,
          dist
   FROM adc
-) WHERE rank <= 5
+)"""
+
+
+@query(
+    "ann_pq_topk",
+    oracle=f"""
+WITH {_SQL_PQ_CTES}
+SELECT query_id, match_id, rank, ROUND(CAST(dist AS DOUBLE), 6) AS adc_dist
+FROM ranked WHERE rank <= 5
 """,
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,3 +610,56 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return pq_topk(emb, queries_df, k=5, m=8, dim=64)
+
+
+@query(
+    "ann_pq_rerank",
+    oracle=f"""
+WITH {_SQL_PQ_CTES},
+short AS (SELECT query_id, match_id FROM ranked WHERE rank <= 50),
+rer AS (
+  SELECT s.query_id, s.match_id,
+         {_SQL_COSINE.format(a='a.embedding', b='b.embedding')} AS score
+  FROM short s
+  JOIN embeddings a ON a.vec_id = s.query_id
+  JOIN embeddings b ON b.vec_id = s.match_id
+)
+SELECT query_id, match_id, rank, ROUND(score, 6) AS score
+FROM (
+  SELECT query_id, match_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, match_id) AS rank
+  FROM rer
+) WHERE rank <= 5
+""",
+)
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production retrieval composition: PQ/ADC generates a cheap
+    shortlist (50 candidates from compressed codes, never touching raw
+    vectors), then ONLY those candidates are re-ranked by exact float
+    cosine -- the two-stage shape every large-scale vector store runs
+    (quantized scan -> exact rerank). The rerank join touches
+    |queries| x 50 rows regardless of corpus size; pytest gates that
+    reranking lifts recall over raw ADC order."""
+    from ..operators.similarity import pq_topk
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    short = pq_topk(emb, qs, k=50, m=8, dim=64).select("query_id", "match_id")
+    qv = qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"))
+    cv = emb.select(F.col("vec_id").alias("match_id"), F.col("embedding").alias("_cv"))
+    rer = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "match_id")
+        .select(
+            "query_id",
+            "match_id",
+            cosine_similarity("_qv", "_cv").alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "match_id", "rank", F.round("score", 6).alias("score"))
+    )

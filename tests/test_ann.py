@@ -175,3 +175,26 @@ def test_pq_shortlist_recall_beats_uniform(spark, emb):
     # Finer subspaces quantize with less error (pinned on this fixture).
     coarse50 = _hits(pq_topk(emb, qs, k=50, m=4))
     assert _recall(short50, exact) >= _recall(coarse50, exact)
+
+
+def test_pq_rerank_lifts_recall_over_raw_adc(spark, emb, sf_dir):
+    """The two-stage contract: exact-cosine rerank of the ADC shortlist
+    must recover at least as many true cosine neighbors as trusting raw
+    ADC order -- and in absolute terms must recover exactly the true
+    top-5 that made it into the shortlist."""
+    from gmail_bigquery_etl_spark.queries.similarity import (
+        ann_pq_rerank,
+        ann_pq_topk,
+    )
+
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = _hits(brute_force_topk(emb, qs, k=K))
+    adc5 = _hits(ann_pq_topk(spark, sf_dir))
+    rer5 = _hits(ann_pq_rerank(spark, sf_dir))
+    assert _recall(rer5, exact) >= _recall(adc5, exact)
+    from gmail_bigquery_etl_spark.operators.similarity import pq_topk
+
+    short = _hits(pq_topk(emb, qs, k=50, m=8))
+    # rerank returns the best cosine candidates WITHIN the shortlist, so
+    # every true neighbor that survived the shortlist must be recovered.
+    assert (exact & short) <= rer5
