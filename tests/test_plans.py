@@ -71,6 +71,10 @@ def test_no_accidental_cartesian_products(spark):
         "knn_bruteforce_cosine",
         "ann_sq8_topk",  # SQ8-flat scan: same bounded-query-block NLJ as knn
         "ann_rrf_fusion",  # fuses the two scans above; inherits their NLJs
+        # PQ/ADC: crossJoin of the per-query LUT maps (one row per query,
+        # bounded query block) against the corpus code projection
+        "ann_pq_topk",
+        "ann_pq_rerank",
         "embedding_near_dup",
         "dedup_exact_survivors_count",  # crossJoin of two 1-row aggregates
         "text_tfidf_top_terms",  # broadcast crossJoin of the 1-row doc count
@@ -238,3 +242,13 @@ def test_cli_surface(spark):
     assert main(["oracle", "q1_pricing_summary"]) == 0
     assert main(["run", "nope_not_a_query"]) == 2
     assert main(["definitely-bad-cmd"]) == 2
+
+
+def test_funnel_single_wide_shuffle(spark):
+    """events_funnel_conversion's design claim: sessionization, all three
+    chained step windows, AND the per-session aggregate share ONE user_id
+    exchange; the only other exchange is the tiny day-level rollup."""
+    plan = _plan(spark, "events_funnel_conversion")
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 2, exchanges
+    assert sum("user_id" in l for l in exchanges) == 1, exchanges
