@@ -45,6 +45,7 @@ _ROUND4_FRONT = [
     "ann_pq_rerank",
     "events_cohort_retention",
     "agg_exact_moments",
+    "multimodal_png_decode",
     "dedup_ngram_jaccard_pairs",
     "ingest_near_dup_incremental",
     "ann_sq8_topk",

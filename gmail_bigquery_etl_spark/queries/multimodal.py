@@ -266,3 +266,62 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = d.select("media_id", F.unhex(hex_payload).alias("payload"))
     return bmp_features(media, fake=False)
+
+
+@query(
+    "multimodal_png_decode",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 11 + 2 AS INT) AS w,
+         CAST(doc_id % 5 + 2 AS INT) AS h
+  FROM documents
+),
+px AS (
+  SELECT media_id, w, h, x, y
+  FROM m, generate_series(0, 12) tx(x), generate_series(0, 6) ty(y)
+  WHERE x < w AND y < h
+)
+SELECT media_id, w AS width, h AS height,
+       CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type,
+       CAST(SUM((7*x + 3*y) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((5*x + 11*y) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((x + y) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY 1, 2, 3
+""",
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth REAL codec, and the first that reconstructs PIXELS: a valid
+    8-bit truecolor PNG is synthesized per document (deterministic
+    channel arithmetic, zlib-compressed IDAT, scanline filters rotating
+    None/Sub/Up), pushed through png_features(fake=False) -- chunk walk
+    with CRC verification, inflate, full unfiltering -- and the recovered
+    dimensions AND exact per-channel pixel sums are gated against an
+    oracle that reproduces the generator arithmetic relationally. The
+    sums only match if every byte of every scanline survived compress ->
+    filter -> inflate -> unfilter, so the decode is verified end-to-end,
+    not just the header parse."""
+    import pandas as pd
+
+    from ..operators.multimodal import png_features, synth_png
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 11 + 2).cast("int").alias("w"),
+        (F.col("doc_id") % 5 + 2).cast("int").alias("h"),
+    )
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        synth_png(int(w), int(h))
+                        for w, h in zip(pdf["w"], pdf["h"])
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(build, "media_id long, payload binary")
+    return png_features(media, fake=False)

@@ -196,3 +196,92 @@ def test_parse_bmp_meta_real_decode():
         parse_bmp_meta(build(5, 3, compression=1))  # BI_RLE8
     with pytest.raises(NotImplementedError):
         parse_bmp_meta(build(5, 3, dib=124))  # BITMAPV5HEADER
+
+
+def test_parse_png_real_decode_all_filters():
+    """Full-pixel PNG decode: handcrafted IDAT streams exercise the two
+    filter types the generator doesn't emit (Average, Paeth) plus the
+    malformed-payload contracts."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from gmail_bigquery_etl_spark.operators.multimodal import (
+        parse_png,
+        synth_png,
+    )
+
+    # Generator roundtrip (filters None/Sub/Up) -- exact channel sums.
+    w, h = 6, 5
+    got = parse_png(synth_png(w, h))
+    want = (
+        sum((7 * x + 3 * y) % 256 for x in range(w) for y in range(h)),
+        sum((5 * x + 11 * y) % 256 for x in range(w) for y in range(h)),
+        sum((x + y) % 256 for x in range(w) for y in range(h)),
+    )
+    assert got == (w, h, 8, 2, want)
+
+    # Handcraft a 2x2 image written with Average (row 0) and Paeth (row 1).
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    pix = [[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (100, 110, 120)]]
+    raw = bytearray()
+    # Row 0, filter 3 (Average): left avg only (prev row = zeros).
+    raw.append(3)
+    row0 = [v for p in pix[0] for v in p]
+    enc0 = list(row0)
+    for i in range(len(enc0)):
+        left = row0[i - 3] if i >= 3 else 0
+        enc0[i] = (row0[i] - (left + 0) // 2) & 0xFF
+    raw.extend(enc0)
+    # Row 1, filter 4 (Paeth).
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    row1 = [v for p in pix[1] for v in p]
+    enc1 = list(row1)
+    for i in range(len(enc1)):
+        left = row1[i - 3] if i >= 3 else 0
+        up = row0[i]
+        ul = row0[i - 3] if i >= 3 else 0
+        enc1[i] = (row1[i] - paeth(left, up, ul)) & 0xFF
+    raw.append(4)
+    raw.extend(enc1)
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    png = (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    flat = [v for r in pix for p in r for v in p]
+    assert parse_png(png) == (
+        2,
+        2,
+        8,
+        2,
+        (sum(flat[0::3]), sum(flat[1::3]), sum(flat[2::3])),
+    )
+
+    # Contracts: non-PNG -> NotImplementedError; corrupted CRC -> ValueError.
+    with pytest.raises(NotImplementedError):
+        parse_png(b"JFIF not a png")
+    bad = bytearray(png)
+    bad[-5] ^= 0xFF  # flip a byte of IEND's CRC
+    with pytest.raises(ValueError):
+        parse_png(bytes(bad))
+    # 16-bit / palette variants are honest stubs.
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    png16 = sig + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        parse_png(png16)
