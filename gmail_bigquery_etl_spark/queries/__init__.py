@@ -46,6 +46,7 @@ _ROUND4_FRONT = [
     "events_cohort_retention",
     "agg_exact_moments",
     "multimodal_png_decode",
+    "events_gap_fill_hourly",
     "dedup_ngram_jaccard_pairs",
     "ingest_near_dup_incremental",
     "ann_sq8_topk",

@@ -159,6 +159,87 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_gap_fill_hourly",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(h) AS hmin, MAX(h) AS hmax,
+         date_diff('hour', MIN(h), MAX(h)) AS span
+  FROM hourly GROUP BY user_id
+),
+spine AS (
+  SELECT b.user_id, b.hmin + k * INTERVAL 1 HOUR AS h
+  FROM bounds b, generate_series(0, 2000) t(k)
+  WHERE k <= b.span
+),
+joined AS (
+  SELECT s.user_id, s.h,
+         COALESCE(hh.n, 0) AS n_events,
+         hh.total_value
+  FROM spine s LEFT JOIN hourly hh ON hh.user_id = s.user_id AND hh.h = s.h
+)
+SELECT user_id, h, n_events,
+       LAST_VALUE(total_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM joined
+""",
+)
+def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + forward fill: densify each user's hourly
+    activity onto a complete spine between their first and last active
+    hour (sequence() + explode generates the missing rows -- the
+    row-GENERATING shape the rest of the corpus lacks), left-join the real
+    hourly aggregates, zero-fill counts, and carry the last observed
+    hourly total forward across gaps with a running
+    last_value(ignorenulls). Scale: the spine is bounded by user-activity
+    spans (never a global cross join), the join is an equi-join on
+    (user, hour), and the fill window rides the same user_id
+    partitioning. The oracle builds the identical spine with a bounded
+    generate_series + span filter (DuckDB lacks lateral column args to
+    table functions)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        "total_value",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "h",
+        "n_events",
+        F.last("total_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@query(
     "events_cohort_retention",
     oracle="""
 WITH firsts AS (
