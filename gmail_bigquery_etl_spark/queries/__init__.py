@@ -47,6 +47,7 @@ _ROUND4_FRONT = [
     "agg_exact_moments",
     "multimodal_png_decode",
     "events_gap_fill_hourly",
+    "events_anomaly_zscore",
     "dedup_ngram_jaccard_pairs",
     "ingest_near_dup_incremental",
     "ann_sq8_topk",

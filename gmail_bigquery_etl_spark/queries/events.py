@@ -159,6 +159,73 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_anomaly_zscore",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT user_id, h, n,
+         COUNT(*) OVER w AS cnt,
+         SUM(n) OVER w AS s1,
+         SUM(n * n) OVER w AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY user_id)
+),
+scored AS (
+  SELECT user_id, h, n,
+         CAST(s1 AS DOUBLE) / cnt AS mean,
+         (CAST(s2 AS DOUBLE) / cnt) - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt) AS m2
+  FROM stats WHERE cnt >= 24
+)
+SELECT user_id, h, n,
+       ROUND((n - mean) / sqrt(m2), 6) AS z
+FROM scored
+WHERE m2 > 0 AND abs((n - mean) / sqrt(m2)) >= 3
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity anomaly detection: standardize each ACTIVE hour's
+    event count against that user's own hourly distribution (integer
+    power sums over the whole user partition -- exact and associative)
+    and emit the >= 3-sigma hours. Users with under a day of active hours
+    are skipped (a z-score against 3 observations is noise). One shuffle
+    on user_id; mean/variance derive from integer sums so the doubles are
+    engine-identical, and the z expression shares one tree with the
+    oracle (sqrt, plain multiplies)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("user_id")
+    n = F.col("n")
+    stats = hourly.select(
+        "user_id",
+        "h",
+        "n",
+        F.count("*").over(w).alias("cnt"),
+        F.sum(n).over(w).alias("s1"),
+        F.sum(n * n).over(w).alias("s2"),
+    ).filter(F.col("cnt") >= 24)
+    mean = F.col("s1").cast("double") / F.col("cnt")
+    m2 = (F.col("s2").cast("double") / F.col("cnt")) - mean * mean
+    z = (n - mean) / F.sqrt(m2)
+    return (
+        stats.withColumn("mean", mean)
+        .withColumn("m2", m2)
+        .filter((F.col("m2") > 0) & (F.abs((n - F.col("mean")) / F.sqrt(F.col("m2"))) >= 3))
+        .select(
+            "user_id",
+            "h",
+            "n",
+            F.round((n - F.col("mean")) / F.sqrt(F.col("m2")), 6).alias("z"),
+        )
+    )
+
+
+@query(
     "events_gap_fill_hourly",
     oracle="""
 WITH hourly AS (
