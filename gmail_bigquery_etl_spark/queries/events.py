@@ -311,16 +311,16 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH firsts AS (
   SELECT user_id,
-         CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort_week
+         CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS cohort_week
   FROM events WHERE event_type = 'purchase' GROUP BY user_id
 ),
 act AS (
   SELECT DISTINCT user_id,
-         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS act_week
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS act_week
   FROM events
 )
 SELECT f.cohort_week,
-       CAST((a.act_week - f.cohort_week) // 7 AS BIGINT) AS weeks_since,
+       CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS BIGINT) AS weeks_since,
        COUNT(DISTINCT a.user_id) AS n_users
 FROM act a JOIN firsts f USING (user_id)
 WHERE a.act_week >= f.cohort_week
@@ -336,13 +336,15 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, active week), then a join back on user_id and a count-distinct
     rollup; every shuffle keys on user_id or the small (cohort, offset)
     pair, nothing quadratic. Week truncation is ISO-Monday in both
-    engines, so offsets are exact multiples of 7 days."""
+    engines, so offsets are exact multiples of 7 days. (Week columns stay
+    TIMESTAMP: DATE outputs survive check_oracle's fetch path but not
+    the pandas mirror, where DuckDB upcasts DATE to datetime64.)"""
     ev = load_table(spark, sf_dir, "events")
     firsts = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     act = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
     ).distinct()
     return (
         act.join(firsts, "user_id")
@@ -390,7 +392,7 @@ WITH ordered AS (
          MIN(t_purchase) AS t_purchase
   FROM s3 GROUP BY user_id, session_seq
 )
-SELECT CAST(session_start AS DATE) AS day,
+SELECT CAST(date_trunc('day', session_start) AS TIMESTAMP) AS day,
        COUNT(*) AS n_sessions,
        CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
        CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
@@ -454,7 +456,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("t_purchase").alias("t_purchase"),
     )
     return per_sess.groupBy(
-        F.to_date("session_start").alias("day")
+        F.date_trunc("day", F.col("session_start")).alias("day")
     ).agg(
         F.count("*").alias("n_sessions"),
         F.sum(F.col("t_view").isNotNull().cast("bigint")).alias("n_view"),

@@ -970,7 +970,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame",
     oracle="""
 SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-       CAST(o_orderdate AS DATE) AS orderdate,
+       CAST(o_orderdate AS TIMESTAMP) AS orderdate,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
          PARTITION BY o_custkey
          ORDER BY CAST(o_orderdate AS DATE)
@@ -1003,7 +1003,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
-        F.to_date("o_orderdate").alias("orderdate"),
+        F.col("o_orderdate").alias("orderdate"),
         F.sum(_dec(F.col("o_totalprice")))
         .over(w)
         .cast("double")
