@@ -25,17 +25,18 @@ from . import pipeline as _pipeline  # noqa: E402,F401  (split/shard assembly)
 from . import warehouse as _warehouse  # noqa: E402,F401  (merge/SCD2/profiling)
 from . import curation as _curation  # noqa: E402,F401  (corpus curation ops)
 
-# Round-4 rotation: front-load (a) queries new this round, (b) queries
-# whose code paths changed this round (paginated backend injection,
-# shingle-cache locking, packing materialization, stateful rounding,
-# multimodal codecs, fused component rounds) so the driver revalidates
-# them, then (c) the 33 queries whose latest driver row is round 2 --
-# after this round everything touched since its last row is <=1 round
-# stale. Registration position NEVER gates local correctness: the pytest
-# suite (tests/test_correctness.py) and tools/check_oracle.py run the
-# FULL corpus against the DuckDB oracle every round.
+# Round-4 rotation: front-load (a) queries new this round -- continuation-3
+# additions first (newest never-gated work takes the scarcest driver
+# slots), then the earlier round-4 additions -- then (b) queries whose
+# code paths changed this round, then (c) the queries whose latest driver
+# row is round 2. The round-4 corpus grew past the driver's ~50-row cap
+# (54+ new queries alone), so (b)/(c) cannot all fit; position NEVER gates
+# local correctness -- the pytest suite (tests/test_correctness.py) and
+# tools/check_oracle.py run the FULL corpus against the DuckDB oracle
+# every round, and every (b)/(c) member holds a green driver row from
+# r01-r03.
 _ROUND4_FRONT = [
-    # (a) new this round
+    # (a) new this round -- continuation 3 first
     "dedup_containment_pairs",
     "embedding_dup_clusters",
     "events_funnel_conversion",
