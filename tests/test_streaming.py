@@ -594,3 +594,47 @@ def test_streaming_near_dup_ingest_matches_sequential_batch(spark, tmp_path):
     assert got == want
     # and the mid-stream dupes were actually refused
     assert not any(d >= 400000 for d in got)
+
+
+def test_custom_timeout_sessionizer_matches_batch(spark, replay_dir, tmp_path):
+    """Hand-rolled EventTimeTimeout sessionizer (streaming/sessions.py):
+    every emitted session must equal a batch gaps-and-islands session
+    exactly, and every session the final watermark could CLOSE (in-batch
+    successor or timeout horizon passed) must have been emitted. This
+    exercises both emission paths: in-batch close (a later event past the
+    gap) and state-store timeout (watermark passes last_ts + gap)."""
+    from gmail_bigquery_etl_spark.streaming.sessions import (
+        GAP_MIN,
+        batch_sessions,
+        sessionize_stream,
+    )
+
+    stream = replay_events_stream(spark, replay_dir)
+    out = str(tmp_path / "sess_out")
+    _run_to_completion(
+        sessionize_stream(stream), out, str(tmp_path / "sess_ckpt")
+    )
+
+    events = load_table(spark, SMOKE_SF, "events")
+    want_all = batch_sessions(events)
+    got = spark.read.parquet(out)
+    keys = ["user_id", "session_start", "session_end", "n_events"]
+    got_rows = _rows(got, keys[:3])
+    want_rows = _rows(want_all, keys[:3])
+
+    # 1. no invented sessions: emitted is a subset of the batch truth
+    assert set(got_rows) <= set(want_rows)
+
+    # 2. completeness on the closable region: final watermark = max ts -
+    # 30 min delay; a session whose end + gap is before that horizon MUST
+    # have timed out (and in-batch closes can only add to this).
+    cutoff = events.agg(
+        (
+            F.max("ts")
+            - F.expr("INTERVAL 30 MINUTES")
+            - F.expr(f"INTERVAL {GAP_MIN} MINUTES")
+        ).alias("w")
+    ).collect()[0].w
+    must_close = want_all.filter(F.col("session_end") <= F.lit(cutoff))
+    assert set(_rows(must_close, keys[:3])) <= set(got_rows)
+    assert must_close.count() > 0  # the gate is non-vacuous
