@@ -49,6 +49,7 @@ _ROUND4_FRONT = [
     "multimodal_png_decode",
     "events_gap_fill_hourly",
     "events_anomaly_zscore",
+    "events_transition_matrix",
     "dedup_ngram_jaccard_pairs",
     "ingest_near_dup_incremental",
     "ann_sq8_topk",

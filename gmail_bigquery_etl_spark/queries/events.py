@@ -159,6 +159,54 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_transition_matrix",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM pairs
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event stream:
+    consecutive (prev -> next) event-type bigrams via lag, counted and
+    row-normalized into transition probabilities -- the sequence-mining
+    summary behind next-action models and funnel diagnostics. One shuffle
+    on user_id for the lag, one tiny shuffle on the K x K type pairs; the
+    normalizing window runs over at most K rows per prev_type. p is an
+    exact bigint ratio, so the 6dp rounding is engine-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wp = W.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+@query(
     "events_anomaly_zscore",
     oracle="""
 WITH hourly AS (
