@@ -50,6 +50,7 @@ _ROUND4_FRONT = [
     "events_gap_fill_hourly",
     "events_anomaly_zscore",
     "events_transition_matrix",
+    "text_bpe_merge_candidates",
     "dedup_ngram_jaccard_pairs",
     "ingest_near_dup_incremental",
     "ann_sq8_topk",

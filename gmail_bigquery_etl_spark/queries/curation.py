@@ -410,3 +410,65 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_high_perplexity"
         ),
     )
+
+
+@query(
+    "text_bpe_merge_candidates",
+    oracle=r"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+wf AS (SELECT w, COUNT(*) AS f FROM words WHERE len(w) >= 2 GROUP BY w),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> substring(w, i, 2))) AS pair, f
+  FROM wf
+),
+agg AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS n FROM pairs GROUP BY pair)
+SELECT pair, n, rank FROM (
+  SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank FROM agg
+) WHERE rank <= 20
+""",
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core BPE-TRAINING step (first merge iteration): corpus-weighted
+    adjacent-symbol-pair frequencies. Word frequencies aggregate first
+    (classic BPE trains on the word-frequency table, not raw running
+    text), then each distinct word fans out to its character bigrams
+    weighted by its count, and the top-20 pairs -- the merge candidates
+    -- rank by weighted frequency with a lexicographic tiebreak.
+
+    Plan: one token explode + word groupBy (the same shuffle text_token
+    stats pays), then the pair expansion runs over DISTINCT WORDS (tiny
+    vs the corpus -- vocabulary, not tokens), a pair groupBy, and a
+    20-row window. The pair array is staged as a column before explode
+    (Generate over an attribute, not a computed array -- the
+    InferFiltersFromGenerate hazard the repo's HOF discipline avoids)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    wf = (
+        docs.select(F.explode(whitespace_tokens("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    pairs = (
+        wf.withColumn(
+            "_ps",
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            ),
+        )
+        .select(F.explode("_ps").alias("pair"), "f")
+        .groupBy("pair")
+        .agg(F.sum("f").cast("bigint").alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("pair", "n", "rank")
+    )
