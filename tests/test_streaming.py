@@ -638,3 +638,86 @@ def test_custom_timeout_sessionizer_matches_batch(spark, replay_dir, tmp_path):
     must_close = want_all.filter(F.col("session_end") <= F.lit(cutoff))
     assert set(_rows(must_close, keys[:3])) <= set(got_rows)
     assert must_close.count() > 0  # the gate is non-vacuous
+
+
+def test_timeout_sessionizer_survives_checkpoint_restart(spark, tmp_path):
+    """Session state-store recovery: stream the first (time-ordered) half
+    of the corpus, stop, land the second half, restart on the same
+    checkpoint. Sessions that STRADDLE the split only match the batch
+    truth if the open-session state (start/last/count) was restored --
+    lost state would emit a split session with a wrong start and count,
+    which assertion (1) catches because such a row is not in the batch
+    session set."""
+    from gmail_bigquery_etl_spark.streaming.sessions import (
+        GAP_MIN,
+        batch_sessions,
+        sessionize_stream,
+    )
+
+    ev = load_table(spark, SMOKE_SF, "events")
+    live = str(tmp_path / "live")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_phase():
+        stream = replay_events_stream(spark, live)
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise AssertionError("phase did not drain in time")
+        q.stop()
+
+    # Split INSIDE the longest closable session (sessions are short at
+    # this sf, so an arbitrary split instant straddles nothing): its open
+    # state must then cross the restart through the state store.
+    want_all = batch_sessions(ev)
+    horizon = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 60 MINUTES")).alias("w")
+    ).collect()[0].w
+    longest = (
+        want_all.filter(F.col("session_end") <= F.lit(horizon))
+        .filter(F.col("n_events") >= 2)
+        .orderBy(
+            (F.unix_micros("session_end") - F.unix_micros("session_start")).desc()
+        )
+        .first()
+    )
+    split_ts = longest.session_start + (
+        longest.session_end - longest.session_start
+    ) / 2
+    ev.filter(F.col("ts") <= F.lit(split_ts)).coalesce(2).write.parquet(live)
+    run_phase()
+    ev.filter(F.col("ts") > F.lit(split_ts)).coalesce(2).write.mode(
+        "append"
+    ).parquet(live)
+    run_phase()
+
+    got = spark.read.parquet(out)
+    keys = ["user_id", "session_start", "session_end"]
+    got_rows = set(_rows(got, keys))
+    want_rows = set(_rows(want_all, keys))
+    assert got_rows <= want_rows  # (1) no invented/corrupted sessions
+    cutoff = ev.agg(
+        (
+            F.max("ts")
+            - F.expr("INTERVAL 30 MINUTES")
+            - F.expr(f"INTERVAL {GAP_MIN} MINUTES")
+        ).alias("w")
+    ).collect()[0].w
+    must_close = want_all.filter(F.col("session_end") <= F.lit(cutoff))
+    assert set(_rows(must_close, keys)) <= got_rows
+    # straddling sessions existed and were recovered, not re-started: at
+    # least one emitted session spans the split point
+    straddle = got.filter(
+        (F.col("session_start") <= F.lit(split_ts))
+        & (F.col("session_end") > F.lit(split_ts))
+    )
+    assert straddle.count() > 0
