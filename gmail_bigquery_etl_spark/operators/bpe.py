@@ -1,0 +1,117 @@
+"""Iterative BPE merge learning (SURVEY.md §2.10 text analysis).
+
+`queries/curation.text_bpe_merge_candidates` scores the FIRST merge
+iteration declaratively; this operator runs the actual training loop:
+k rounds of (weighted pair count -> argmax -> apply merge to every
+symbol sequence). Like connected components (operators/components.py),
+the iteration is a driver loop over fully distributed rounds -- the only
+driver-side data is the ONE winning pair per round, and symbol sequences
+are rebuilt by a codegen'd-free but Arrow-free HOF fold (aggregate with
+an (out, pending) accumulator implementing the greedy leftmost
+non-overlapping merge, exactly classic BPE).
+
+Scale: each round is one explode+groupBy over the DISTINCT-WORD table
+(vocabulary-sized, not corpus-sized -- BPE training's standard trick),
+plus a map-only merge application; localCheckpoint truncates the plan
+per round so round k doesn't re-run rounds 1..k-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import whitespace_tokens
+
+
+def word_symbol_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, f, syms): distinct words with corpus frequency and initial
+    single-character symbol sequences."""
+    return (
+        docs.select(F.explode(whitespace_tokens(text_col)).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .withColumn("syms", F.split(F.col("w"), ""))
+    )
+
+
+def _apply_merge(syms: F.Column, left: str, right: str) -> F.Column:
+    """Greedy leftmost non-overlapping replacement of adjacent
+    (left, right) with left||right, as a single fold."""
+    merged = left + right
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, s):
+        hit = acc["pend"].eqNullSafe(F.lit(left)) & (s == F.lit(right))
+        return F.when(
+            acc["pend"].isNull(),
+            F.struct(acc["out"].alias("out"), s.alias("pend")),
+        ).otherwise(
+            F.when(
+                hit,
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                    s.alias("pend"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(
+            acc["pend"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+
+    return F.aggregate(syms, acc0, step, finish)
+
+
+def learn_bpe_merges(
+    docs: DataFrame, text_col: str = "text", num_merges: int = 6
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges; returns (merge_idx, left, right,
+    pair_count) in learning order. Ties break lexicographically on
+    (left, right) so the learned sequence is deterministic."""
+    spark = docs.sparkSession
+    wf = word_symbol_table(docs, text_col).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(num_merges):
+        pairs = (
+            # guard: a fully-merged word has one symbol; sequence(1, 0)
+            # would infer step -1 under ANSI and index 0 would throw
+            wf.filter(F.size("syms") >= 2)
+            .withColumn(
+                "_ps",
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("a"),
+                        F.element_at("syms", i + 1).alias("b"),
+                    ),
+                ),
+            )
+            .select(F.explode("_ps").alias("p"), "f")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("f").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).first()
+        if top is None:
+            break
+        merges.append((k, top.a, top.b, int(top.n)))
+        # one map-only rebuild + lineage truncation; words too short to
+        # contain the pair pass through the fold unchanged
+        old = wf
+        wf = wf.withColumn(
+            "syms", _apply_merge(F.col("syms"), top.a, top.b)
+        ).localCheckpoint()
+        old.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_idx int, left string, right string, pair_count bigint"
+    )

@@ -51,6 +51,7 @@ _ROUND4_FRONT = [
     "events_anomaly_zscore",
     "events_transition_matrix",
     "text_bpe_merge_candidates",
+    "text_bpe_learn",
     "dedup_ngram_jaccard_pairs",
     "ingest_near_dup_incremental",
     "ann_sq8_topk",

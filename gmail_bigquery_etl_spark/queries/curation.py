@@ -472,3 +472,20 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("pair", "n", "rank")
     )
+
+
+@query("text_bpe_learn")  # iterative driver loop: no SQL oracle (rows-only
+# driver check); exact-match gate vs a pure-Python classic-BPE reference
+# lives in tests/test_bpe.py
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE merge LEARNING loop (operators/bpe.py): k rounds of
+    weighted-pair argmax + greedy leftmost merge application over the
+    distinct-word symbol table. Iterative like connected components --
+    one vocabulary-sized shuffle per round, one winning pair crossing the
+    driver, localCheckpoint lineage truncation -- so it registers without
+    an oracle; pytest gates the learned sequence exactly against the
+    classic algorithm."""
+    from ..operators.bpe import learn_bpe_merges
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("text")
+    return learn_bpe_merges(docs, num_merges=6)
