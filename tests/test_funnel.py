@@ -63,3 +63,80 @@ def test_funnel_requires_step_order(spark):
     assert r.n_view == 4  # users 1,2,3 + user 4's first session
     assert r.n_view_click == 2  # users 1 and 4 only
     assert r.n_view_click_purchase == 1  # user 1 only
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_funnel(rows):
+    """Reference: sessionize (30-min gap, (ts, event_id) order) then the
+    strict-order funnel, per day of session start."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for eid, minute, uid, etype in rows:
+        by_user[uid].append((minute, eid, etype))
+    out = defaultdict(lambda: [0, 0, 0, 0])  # day -> [sess, v, vc, vcp]
+    for uid, evs in by_user.items():
+        evs.sort()
+        sessions, cur = [], []
+        for m, eid, t in evs:
+            if cur and m - cur[-1][0] > 30:
+                sessions.append(cur)
+                cur = []
+            cur.append((m, eid, t))
+        if cur:
+            sessions.append(cur)
+        for sess in sessions:
+            day = (TS0 + pd.Timedelta(minutes=sess[0][0])).date()
+            rec = out[day]
+            rec[0] += 1
+            t1 = next((m for m, _, t in sess if t == "view"), None)
+            if t1 is None:
+                continue
+            rec[1] += 1
+            t2 = next((m for m, _, t in sess if t == "click" and m > t1), None)
+            if t2 is None:
+                continue
+            rec[2] += 1
+            t3 = next(
+                (m for m, _, t in sess if t == "purchase" and m > t2), None
+            )
+            if t3 is not None:
+                rec[3] += 1
+    return {str(d): tuple(v) for d, v in out.items()}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10**6),  # event_id (uniquified below)
+            st.integers(0, 3000),  # minute offset (~2 days)
+            st.integers(1, 4),  # user_id
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_funnel_matches_python_reference(spark, rows):
+    rows = [
+        (i, m, u, t) for i, (_, m, u, t) in enumerate(rows)
+    ]  # unique event ids keep the session order total
+    sf_dir = _write_events(rows)
+    got = {
+        str(r.day.date()): (
+            r.n_sessions,
+            r.n_view,
+            r.n_view_click,
+            r.n_view_click_purchase,
+        )
+        for r in events_funnel_conversion(spark, sf_dir).collect()
+    }
+    assert got == _py_funnel(rows)
