@@ -52,6 +52,7 @@ _ROUND4_FRONT = [
     "events_transition_matrix",
     "text_bpe_merge_candidates",
     "text_bpe_learn",
+    "ann_index_build_stats",
     "dedup_ngram_jaccard_pairs",
     "ingest_near_dup_incremental",
     "ann_sq8_topk",

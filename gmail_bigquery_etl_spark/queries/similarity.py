@@ -663,3 +663,81 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "match_id", "rank", F.round("score", 6).alias("score"))
     )
+
+
+@query(
+    "ann_index_build_stats",
+    oracle=f"""
+WITH cent AS (
+  SELECT label, j - 1 AS dim, ROUND(AVG(CAST(embedding[j] AS DOUBLE)), 6) AS c
+  FROM embeddings, generate_series(1, 64) AS t(j)
+  GROUP BY label, j
+),
+carr AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+best AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, ca.label AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_SQL_COSINE.format(a='e.embedding', b='ca.cv')} DESC, ca.label) AS rn
+    FROM embeddings e CROSS JOIN carr ca
+  ) WHERE rn = 1
+),
+cb AS (SELECT label AS lab, cv[1:8] AS cw FROM carr),
+enc0 AS (
+  SELECT vec_id, lab AS code FROM (
+    SELECT e.vec_id, cb.lab,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_l2sq('e.embedding', '0', 'cb.cw')}, cb.lab) AS rn
+    FROM embeddings e CROSS JOIN cb
+  ) WHERE rn = 1
+),
+scales AS (
+  SELECT vec_id,
+         ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+             (a, x) -> CASE WHEN x > a THEN x ELSE a END), 6) AS s
+  FROM embeddings
+)
+SELECT b.cell, COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(sc.s AS DECIMAL(18,6))) AS DOUBLE) AS total_scale,
+       COUNT(DISTINCT e.code) AS pq0_codes
+FROM best b
+JOIN enc0 e USING (vec_id)
+JOIN scales sc USING (vec_id)
+GROUP BY 1
+""",
+)
+def ann_index_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX BUILD as one declarative plan: the artifacts a vector store
+    materializes offline -- IVF cell assignment (coarse quantizer), SQ8
+    per-vector scales, and PQ codes -- computed in a single pass over the
+    corpus and summarized per cell (occupancy, total quantization scale,
+    distinct subspace-0 codewords in use). All three encodes are
+    projections against broadcast/literal quantizer tables, so the whole
+    build is scan + project + one groupBy(cell): the shape that writes a
+    sharded index at 100 TB without any per-vector driver involvement.
+    The oracle recomputes every artifact from the shared deterministic
+    quantizer formulas."""
+    from ..functions.vectors import max_abs
+    from ..operators.similarity import (
+        ivf_assign,
+        ivf_centroid_arrays,
+        pq_code_col,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroid_arrays(emb)
+    cbs = pq_codebooks(emb, m=8, dim=64)
+    built = emb.select(
+        ivf_assign("embedding", cents).alias("cell"),
+        F.round(max_abs("embedding"), 6)
+        .cast("decimal(18,6)")
+        .alias("_scale"),
+        pq_code_col("embedding", cbs[0], 0, 8).alias("_pq0"),
+    )
+    return built.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("_scale").cast("double").alias("total_scale"),
+        F.countDistinct("_pq0").alias("pq0_codes"),
+    )
