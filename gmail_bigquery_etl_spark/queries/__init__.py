@@ -53,6 +53,7 @@ _ROUND4_FRONT = [
     "text_bpe_merge_candidates",
     "text_bpe_learn",
     "ann_index_build_stats",
+    "text_zipf_fit",
     "dedup_ngram_jaccard_pairs",
     "ingest_near_dup_incremental",
     "ann_sq8_topk",

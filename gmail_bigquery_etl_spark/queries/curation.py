@@ -489,3 +489,53 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents")).select("text")
     return learn_bpe_merges(docs, num_merges=6)
+
+
+@query(
+    "text_zipf_fit",
+    oracle=r"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+wf AS (SELECT w, COUNT(*) AS f FROM words GROUP BY w),
+ranked AS (
+  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS r FROM wf
+)
+SELECT COUNT(*) AS n_types,
+       CAST(SUM(f) AS BIGINT) AS n_tokens,
+       ROUND(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+         AS zipf_slope,
+       ROUND(regr_r2(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+         AS zipf_r2
+FROM ranked
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: rank words by frequency
+    (deterministic lexicographic tiebreak) and regress log-frequency on
+    log-rank -- the slope is the Zipf exponent (~-1 for natural text) and
+    r2 its goodness, the standard sanity profile for a training corpus's
+    token distribution. Plan: the token-explode word count (one shuffle),
+    a vocabulary-sized ranking window, and ANSI regr_* co-moment
+    aggregates; ln() is libm on identical doubles in both engines and the
+    emitted stats round to 6dp per the registry's determinism rules."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window as W
+
+    wf = (
+        docs.select(F.explode(whitespace_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = wf.withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("f"), F.asc("w")))
+    )
+    lf = F.log(F.col("f").cast("double"))
+    lr = F.log(F.col("r").cast("double"))
+    return ranked.agg(
+        F.count("*").alias("n_types"),
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 6).alias("zipf_r2"),
+    )
