@@ -54,6 +54,7 @@ _ROUND4_FRONT = [
     "text_bpe_learn",
     "ann_index_build_stats",
     "text_zipf_fit",
+    "orders_market_basket",
     "dedup_ngram_jaccard_pairs",
     "ingest_near_dup_incremental",
     "ann_sq8_topk",

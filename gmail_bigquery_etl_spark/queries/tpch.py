@@ -1916,3 +1916,85 @@ def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal"))
         .orderBy("name")
     )
+
+
+@query(
+    "orders_market_basket",
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey % 1000 AS item FROM lineitem
+),
+n_orders AS (SELECT COUNT(DISTINCT okey) AS n FROM baskets),
+item_n AS (SELECT item, COUNT(*) AS cnt FROM baskets GROUP BY item),
+pair_n AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_both
+  FROM baskets a JOIN baskets b ON a.okey = b.okey AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, n_both,
+       ROUND(CAST(n_both AS DOUBLE) / n.n, 6) AS support,
+       ROUND(CAST(n_both AS DOUBLE) * n.n
+             / (CAST(ia.cnt AS DOUBLE) * ib.cnt), 6) AS lift
+FROM pair_n
+JOIN item_n ia ON ia.item = item_a
+JOIN item_n ib ON ib.item = item_b
+CROSS JOIN n_orders n
+WHERE n_both >= 4
+""",
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining core: item co-occurrence with support and
+    lift over order baskets (parts bucketed mod 1000 so items repeat
+    across orders at fixture scale). Candidate pairs come from a
+    self-equi-join ON THE ORDER KEY -- the blowup is bounded by
+    lines-per-order squared (~7^2), never corpus^2 -- followed by two
+    broadcast-sized dimension joins (per-item counts) and the 1-row
+    basket total. Exact bigint ratios round to 6dp. The min-support cut
+    (n_both >= 4) is the standard a-priori pruning step."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("okey"),
+        (F.col("l_partkey") % 1000).alias("item"),
+    ).distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("okey").cast("bigint").alias("n")
+    )
+    item_n = baskets.groupBy("item").agg(F.count("*").alias("cnt"))
+    pair_n = (
+        baskets.alias("a")
+        .join(
+            baskets.alias("b"),
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 4)
+    )
+    return (
+        pair_n.join(
+            F.broadcast(item_n.select(F.col("item").alias("item_a"), F.col("cnt").alias("_ca"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_n.select(F.col("item").alias("item_b"), F.col("cnt").alias("_cb"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            F.round(F.col("n_both").cast("double") / F.col("n"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n")
+                / (F.col("_ca").cast("double") * F.col("_cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
