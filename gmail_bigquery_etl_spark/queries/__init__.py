@@ -55,6 +55,7 @@ _ROUND4_FRONT = [
     "ann_index_build_stats",
     "text_zipf_fit",
     "orders_market_basket",
+    "docs_weighted_sample_noreplace",
     "dedup_ngram_jaccard_pairs",
     "ingest_near_dup_incremental",
     "ann_sq8_topk",

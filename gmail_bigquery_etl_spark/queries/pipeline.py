@@ -440,3 +440,55 @@ def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pos = assign_token_shards(hashed, size_col="_one", budget=1, order_col="_h")
     return pos.select("doc_id", F.col("shard").alias("pos"))
+
+
+@query(
+    "docs_weighted_sample_noreplace",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         -ln((CAST(('0x' || substring(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+             / 281474976710657.0)
+           / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents
+)
+SELECT doc_id, n_chars, rank FROM (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY es_key, doc_id) AS rank
+  FROM keyed
+) WHERE rank <= 100
+""",
+)
+def docs_weighted_sample_noreplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    exponential keys): each document draws key = -ln(u)/weight from a
+    deterministic md5-derived uniform u in (0,1], and the k smallest keys
+    ARE a weighted sample without replacement -- the distributed one-pass
+    answer to 'sample 100 docs proportional to length, no duplicates',
+    where naive sequential weighted draws can't parallelize.
+    docs_weighted_sample is the Bernoulli (with-replacement-ish,
+    per-row-independent) twin; this is the exact-k form. Plan: a
+    projection for the keys + one top-k (TakeOrderedAndProject at this k,
+    never a global sort). u = (md5_48bit + 1) / 2^48 is identical
+    arithmetic in both engines; ln is libm on identical doubles, ranking
+    uses the raw key with a doc_id tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("es:"), F.col("doc_id").cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(281474976710657.0)
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        (-F.log(u) / F.col("n_chars").cast("double")).alias("es_key"),
+    )
+    w = W.orderBy(F.asc("es_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .select("doc_id", "n_chars", "rank")
+    )
