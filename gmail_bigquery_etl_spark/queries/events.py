@@ -1168,3 +1168,63 @@ def events_posexplode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("event_id").cast("bigint").alias("id_sum"),
     )
+
+
+@query(
+    "events_rfm_scores",
+    oracle="""
+WITH anchor AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST(date_diff('day', MAX(CAST(ts AS TIMESTAMP)), a.mx) AS BIGINT) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+  FROM events CROSS JOIN anchor a
+  WHERE event_type = 'purchase'
+  GROUP BY user_id, a.mx
+)
+SELECT user_id, recency_days, frequency, monetary,
+       NTILE(5) OVER (ORDER BY recency_days, user_id) AS r_score,
+       NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+       NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+FROM per_user
+""",
+)
+def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency (days since last purchase,
+    anchored at the corpus max -- a 1-row broadcast), frequency, and
+    decimal-exact monetary total, each quintile-scored with NTILE over a
+    user_id-tiebroken total order. The standard marketing-analytics
+    scoring pass: one purchase-filtered aggregate, then three ranking
+    windows over the user-level table (users-sized, not events-sized)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    anchor = ev.agg(F.max("ts").alias("mx"))
+    per_user = (
+        purchases.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "mx")
+        .agg(
+            F.max("ts").alias("_last"),
+            F.count("*").alias("frequency"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("monetary"),
+        )
+        .select(
+            "user_id",
+            F.datediff("mx", "_last").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(W.orderBy("recency_days", "user_id")).alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .alias("m_score"),
+    )
