@@ -147,6 +147,30 @@ def replicate_orders(spark, src: str, dst: str, mult: int) -> int:
     return out.count()
 
 
+def replicate_lineitem(spark, src: str, dst: str, mult: int) -> int:
+    """Replica k shifts l_orderkey by k*STRIDE; part/supp keys and the
+    value columns stay as-is, so each replica contributes an independent
+    copy of the basket/pair structure (10x baskets => ~10x co-occurrence
+    pairs, not a cross-replica blowup)."""
+    li = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
+    others = [c for c in li.columns if c != "l_orderkey"]
+    parts = []
+    for k in range(mult):
+        parts.append(
+            li.select(
+                (F.col("l_orderkey") + k * ID_STRIDE).alias("l_orderkey"),
+                *others,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst, "lineitem.parquet")
+    )
+    return out.count()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
@@ -154,7 +178,7 @@ def main() -> None:
     ap.add_argument("--dst", default="scratch/sf1")
     ap.add_argument(
         "--tables",
-        default="documents,embeddings,events,orders",
+        default="documents,embeddings,events,orders,lineitem",
         help="comma list of tables to replicate",
     )
     args = ap.parse_args()
@@ -168,6 +192,8 @@ def main() -> None:
         counts["embeddings"] = replicate_embeddings(spark, args.src, args.dst, args.mult)
     if "events" in tables:
         counts["events"] = replicate_events(spark, args.src, args.dst, args.mult)
+    if "lineitem" in tables:
+        counts["lineitem"] = replicate_lineitem(spark, args.src, args.dst, args.mult)
     if "orders" in tables:
         counts["orders"] = replicate_orders(spark, args.src, args.dst, args.mult)
     print(f"wrote {args.dst}: " + " ".join(f"{k}={v}" for k, v in counts.items()))
