@@ -120,3 +120,39 @@ def dedup_survivors(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle membership counts over an undirected graph given
+    as canonical edges (id_a < id_b) -- the clustering-coefficient
+    numerator, and on a near-dup pair graph the count of MUTUALLY-similar
+    triples a node belongs to (a stronger redundancy signal than pair
+    degree: a doc in many triangles sits inside a dense duplicate blob,
+    not a chain of borderline matches).
+
+    Standard once-per-triangle enumeration: because every edge is stored
+    with a < b, a triangle a<b<c is found exactly once as edges (a,b),
+    (b,c), (a,c) -- two hash equi-joins, no orientation/dedup pass needed.
+    Scale: join fan-out is sum of deg^2 over the middle vertex; for
+    skew-degree graphs the classic mitigation (orient edges by degree) can
+    replace the canonical-id orientation without changing this API.
+    """
+    e = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    tri = (
+        e.alias("e1")
+        .join(
+            e.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2"),
+            "b",
+        )
+        .join(
+            e.select(F.col("a").alias("a"), F.col("b").alias("c")).alias("e3"),
+            ["a", "c"],
+        )
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))

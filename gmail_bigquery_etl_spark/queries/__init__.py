@@ -57,6 +57,7 @@ _ROUND4_FRONT = [
     "orders_market_basket",
     "docs_weighted_sample_noreplace",
     "events_rfm_scores",
+    "dedup_triangle_counts",
     "dedup_ngram_jaccard_pairs",
     "ingest_near_dup_incremental",
     "ann_sq8_topk",

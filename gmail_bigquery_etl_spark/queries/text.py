@@ -813,3 +813,40 @@ def ingest_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.col("doc_id").cast("bigint")).alias("id_sum"),
     )
+
+
+@query(
+    "dedup_triangle_counts",
+    oracle=f"""
+WITH {_SQL_LSH_CTES},
+pairs AS ({_SQL_LSH_SELECT}),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+tri AS (
+  SELECT e1.a, e1.b, e2.c
+  FROM e e1
+  JOIN (SELECT a AS b, b AS c FROM e) e2 USING (b)
+  JOIN (SELECT a, b AS c FROM e) e3 USING (a, c)
+)
+SELECT node, COUNT(*) AS n_triangles FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+) GROUP BY node
+""",
+)
+def dedup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts over the verified near-dup pair graph: how many
+    MUTUALLY-similar triples each document belongs to (operators/
+    components.py triangle_counts). Dense duplicate blobs (an original
+    with its exact and near copies) close triangles; borderline chains
+    don't -- a redundancy-density signal the cluster id alone can't give,
+    and the clustering-coefficient building block. The canonical id_a <
+    id_b edge orientation finds each triangle exactly once via two hash
+    equi-joins; the oracle enumerates identically over the same LSH pair
+    CTEs."""
+    from ..operators.components import triangle_counts
+    from ..operators.dedup import near_dup_pairs
+
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = near_dup_pairs(corpus, threshold=0.5, num_hashes=16, bands=4)
+    return triangle_counts(pairs.select("id_a", "id_b"))
