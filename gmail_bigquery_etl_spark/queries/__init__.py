@@ -58,6 +58,7 @@ _ROUND4_FRONT = [
     "docs_weighted_sample_noreplace",
     "events_rfm_scores",
     "dedup_triangle_counts",
+    "agg_mad_robust",
     "dedup_ngram_jaccard_pairs",
     "ingest_near_dup_incremental",
     "ann_sq8_topk",

@@ -362,3 +362,65 @@ def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("m3") / (m2 * F.sqrt(m2)), 6).alias("skew_k"),
         F.round(F.col("m4") / (m2 * m2), 6).alias("kurt_k"),
     )
+
+
+@query(
+    "agg_mad_robust",
+    oracle="""
+WITH med AS (
+  SELECT o_orderpriority AS priority, quantile_cont(o_totalprice, 0.5) AS m
+  FROM orders GROUP BY o_orderpriority
+),
+dev AS (
+  SELECT o.o_orderpriority AS priority, m,
+         abs(o.o_totalprice - m) AS d
+  FROM orders o JOIN med ON med.priority = o.o_orderpriority
+),
+mad AS (
+  SELECT priority, ANY_VALUE(m) AS m, quantile_cont(d, 0.5) AS mad
+  FROM dev GROUP BY priority
+)
+SELECT d.priority, COUNT(*) AS n,
+       ROUND(ANY_VALUE(mad.m), 4) AS median_price,
+       ROUND(ANY_VALUE(mad.mad), 4) AS mad_price,
+       CAST(SUM(CASE WHEN d.d > 3 * 1.4826 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_robust_outliers
+FROM dev d JOIN mad ON mad.priority = d.priority
+GROUP BY d.priority
+""",
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion profiling: per-group median, median absolute
+    deviation, and the count of robust outliers (|x - median| beyond
+    3 * 1.4826 * MAD, the normal-consistent robust z-cut that mean/stddev
+    profiling gets wrong under heavy tails -- the outliers inflate the
+    very stddev meant to detect them). Two exact interpolated-percentile
+    passes (Spark percentile == DuckDB quantile_cont, R-7) with the
+    1-row-per-group medians broadcast back between them; the outlier
+    comparison uses identical double arithmetic in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("m")
+    )
+    dev = orders.join(
+        F.broadcast(med),
+        orders["o_orderpriority"] == med["priority"],
+    ).select(
+        "priority", "m", F.abs(F.col("o_totalprice") - F.col("m")).alias("d")
+    )
+    mad = dev.groupBy("priority").agg(
+        F.any_value("m").alias("m2"),
+        F.percentile(F.col("d"), F.lit(0.5)).alias("mad"),
+    )
+    return (
+        dev.join(F.broadcast(mad), "priority")
+        .groupBy("priority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.any_value("m2"), 4).alias("median_price"),
+            F.round(F.any_value("mad"), 4).alias("mad_price"),
+            F.sum(
+                (F.col("d") > 3 * 1.4826 * F.col("mad")).cast("bigint")
+            ).alias("n_robust_outliers"),
+        )
+    )
