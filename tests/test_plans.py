@@ -90,6 +90,12 @@ def test_no_accidental_cartesian_products(spark):
         "dedup_simhash_pairs_wide",
         # broadcast crossJoin of the 16-row salts dim (small-side replication)
         "join_salted_skew",
+        # broadcast crossJoin of 1-row aggregates (basket total / recency
+        # anchor) -- same class as the q22/q11 scalars
+        "orders_market_basket",
+        "events_rfm_scores",
+        # inherits near_dup_pairs' coeff/band dim-table crossJoins
+        "dedup_triangle_counts",
     }
     offenders = []
     for name in ALL_QUERIES:
@@ -143,11 +149,18 @@ def test_no_forced_broadcast_of_fact_tables(spark):
                 low = subtree.lower()
                 hits = [m for m in fact_markers if m in low]
                 # A broadcast subtree that AGGREGATES a fact table down to
-                # a global (ungrouped) scalar ships O(1) rows at every SF;
-                # the marker match is the scan feeding the aggregate, not
-                # the fact table itself. Declared instances: q22's 1-row
-                # acctbal threshold, q11's 1-row global inventory total.
-                scalar_of_fact = {"q22_dormant_customers", "q11_important_stock"}
+                # a BOUNDED relation ships O(1)-or-domain-bounded rows at
+                # every SF; the marker match is the scan feeding the
+                # aggregate, not the fact table itself. Declared instances:
+                # q22's 1-row acctbal threshold, q11's 1-row global
+                # inventory total, and market basket's per-item counts
+                # (item = l_partkey % 1000: a fixed 1000-row domain) plus
+                # its 1-row basket total.
+                scalar_of_fact = {
+                    "q22_dormant_customers",
+                    "q11_important_stock",
+                    "orders_market_basket",
+                }
                 if hits and name in scalar_of_fact and "hashaggregate" in low:
                     continue
                 if hits:
