@@ -137,7 +137,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     skew-degree graphs the classic mitigation (orient edges by degree) can
     replace the canonical-id orientation without changing this API.
     """
-    e = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    # Three join subtrees consume the edge list; if edges arrive as an
+    # unmaterialized plan (the LSH near-dup pipeline), Spark would re-run
+    # that whole pipeline once per subtree. Same localCheckpoint
+    # discipline as connected_components' edge input.
+    e = edges.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).localCheckpoint()
     tri = (
         e.alias("e1")
         .join(
