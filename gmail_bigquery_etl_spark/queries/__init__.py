@@ -59,6 +59,7 @@ _ROUND4_FRONT = [
     "events_rfm_scores",
     "dedup_triangle_counts",
     "agg_mad_robust",
+    "agg_equidepth_histogram",
     "dedup_ngram_jaccard_pairs",
     "ingest_near_dup_incremental",
     "ann_sq8_topk",

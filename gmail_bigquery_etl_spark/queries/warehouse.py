@@ -424,3 +424,45 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_robust_outliers"),
         )
     )
+
+
+@query(
+    "agg_equidepth_histogram",
+    oracle="""
+WITH b AS (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT bucket, COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 4) AS lo,
+       ROUND(MAX(o_totalprice), 4) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM b GROUP BY bucket
+""",
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram (equal row counts per bucket, data-dependent
+    boundaries) -- the optimizer-statistics twin of the equal-width
+    agg_price_histogram, and what selectivity estimation actually wants
+    under skew (equal-width buckets collapse to one hot bucket). NTILE
+    over a fully-tiebroken order assigns buckets deterministically; the
+    bucket boundary columns (lo/hi) read off as MIN/MAX. The global-sort
+    window is the known cost: at warehouse scale the same statistics come
+    from approx_percentile boundaries (agg_approx_tolerance's sketch),
+    and this exact form is the small-dimension/verification path."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    b = orders.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(W.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 4).alias("lo"),
+        F.round(F.max("o_totalprice"), 4).alias("hi"),
+        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total"),
+    )
