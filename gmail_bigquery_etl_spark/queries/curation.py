@@ -474,17 +474,68 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_bpe_learn")  # iterative driver loop: no SQL oracle (rows-only
-# driver check); exact-match gate vs a pure-Python classic-BPE reference
-# lives in tests/test_bpe.py
+def _bpe_learn_oracle(num_merges: int = 6) -> str:
+    """Unrolled-CTE DuckDB twin of the k-round BPE training loop.
+
+    BPE's greedy merge rounds are deterministic, so k small rounds unroll
+    as chained CTEs: each round extracts adjacent symbol pairs, argmaxes
+    by (count DESC, a, b), and applies the winning merge.  Symbol
+    sequences are encoded as chr(1)||sym||chr(2) runs so plain
+    ``replace()`` -- leftmost non-overlapping, delimiters disjoint
+    between adjacent matches -- IS the greedy leftmost merge fold the
+    Spark side implements with F.aggregate (operators/bpe.py).
+    MATERIALIZED pins each round's table so the chain doesn't inline
+    exponentially."""
+    parts = [r"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+s0 AS MATERIALIZED (
+  SELECT COUNT(*) AS f,
+         regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS enc
+  FROM words WHERE len(w) >= 2 GROUP BY w
+)"""]
+    sym = "regexp_extract_all(enc, chr(1)||'([^'||chr(2)||']+)'||chr(2), 1)"
+    for r in range(num_merges):
+        parts.append(f""",
+p{r} AS (
+  SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                               i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS pr, f
+  FROM (SELECT f, {sym} AS syms FROM s{r}) WHERE len(syms) >= 2
+),
+t{r} AS MATERIALIZED (
+  SELECT {r} AS merge_idx, a, b, n FROM (
+    SELECT pr.a AS a, pr.b AS b, CAST(SUM(f) AS BIGINT) AS n
+    FROM p{r} GROUP BY 1, 2
+  ) ORDER BY n DESC, a, b LIMIT 1
+)""")
+        if r + 1 < num_merges:
+            parts.append(f""",
+s{r + 1} AS MATERIALIZED (
+  SELECT f, replace(enc, chr(1)||t.a||chr(2)||chr(1)||t.b||chr(2),
+                    chr(1)||t.a||t.b||chr(2)) AS enc
+  FROM s{r}, t{r} t
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(merge_idx AS INT) AS merge_idx, a AS left, b AS right,"
+        f" n AS pair_count FROM t{r}"
+        for r in range(num_merges)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+@query("text_bpe_learn", oracle=_bpe_learn_oracle(6))
 def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE merge LEARNING loop (operators/bpe.py): k rounds of
     weighted-pair argmax + greedy leftmost merge application over the
     distinct-word symbol table. Iterative like connected components --
     one vocabulary-sized shuffle per round, one winning pair crossing the
-    driver, localCheckpoint lineage truncation -- so it registers without
-    an oracle; pytest gates the learned sequence exactly against the
-    classic algorithm."""
+    driver, localCheckpoint lineage truncation.  The DuckDB oracle
+    unrolls the k=6 deterministic rounds as chained CTEs (full three-way
+    check); tests/test_bpe.py additionally gates the learned sequence
+    exactly against a pure-Python classic-BPE reference."""
     from ..operators.bpe import learn_bpe_merges
 
     docs = spread(load_table(spark, sf_dir, "documents")).select("text")

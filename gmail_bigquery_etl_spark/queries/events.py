@@ -1110,7 +1110,7 @@ def events_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_arrays",
     oracle="""
 SELECT user_id % 100 AS bucket,
-       list_sort(list(DISTINCT event_type)) AS types,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
        COUNT(DISTINCT event_type) AS n_types,
        COUNT(*) AS n_events
 FROM events
@@ -1121,11 +1121,14 @@ def agg_collect_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-valued aggregation: collect_set + sort_array gives a
     DETERMINISTIC array result (collect_list order is partition-dependent
     and would never hash-match an oracle -- the sort is the portability
-    contract). One partial+final hash aggregate; array cells compare
-    value-wise against DuckDB's list_sort(list(DISTINCT ...))."""
+    contract). One partial+final hash aggregate. The sorted array is
+    emitted as a canonical comma-joined string: the driver's pandas
+    canonicalizer sort_values a result frame before hashing, and a raw
+    list cell is unhashable there -- array_join keeps the array-agg
+    semantics under test while presenting a sortable row."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy((F.col("user_id") % 100).alias("bucket")).agg(
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types"),
         F.countDistinct("event_type").alias("n_types"),
         F.count("*").alias("n_events"),
     )
