@@ -25,97 +25,45 @@ from . import pipeline as _pipeline  # noqa: E402,F401  (split/shard assembly)
 from . import warehouse as _warehouse  # noqa: E402,F401  (merge/SCD2/profiling)
 from . import curation as _curation  # noqa: E402,F401  (corpus curation ops)
 
-# Round-4 rotation: front-load (a) queries new this round -- continuation-3
-# additions first (newest never-gated work takes the scarcest driver
-# slots), then the earlier round-4 additions -- then (b) queries whose
-# code paths changed this round, then (c) the queries whose latest driver
-# row is round 2. The round-4 corpus grew past the driver's ~50-row cap
-# (54+ new queries alone), so (b)/(c) cannot all fit; position NEVER gates
-# local correctness -- the pytest suite (tests/test_correctness.py) and
-# tools/check_oracle.py run the FULL corpus against the DuckDB oracle
-# every round, and every (b)/(c) member holds a green driver row from
-# r01-r03.
-_ROUND4_FRONT = [
-    # (a) new this round -- continuation 3 first
-    "dedup_containment_pairs",
-    "embedding_dup_clusters",
-    "events_funnel_conversion",
-    "window_range_frame",
-    "docs_domain_mixture",
-    "ann_pq_topk",
-    "ann_pq_rerank",
-    "events_cohort_retention",
-    "agg_exact_moments",
-    "multimodal_png_decode",
-    "events_gap_fill_hourly",
-    "events_anomaly_zscore",
-    "events_transition_matrix",
-    "text_bpe_merge_candidates",
-    "text_bpe_learn",
-    "ann_index_build_stats",
-    "text_zipf_fit",
-    "orders_market_basket",
-    "docs_weighted_sample_noreplace",
-    "events_rfm_scores",
-    "dedup_triangle_counts",
-    "agg_mad_robust",
-    "agg_equidepth_histogram",
-    "dedup_ngram_jaccard_pairs",
-    "ingest_near_dup_incremental",
-    "ann_sq8_topk",
-    "ann_ivf_sq8_topk",
-    "ann_rrf_fusion",
-    "docs_chunk_windows",
-    "docs_repeated_chunks",
-    "docs_epoch_shuffle",
-    "merge_upsert_orders",
-    "scd2_customer_history",
-    "agg_price_histogram",
-    "profile_orders_columns",
-    "text_dup_ngram_ratio",
-    "text_pii_redaction",
-    "docs_weighted_sample",
-    "events_regr_trend",
-    "events_interval_join",
-    "events_hll_daily_rollup",
-    "agg_percentiles",
-    "docs_curated_pipeline",
-    "docs_contamination_check",
-    "text_repetition_scores",
-    "multimodal_bmp_decode",
-    "events_interval_join_outer",
+# Round-5 rotation: the driver samples the first ~50 registrations, and
+# the union r01..r04 covers 133/147 with only two non-green rows ever.
+# Priority for round 5's scarce slots, per VERDICT r4 items 1-2:
+#   (a) the two r04 `err` rows, now fixed (agg_collect_arrays emits a
+#       sortable string; text_bpe_learn gained an unrolled-CTE oracle);
+#   (b) the 14 queries no driver round ever sampled (rotation debt from
+#       the corpus growing 83->147 against the 50-row cap) -- landing
+#       these makes every registered query driver-green at least once;
+#   (c) queries NEW in round 5;
+#   (d) queries whose code paths changed in round 5;
+#   (e) backfill by oldest driver row.  Position never gates local
+# correctness: tests/test_correctness.py and tools/check_oracle.py run
+# the FULL corpus against the DuckDB oracle every round.
+_ROUND5_FRONT = [
+    # (a) r04 err rows, fixed this round
     "agg_collect_arrays",
-    "events_posexplode_props",
-    "text_unigram_logprob",
+    "text_bpe_learn",
+    # (b) never driver-sampled (r1-r4)
     "multimodal_wav_decode",
     "q2_min_cost_supplier",
-    "q16_supplier_cnt",
-    "q12_ship_delay",
-    "q13_order_distribution",
-    "q19_disjunctive_revenue",
-    "q22_dormant_customers",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q21_waiting_suppliers",
-    "events_dedup_first_arrival",
     "q9_product_profit",
     "q11_important_stock",
+    "q12_ship_delay",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
     "q20_promotable_suppliers",
-    # (b) code path edited this round -> revalidate under the driver
-    # (window_running_sum: tiebreak chain extended for the regenerated
-    # fixture's duplicate (orderkey, linenumber) row)
-    "window_running_sum",
-    "ingest_via_datasource",
-    "ingest_point_lookup",
-    "multimodal_ppm_decode",
-    "docs_token_shards",
-    "stream_stateful_user_counts",
-    "dedup_clusters",
-    "dedup_survivor_stats",
-    # (dedup_simhash_pairs_wide / dedup_exact_* keep their green r03 rows:
-    # the round-4 dedup.py edits touched only the shingle-cache lock path,
-    # not their code, and the front is capped at the driver's ~50 window)
-    # (c) latest driver row is round 2 (module-edited members first)
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "events_dedup_first_arrival",
+    # (c) new in round 5 (appended as they land)
+    # (d) code path edited in round 5 -> revalidate under the driver
+    # (e) backfill: oldest driver rows first (r02 holders)
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
@@ -145,10 +93,6 @@ _ROUND4_FRONT = [
     "q1_pricing_summary",
     "join_right_outer_agg",
     "join_bucketed_colocated",
-    # (q3_shipping_priority / q4_priority_exists / q6_forecast_revenue /
-    # q10_returned_items keep their r02 rows: unchanged since, bumped in
-    # favor of never-gated new queries to hold the front at the driver's
-    # ~50-row window)
 ]
 
 
@@ -162,6 +106,6 @@ def _rotate(front: list[str]) -> None:
         d.update(ordered)
 
 
-_rotate(_ROUND4_FRONT)
+_rotate(_ROUND5_FRONT)
 
 __all__ = ["ALL_QUERIES", "ALL_ORACLES"]
