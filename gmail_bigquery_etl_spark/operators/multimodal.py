@@ -520,11 +520,15 @@ def parse_png(b: bytes) -> tuple[int, int, int, int, tuple[int, int, int]]:
     pos = 8
     width = height = bit_depth = color_type = None
     idat = bytearray()
-    while pos + 8 <= len(b):
+    while pos < len(b):
+        if pos + 8 > len(b):
+            raise ValueError("PNG chunk header truncated")
         (length,), ctype = struct.unpack(">I", b[pos : pos + 4]), b[pos + 4 : pos + 8]
-        data = b[pos + 8 : pos + 8 + length]
-        if len(data) != length:
+        # one bound covers data AND the 4-byte CRC trailer: a payload cut
+        # inside either must raise ValueError, not a raw struct.error
+        if pos + 12 + length > len(b):
             raise ValueError("PNG chunk truncated")
+        data = b[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG CRC mismatch in {ctype!r}")

@@ -701,6 +701,11 @@ def pq_topk(
         for s in range(m)
         for lab, cw in cbs[s]
     ]
+    # the LUT map key packs (subspace, label) as s*1000 + lab; labels
+    # >= 1000 would silently collide across subspaces and corrupt ADC sums
+    assert all(0 <= lab < 1000 for _, lab, _ in cb_rows), (
+        "pq_topk LUT key packing requires codebook labels in [0, 1000)"
+    )
     cb_df = corpus.sparkSession.createDataFrame(
         cb_rows, "s int, lab int, cw array<double>"
     )

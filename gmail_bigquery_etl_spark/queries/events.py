@@ -283,13 +283,19 @@ WITH hourly AS (
   FROM events GROUP BY 1, 2
 ),
 bounds AS (
+  -- the spine series below is bounded at 20000 hours (~2.3 years); a
+  -- user whose activity span exceeds it must ERROR loudly (divergence
+  -- from Spark's unbounded sequence()), never silently truncate
   SELECT user_id, MIN(h) AS hmin, MAX(h) AS hmax,
-         date_diff('hour', MIN(h), MAX(h)) AS span
+         CASE WHEN date_diff('hour', MIN(h), MAX(h)) > 20000
+              THEN CAST(error('gap_fill hour spine bound (20000) exceeded')
+                        AS BIGINT)
+              ELSE date_diff('hour', MIN(h), MAX(h)) END AS span
   FROM hourly GROUP BY user_id
 ),
 spine AS (
   SELECT b.user_id, b.hmin + k * INTERVAL 1 HOUR AS h
-  FROM bounds b, generate_series(0, 2000) t(k)
+  FROM bounds b, generate_series(0, 20000) t(k)
   WHERE k <= b.span
 ),
 joined AS (

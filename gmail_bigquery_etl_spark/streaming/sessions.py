@@ -91,17 +91,25 @@ def _update(
         start_us = last_us = last_eid = None
         n = 0
 
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        ordered = pdf.sort_values(["ts", "event_id"])
+    # Chunk ARRIVAL order from applyInPandasWithState is not guaranteed,
+    # so sorting each chunk alone is not enough: a group whose chunks
+    # arrive newest-first would shunt whole older chunks into the
+    # conservative fold below and merge sessions batch truth keeps
+    # separate. Concatenate the batch's chunks and sort ONCE globally by
+    # (ts, event_id); after that, any row still older than state is a
+    # genuinely cross-batch late arrival.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        ordered = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        ).sort_values(["ts", "event_id"])
         ts_us = (ordered["ts"].astype("int64") // 1_000).tolist()
         eids = ordered["event_id"].astype("int64").tolist()
         for t, eid in zip(ts_us, eids):
             if last_us is not None and (t, eid) < (last_us, last_eid):
-                # Replayed/older-than-state row (chunk order after the
-                # shuffle is nondeterministic): fold it into the open
-                # session conservatively rather than reordering state.
+                # Cross-batch late row (within the watermark): fold it
+                # into the open session conservatively rather than
+                # reordering already-emitted state.
                 n += 1
                 start_us = min(start_us, t)
                 continue

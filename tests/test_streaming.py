@@ -721,3 +721,49 @@ def test_timeout_sessionizer_survives_checkpoint_restart(spark, tmp_path):
         & (F.col("session_end") > F.lit(split_ts))
     )
     assert straddle.count() > 0
+
+
+def test_sessionizer_update_handles_newest_first_chunks():
+    """applyInPandasWithState does not guarantee chunk arrival order for a
+    group; a group delivered newest-chunk-first must still produce the
+    batch-truth sessions (two sessions here, not one merged). Direct
+    _update call -- the only way to force the adversarial chunk order."""
+    import pandas as pd
+
+    from gmail_bigquery_etl_spark.streaming.sessions import _update
+
+    class _FakeState:
+        hasTimedOut = False
+        exists = False
+
+        def __init__(self):
+            self.updated = None
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+    h = 3_600_000_000  # 1h in us
+    base = pd.Timestamp("2024-01-01").value // 1_000  # us
+    mk = lambda rows: pd.DataFrame(
+        {
+            "user_id": [1] * len(rows),
+            "ts": [pd.Timestamp((base + t) * 1_000) for t, _ in rows],
+            "event_id": [e for _, e in rows],
+        }
+    )
+    # session A: events at 0h,0.1h; session B (2h gap): events at 2h,2.1h
+    older = mk([(0, 1), (h // 10, 2)])
+    newer = mk([(2 * h, 3), (2 * h + h // 10, 4)])
+    state = _FakeState()
+    # newest chunk FIRST: pre-fix this merged everything into one session
+    out = pd.concat(list(_update((1,), iter([newer, older]), state)))
+    closed = sorted(
+        (r.session_start.value // 1_000, r.session_end.value // 1_000, r.n_events)
+        for r in out.itertuples()
+    )
+    assert closed == [(base, base + h // 10, 2)]  # session A closed in-batch
+    start_us, last_us, _eid, n = state.updated  # session B still open
+    assert (start_us, last_us, n) == (base + 2 * h, base + 2 * h + h // 10, 2)
