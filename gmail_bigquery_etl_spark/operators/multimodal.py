@@ -21,6 +21,8 @@ pruned unless selected, so metadata-only queries never read the bytes.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -84,6 +86,12 @@ def parse_ppm_dims(b: bytes) -> tuple[int, int]:
     exactly why PPM is the one format this environment can decode for
     real. Raises NotImplementedError for any other format (honest stub:
     everything else needs the absent codec libs)."""
+    width, height, _maxval, _off = _ppm_header(b)
+    return width, height
+
+
+def _ppm_header(b: bytes) -> tuple[int, int, int, int]:
+    """Validated P6 header walk: (width, height, maxval, raster_offset)."""
     if not b or not b.startswith(b"P6"):
         raise NotImplementedError(
             "only binary PPM (P6) payloads decode without codec libraries; "
@@ -125,7 +133,17 @@ def parse_ppm_dims(b: bytes) -> tuple[int, int]:
         raise ValueError(
             f"PPM raster is {len(b) - i} bytes, expected {width * height * bpp}"
         )
-    return width, height
+    return width, height, maxval, i
+
+
+def parse_ppm_raster(b: bytes) -> tuple[int, int, bytes]:
+    """8-bit P6 raster extraction: full header validation, then the packed
+    RGB raster. 16-bit PPMs (maxval >= 256) raise NotImplementedError --
+    the resize path is 8-bit RGB."""
+    width, height, maxval, off = _ppm_header(b)
+    if maxval >= 256:
+        raise NotImplementedError("16-bit PPM rasters do not resize here")
+    return width, height, bytes(b[off:])
 
 
 def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
@@ -186,8 +204,6 @@ def parse_wav_meta(b: bytes) -> tuple[int, int, int, int]:
     n_frames). Raises NotImplementedError for any non-RIFF/WAVE payload
     and for compressed (non-PCM) WAV variants (honest stub: those need
     the absent codec libs); ValueError for malformed/truncated PCM WAV."""
-    import struct
-
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError(
             "only PCM WAV (RIFF/WAVE) payloads decode without codec "
@@ -299,27 +315,39 @@ def resize_media(
 ) -> DataFrame:
     """Batch resize over binary payloads (mapInPandas, Arrow-batched).
 
-    Real codec path stubbed (no imaging libs in the container); the fake
-    path emits a deterministic digest-derived payload sized width*height//64
-    so downstream size accounting is testable. Schema, batch iteration and
-    binary-out plumbing are the production shape.
+    fake=False runs a REAL nearest-neighbor resize for the two formats
+    whose rasters decode here without codec libraries -- 8-bit truecolor
+    PNG (parse_png_raster: chunk walk + inflate + unfilter) and 8-bit P6
+    PPM (parse_ppm_raster) -- re-encoding the resized raster as a
+    filter-0 PNG, and raises NotImplementedError for any other format
+    (honest stub: JPEG et al need the absent codec libs). The fake path
+    emits a deterministic digest-derived payload sized width*height//64
+    so downstream size accounting stays testable format-free.
     """
+
+    def _resize_real(b) -> bytes | None:
+        if b is None:
+            return None
+        b = bytes(b)
+        if b[:8] == _PNG_SIG:
+            w, h, _bd, _ct, raster = parse_png_raster(b)
+        else:
+            w, h, raster = parse_ppm_raster(b)
+        return encode_png(width, height, resize_raster_nn(raster, w, h, width, height))
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "image resize requires codec libraries not present in "
-                    "this environment; pass fake=True for the stand-in"
+                out_payload = pdf["payload"].map(_resize_real)
+            else:
+                n_out = max(1, width * height // 64)
+                out_payload = pdf["payload"].map(
+                    lambda b: (
+                        (hashlib.md5(bytes(b)).digest() * (n_out // 16 + 1))[:n_out]
+                        if b is not None
+                        else None
+                    )
                 )
-            n_out = max(1, width * height // 64)
-            out_payload = pdf["payload"].map(
-                lambda b: (
-                    (hashlib.md5(bytes(b)).digest() * (n_out // 16 + 1))[:n_out]
-                    if b is not None
-                    else None
-                )
-            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -397,8 +425,6 @@ def parse_bmp_meta(b: bytes) -> tuple[int, int, int]:
     (negative-height) bitmaps. Raises NotImplementedError for non-BMP
     payloads and compressed/paletted variants; ValueError for malformed
     uncompressed ones."""
-    import struct
-
     if len(b) < 54 or b[:2] != b"BM":
         raise NotImplementedError(
             "only uncompressed BMP (BITMAPINFOHEADER) payloads decode "
@@ -488,6 +514,56 @@ PNG_SCHEMA = T.StructType(
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, raster: bytes) -> bytes:
+    """Minimal 8-bit truecolor PNG encoder (filter type 0 on every
+    scanline) over a packed-RGB raster -- the write half of the real
+    resize path; parse_png decodes its output bit-exactly."""
+    stride = width * 3
+    if len(raster) != stride * height:
+        raise ValueError(
+            f"raster is {len(raster)} bytes, expected {stride * height}"
+        )
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw.extend(raster[y * stride : (y + 1) * stride])
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def resize_raster_nn(
+    raster: bytes, w: int, h: int, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resample of a packed-RGB raster: output pixel
+    (X, Y) copies source pixel (X*w // out_w, Y*h // out_h) -- pure
+    integer arithmetic, so an oracle can reproduce the resized channel
+    sums relationally."""
+    out = bytearray(out_w * out_h * 3)
+    for Y in range(out_h):
+        sy = Y * h // out_h
+        src_row = sy * w * 3
+        dst_row = Y * out_w * 3
+        for X in range(out_w):
+            s = src_row + (X * w // out_w) * 3
+            d = dst_row + X * 3
+            out[d : d + 3] = raster[s : s + 3]
+    return bytes(out)
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -510,9 +586,19 @@ def parse_png(b: bytes) -> tuple[int, int, int, int, tuple[int, int, int]]:
     non-PNG payloads and for PNG variants beyond 8-bit non-interlaced
     truecolor (palette, alpha, 16-bit, Adam7); ValueError for malformed
     conforming payloads (bad CRC, short raster, unknown filter)."""
-    import struct
-    import zlib
+    width, height, bit_depth, color_type, raster = parse_png_raster(b)
+    sums = [0, 0, 0]
+    for i in range(0, len(raster), 3):
+        sums[0] += raster[i]
+        sums[1] += raster[i + 1]
+        sums[2] += raster[i + 2]
+    return width, height, bit_depth, color_type, (sums[0], sums[1], sums[2])
 
+
+def parse_png_raster(b: bytes) -> tuple[int, int, int, int, bytes]:
+    """parse_png's decode core, returning the reconstructed packed-RGB
+    raster itself (stride = 3*width, height rows) -- the input the real
+    resize path consumes."""
     if len(b) < 8 or b[:8] != _PNG_SIG:
         raise NotImplementedError(
             "only PNG payloads decode here; pass fake=True for other formats"
@@ -561,7 +647,7 @@ def parse_png(b: bytes) -> tuple[int, int, int, int, tuple[int, int, int]]:
             f"PNG raster is {len(raw)} bytes, expected {(stride + 1) * height}"
         )
     prev = bytearray(stride)
-    sums = [0, 0, 0]
+    raster = bytearray()
     for y in range(height):
         row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
         ftype = raw[y * (stride + 1)]
@@ -582,12 +668,9 @@ def parse_png(b: bytes) -> tuple[int, int, int, int, tuple[int, int, int]]:
                 row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"PNG filter type {ftype} unknown")
-        for i in range(0, stride, bpp):
-            sums[0] += row[i]
-            sums[1] += row[i + 1]
-            sums[2] += row[i + 2]
+        raster.extend(row)
         prev = row
-    return width, height, bit_depth, color_type, (sums[0], sums[1], sums[2])
+    return width, height, bit_depth, color_type, bytes(raster)
 
 
 def synth_png(width: int, height: int, filters: bool = True) -> bytes:
@@ -596,17 +679,7 @@ def synth_png(width: int, height: int, filters: bool = True) -> bytes:
     reproduce relationally. With ``filters`` True, scanline y uses filter
     type y%3 in {None, Sub, Up} so the decoder's unfiltering is actually
     exercised end-to-end (Average/Paeth are unit-tested)."""
-    import struct
-    import zlib
-
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
-
+    chunk = _png_chunk
     bpp = 3
     stride = width * bpp
     raw = bytearray()

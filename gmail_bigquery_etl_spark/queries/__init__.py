@@ -58,7 +58,10 @@ _ROUND5_FRONT = [
     "q22_dormant_customers",
     "events_dedup_first_arrival",
     # (c) new in round 5 (appended as they land)
+    "multimodal_resize_real",
     # (d) code path edited in round 5 -> revalidate under the driver
+    "multimodal_ppm_decode",
+    "multimodal_png_decode",
     # (e) backfill: oldest driver rows first (r02 holders)
     "q3_shipping_priority",
     "q4_priority_exists",

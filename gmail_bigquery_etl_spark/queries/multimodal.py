@@ -325,3 +325,64 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = d.mapInPandas(build, "media_id long, payload binary")
     return png_features(media, fake=False)
+
+
+@query(
+    "multimodal_resize_real",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 11 + 2 AS INT) AS w,
+         CAST(doc_id % 5 + 2 AS INT) AS h
+  FROM documents
+),
+px AS (
+  -- nearest-neighbor source pixel for output (X, Y) at 5x4:
+  -- sx = X*w // 5, sy = Y*h // 4 (pure integer arithmetic)
+  SELECT media_id, (x * w) // 5 AS sx, (y * h) // 4 AS sy
+  FROM m, generate_series(0, 4) tx(x), generate_series(0, 3) ty(y)
+)
+SELECT media_id, CAST(5 AS INT) AS width, CAST(4 AS INT) AS height,
+       CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type,
+       CAST(SUM((7*sx + 3*sy) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((5*sx + 11*sy) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((sx + sy) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY 1
+""",
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end (closes the last fake-only multimodal
+    surface): synthesize a filtered 8-bit truecolor PNG per document,
+    nearest-neighbor-resize every payload to 5x4 via
+    resize_media(fake=False) -- decode (chunk walk + inflate + unfilter),
+    integer NN resample, re-encode as filter-0 PNG -- then push the
+    RESIZED payloads back through png_features(fake=False) and gate the
+    recovered dimensions and exact per-channel pixel sums against an
+    oracle reproducing the generator + NN-sampling arithmetic
+    relationally. Sums survive only if decode -> resample -> encode ->
+    re-decode are all byte-exact."""
+    import pandas as pd
+
+    from ..operators.multimodal import png_features, resize_media, synth_png
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 11 + 2).cast("int").alias("w"),
+        (F.col("doc_id") % 5 + 2).cast("int").alias("h"),
+    )
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        synth_png(int(w), int(h))
+                        for w, h in zip(pdf["w"], pdf["h"])
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(build, "media_id long, payload binary")
+    resized = resize_media(media, 5, 4, fake=False)
+    return png_features(resized, fake=False)

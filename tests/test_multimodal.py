@@ -285,3 +285,53 @@ def test_parse_png_real_decode_all_filters():
     png16 = sig + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         parse_png(png16)
+
+
+def test_parse_png_truncation_raises_value_error():
+    """Payloads cut inside a chunk's data OR its 4-byte CRC trailer, and a
+    trailing partial chunk header, must all raise ValueError -- never a
+    raw struct.error from an unchecked unpack."""
+    import pytest
+
+    from gmail_bigquery_etl_spark.operators.multimodal import (
+        parse_png,
+        synth_png,
+    )
+
+    good = synth_png(4, 3)
+    with pytest.raises(ValueError):  # cut inside IDAT data
+        parse_png(good[:40])
+    with pytest.raises(ValueError):  # cut inside a CRC trailer
+        parse_png(good[: len(good) - 2])
+    with pytest.raises(ValueError):  # trailing partial chunk header
+        parse_png(good[:-12] + b"\x00\x00")
+
+
+def test_resize_real_roundtrip_nearest_neighbor():
+    """resize_media(fake=False): PNG and PPM rasters NN-resample to exact
+    integer-arithmetic channel sums after re-encode + re-decode."""
+    from gmail_bigquery_etl_spark.operators.multimodal import (
+        encode_png,
+        parse_png,
+        parse_png_raster,
+        parse_ppm_raster,
+        resize_raster_nn,
+        synth_png,
+    )
+
+    w, h, out_w, out_h = 9, 6, 4, 5
+    _, _, _, _, raster = parse_png_raster(synth_png(w, h))
+    for src in (raster, None):  # png raster, then the same via ppm
+        if src is None:
+            pw, ph, src = parse_ppm_raster(b"P6\n9 6\n255\n" + raster)
+            assert (pw, ph) == (w, h)
+        enc = encode_png(out_w, out_h, resize_raster_nn(src, w, h, out_w, out_h))
+        W, H, _, _, sums = parse_png(enc)
+        want = [0, 0, 0]
+        for Y in range(out_h):
+            for X in range(out_w):
+                sx, sy = X * w // out_w, Y * h // out_h
+                want[0] += (7 * sx + 3 * sy) % 256
+                want[1] += (5 * sx + 11 * sy) % 256
+                want[2] += (sx + sy) % 256
+        assert (W, H) == (out_w, out_h) and sums == tuple(want)
