@@ -45,6 +45,35 @@ def incremental_anti_join(
     return incoming.join(ids, key, "left_anti")
 
 
+def pruned_sink_ids(
+    spark,
+    sink_path: str,
+    since,
+    date_col: str = "ingest_date",
+    key: str = "id",
+) -> DataFrame:
+    """Partition-pruned incremental id scan: the 100 TB posture for the
+    anti-join's build side (SURVEY.md §7.3 item 5).
+
+    The reference scans the sink's FULL id column every cycle
+    (etl_service/main.py:97) -- linear in sink history, the one cost that
+    grows without bound. When the sink is written partitioned by ingest
+    date and the source replays only a bounded recent window (Gmail's
+    recent-message fetch), ids older than the replay watermark can never
+    collide with incoming rows, so scanning only partitions >= ``since``
+    is EXACT, not approximate -- and the scan cost becomes proportional
+    to the replay window instead of to sink history. ``since`` must be a
+    plan-time literal (date/str), keeping the pruning STATIC: Catalyst
+    resolves the matching directories at planning (PartitionFilters in
+    the scan node, plan-asserted in tests) and unmatched partitions are
+    never listed, opened, or footer-read."""
+    return (
+        spark.read.parquet(sink_path)
+        .filter(F.col(date_col) >= F.lit(since))
+        .select(key)
+    )
+
+
 def extract_email_records(messages: DataFrame, rich: bool = False) -> DataFrame:
     """Gmail-shaped message rows -> flat email records.
 

@@ -59,6 +59,7 @@ _ROUND5_FRONT = [
     "events_dedup_first_arrival",
     # (c) new in round 5 (appended as they land)
     "multimodal_resize_real",
+    "ingest_pruned_sink_scan",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

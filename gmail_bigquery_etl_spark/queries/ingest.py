@@ -211,3 +211,43 @@ def ingest_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = gmail_messages_from_events(spark, sf_dir)
     all_ids = msgs.select("id")
     return ingest_increment(msgs, all_ids).agg(F.count("*").alias("n_new"))
+
+
+@query(
+    "ingest_pruned_sink_scan",
+    oracle=_MSG_CTE
+    + """
+, since AS (SELECT MAX(CAST(ts AS DATE)) - 7 AS d FROM events)
+SELECT id, threadId, subject, sender, recipient, "timestamp", combined_labels
+FROM msgs, since
+WHERE event_type IN ('signup', 'purchase', 'click')
+  AND CAST(ts AS DATE) >= since.d
+  AND event_id % 3 <> 0
+""",
+)
+def ingest_pruned_sink_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition-pruned incremental id scan end-to-end (SURVEY §7.3
+    item 5, the S5 100 TB posture): the sink lives as ingest-date-
+    partitioned parquet; the increment reads the replay watermark (one
+    scalar -- max event date minus the 7-day replay window), scans ONLY
+    sink partitions >= watermark for the anti-join's build side
+    (PartitionFilters plan-asserted in tests/test_plans.py), and
+    anti-joins the windowed incoming messages against it. Exact, not
+    approximate: ids older than the watermark cannot re-arrive when the
+    source replays a bounded window, so pruned-sink output equals
+    full-sink output -- which is what the oracle checks."""
+    from ..operators.incremental import pruned_sink_ids
+    from ..sources.synthetic import (
+        messages_from_events_df,
+        partitioned_sink_path,
+    )
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # watermark read: ONE scalar crosses the driver (plan-time literal so
+    # the partition pruning below stays static)
+    since = ev.agg(F.date_add(F.max(F.to_date("ts")), -7)).first()[0]
+    sink = partitioned_sink_path(spark, sf_dir)
+    existing = pruned_sink_ids(spark, sink, since)
+    incoming = messages_from_events_df(ev.filter(F.to_date("ts") >= F.lit(since)))
+    return ingest_increment(incoming, existing)

@@ -91,3 +91,29 @@ def existing_sink_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(F.col("event_id") % 3 == 0).select(
         F.concat(F.lit("m"), F.col("event_id").cast("string")).alias("id")
     )
+
+
+def partitioned_sink_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the simulated sink as an ingest-date-PARTITIONED parquet
+    table (id, ingest_date=date(ts), one directory per day) -- the layout
+    a production sink needs for the partition-pruned incremental id scan
+    (SURVEY.md §7.3 item 5). Content is deterministic per sf_dir, so the
+    write happens once and is reused (guarded by _SUCCESS)."""
+    import os
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join("spark-warehouse", f"pruned_sink_{name}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = _load_events(spark, sf_dir)
+        (
+            ev.filter(F.col("event_id") % 3 == 0)
+            .select(
+                F.concat(F.lit("m"), F.col("event_id").cast("string")).alias("id"),
+                F.to_date("ts").alias("ingest_date"),
+            )
+            .repartition("ingest_date")
+            .write.partitionBy("ingest_date")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    return path

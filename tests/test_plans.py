@@ -269,3 +269,21 @@ def test_funnel_single_wide_shuffle(spark):
     # never user_id) -- rather than a brittle total exchange count that
     # breaks on AQE/planner changes across Spark patch versions
     assert sum("user_id" in l for l in exchanges) == 1, exchanges
+
+
+def test_pruned_sink_scan_partition_filters(spark):
+    """ingest_pruned_sink_scan's 100 TB claim: the sink id scan carries a
+    STATIC PartitionFilters on ingest_date (directories older than the
+    watermark are never listed) and projects only the id column."""
+    plan = _plan(spark, "ingest_pruned_sink_scan")
+    sink_scans = [
+        l
+        for l in plan.splitlines()
+        if "FileScan parquet" in l and "pruned_sink_" in l
+    ]
+    assert sink_scans, plan
+    for l in sink_scans:
+        assert "PartitionFilters: [isnotnull(ingest_date" in l, l
+        assert "ingest_date" in l.split("PartitionFilters:")[1].split("]")[0]
+        assert ">=" in l.split("PartitionFilters:")[1].split("]")[0], l
+        assert "ReadSchema: struct<id:string>" in l, l
