@@ -53,6 +53,7 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    load_start = round(os.getloadavg()[0], 1)
     spark = get_spark("bench", cpus=cpus)
 
     # Warmup so the alphabetically-first queries don't absorb session
@@ -114,6 +115,11 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
+    # Contamination detector: BENCH_r04's official warm total ran ~20%
+    # above the repo's idle-box number because the suite shared the box.
+    # loadavg at start/end (vs the bench's own 32 threads) makes a
+    # loaded-box run diagnosable from the recorded JSON line alone.
+    load_end = round(os.getloadavg()[0], 1)
     full = {
         "metric": "declared-query corpus wall time (noop-materialized, "
         f"best-of-{runs} warm)",
@@ -123,6 +129,7 @@ def main() -> None:
         "queries": timings,
         "cold_queries": cold,
         "sf": sf,
+        "loadavg": [load_start, load_end],
     }
     # Full precision for humans/history: a file + stderr (NOT stdout --
     # extra stdout bytes push the parseable line out of the tail capture).

@@ -553,7 +553,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball search (operators/dedup.py simhash_pairs): the
     banded equi-join finds every pair within Hamming distance 3 of the
     32-bit fingerprint -- the oracle computes the same set by brute-force
-    all-pairs, which the pigeonhole guarantee says must agree exactly."""
+    all-pairs, which the pigeonhole guarantee says must agree exactly.
+
+    Bench posture (r5 measurement, sf0.1 warm): this is the corpus's most
+    expensive query BECAUSE it is output-bound, not plan-weak -- the
+    32-bit config's weakly selective 8-bit band keys admit 169,798 pairs
+    vs the production-sized _wide twin's 10,124 (16.8x the answer for
+    2.2x the time, 5.9 s vs 2.7 s warm). The plan is identical to _wide;
+    ..._pairs_wide is the corpus-scale sizing, and this 32-bit run is
+    kept as the dense-answer stress configuration."""
     from ..operators.dedup import simhash_pairs
 
     corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
