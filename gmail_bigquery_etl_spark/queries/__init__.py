@@ -60,6 +60,7 @@ _ROUND5_FRONT = [
     # (c) new in round 5 (appended as they land)
     "multimodal_resize_real",
     "ingest_pruned_sink_scan",
+    "text_cms_heavy_hitters",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

@@ -590,3 +590,77 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
         F.round(F.regr_r2(lf, lr), 6).alias("zipf_r2"),
     )
+
+
+@query(
+    "text_cms_heavy_hitters",
+    oracle=r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS b
+  FROM toks WHERE len(ws) >= 2
+),
+dim AS (SELECT i FROM generate_series(0, 3) g(i)),
+cells AS (
+  SELECT d.i,
+         CAST('0x' || substring(md5(b), d.i * 8 + 1, 8) AS BIGINT) % 1024 AS col,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM bg CROSS JOIN dim d GROUP BY 1, 2
+),
+exact AS (SELECT b, COUNT(*) AS exact_n FROM bg GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM bg),
+est AS (
+  SELECT e.b, e.exact_n, MIN(c.c) AS cms_est
+  FROM exact e
+  CROSS JOIN dim d
+  JOIN cells c
+    ON c.i = d.i
+   AND c.col = CAST('0x' || substring(md5(e.b), d.i * 8 + 1, 8) AS BIGINT) % 1024
+  GROUP BY 1, 2
+)
+SELECT b AS bigram, CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(cms_est AS BIGINT) AS cms_est
+FROM est, tot WHERE exact_n >= 0.001 * tot.n
+""",
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/cms.py) over word
+    bigrams -- the frequency-sketch twin of the HLL rollup, completing
+    the approx family. Build: one groupBy over depth x corpus increments
+    into a 4x1024 cell grid (O(1) size at any corpus). Report: exact
+    heavy hitters (count >= 0.1% of the bigram stream -- the
+    deterministic row set) alongside their CMS point estimates, joined
+    from the broadcast cell table. Because the md5-slice hashes are
+    engine-portable, the ORACLE REBUILDS THE SKETCH ITSELF relationally
+    and exact-matches cells and estimates -- a stronger gate than
+    agg_approx_tolerance's tolerance booleans; the est >= exact
+    overcount guarantee is visible in the emitted rows."""
+    from ..operators.cms import cms_build, cms_estimate
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = docs.select(whitespace_tokens("text").alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    # stage the computed bigram array as a column before explode (the
+    # InferFiltersFromGenerate hazard): Generate runs over an attribute
+    bigrams = ws.withColumn(
+        "_bg",
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+            ),
+        ),
+    ).select(F.explode("_bg").alias("b"))
+    cells = cms_build(bigrams, "b", depth=4, width=1024)
+    exact = bigrams.groupBy("b").agg(F.count("*").cast("bigint").alias("exact_n"))
+    total = bigrams.agg(F.count("*").alias("_n"))
+    heavy = exact.crossJoin(F.broadcast(total)).filter(
+        F.col("exact_n") >= 0.001 * F.col("_n")
+    ).select("b", "exact_n")
+    return cms_estimate(cells, heavy, "b", depth=4, width=1024).select(
+        F.col("b").alias("bigram"), "exact_n", "cms_est"
+    )

@@ -96,6 +96,8 @@ def test_no_accidental_cartesian_products(spark):
         "events_rfm_scores",
         # inherits near_dup_pairs' coeff/band dim-table crossJoins
         "dedup_triangle_counts",
+        # broadcast crossJoins of the 4-row CMS depth dim + 1-row total
+        "text_cms_heavy_hitters",
     }
     offenders = []
     for name in ALL_QUERIES:
