@@ -349,6 +349,28 @@ def df_capped_postings(
     )
 
 
+def _shared_posting_pairs(kept: DataFrame) -> DataFrame:
+    """The pair-generation scaffold both no-sketch scorers share: self
+    equi-join of the df-capped posting list on the shingle hash, half-
+    width (id_a < id_b), aggregated to (id_a, id_b, n_inter, sz_a, sz_b).
+    The per-doc set sizes ride each posting row into the join so the pair
+    aggregate reads them off with first() -- no size-lookup joins."""
+    return (
+        kept.select(F.col("_id").alias("id_a"), F.col("sz").alias("_sz_a"), "g")
+        .join(
+            kept.select(F.col("_id").alias("id_b"), F.col("sz").alias("_sz_b"), "g"),
+            "g",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first("_sz_a").alias("sz_a"),
+            F.first("_sz_b").alias("sz_b"),
+        )
+    )
+
+
 def inverted_containment_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -375,20 +397,7 @@ def inverted_containment_pairs(
     ladder per SURVEY.md §2.10.
     """
     kept = df_capped_postings(df, text_col, id_col, shingle_n, max_df)
-    shared = (
-        kept.select(F.col("_id").alias("id_a"), F.col("sz").alias("_sz_a"), "g")
-        .join(
-            kept.select(F.col("_id").alias("id_b"), F.col("sz").alias("_sz_b"), "g"),
-            "g",
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count("*").alias("n_inter"),
-            F.first("_sz_a").alias("sz_a"),
-            F.first("_sz_b").alias("sz_b"),
-        )
-    )
+    shared = _shared_posting_pairs(kept)
     c_ab = F.col("n_inter").cast("double") / F.col("sz_a").cast("double")
     c_ba = F.col("n_inter").cast("double") / F.col("sz_b").cast("double")
     return shared.filter(F.greatest(c_ab, c_ba) >= threshold).select(
@@ -438,20 +447,7 @@ def inverted_jaccard_pairs(
     too wide).
     """
     kept = df_capped_postings(df, text_col, id_col, shingle_n, max_df)
-    shared = (
-        kept.select(F.col("_id").alias("id_a"), F.col("sz").alias("_sz_a"), "g")
-        .join(
-            kept.select(F.col("_id").alias("id_b"), F.col("sz").alias("_sz_b"), "g"),
-            "g",
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count("*").alias("n_inter"),
-            F.first("_sz_a").alias("sz_a"),
-            F.first("_sz_b").alias("sz_b"),
-        )
-    )
+    shared = _shared_posting_pairs(kept)
     jac = F.col("n_inter").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
     ).cast("double")
