@@ -162,3 +162,58 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def pagerank_units(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 5,
+    damping_pct: int = 85,
+    unit: int = 10**12,
+) -> DataFrame:
+    """PageRank over the UNDIRECTED pair graph, in EXACT integer
+    fixed-point: (node, pr_units) with pr_units ~= pagerank * ``unit``.
+
+    Third member of the iterative family (components, BPE): a driver loop
+    of fully distributed rounds -- per round ONE join edges->contributions
+    and one groupBy inflow sum, localCheckpoint truncating lineage; the
+    only driver-side value is the node count. Floats never appear:
+    contributions are BIGINT floor divisions (pr div deg) and the damping
+    update is ((100-d)*(unit div n) + d*inflow) div 100, so every engine
+    computes bit-identical units and the unrolled-CTE DuckDB oracle
+    exact-matches -- no tolerance band, no summation-order drift.
+    Quantization error is <= iters * deg / unit, irrelevant at unit=1e12.
+
+    Scale: rounds shuffle on node id (uniform); the symmetrized edge list
+    is the same checkpointed build connected_components uses; dangling
+    nodes cannot exist (symmetrization gives every node in-degree >= 1),
+    so no dangling-mass redistribution term is needed."""
+    p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    edges = (
+        p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint()
+    n = deg.count()  # the one driver-side scalar (node count)
+    init = unit // n
+    base = (100 - damping_pct) * init
+    pr = deg.select("u", F.lit(init).cast("bigint").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            pr.join(deg, "u").select("u", F.expr("pr div deg").alias("c"))
+        )
+        inflow = (
+            edges.join(contrib, "u")
+            .groupBy("v")
+            .agg(F.sum("c").alias("inflow"))
+            .withColumnRenamed("v", "u")
+        )
+        pr = inflow.select(
+            "u",
+            F.expr(f"({base} + {damping_pct} * inflow) div 100")
+            .cast("bigint")
+            .alias("pr"),
+        ).localCheckpoint()
+    return pr.select(F.col("u").alias("node"), F.col("pr").alias("pr_units"))

@@ -61,6 +61,7 @@ _ROUND5_FRONT = [
     "multimodal_resize_real",
     "ingest_pruned_sink_scan",
     "text_cms_heavy_hitters",
+    "dedup_pagerank",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

@@ -858,3 +858,55 @@ def dedup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
     pairs = near_dup_pairs(corpus, threshold=0.5, num_hashes=16, bands=4)
     return triangle_counts(pairs.select("id_a", "id_b"))
+
+
+def _pagerank_oracle(iters: int = 5, damping_pct: int = 85, unit: int = 10**12) -> str:
+    """Unrolled-CTE twin of operators/components.pagerank_units: the k
+    integer fixed-point rounds chain as CTEs (deterministic like the BPE
+    unroll -- DuckDB's `//` IS the bigint floor division `div` Spark
+    runs, so cells match bit-for-bit, no float tolerance)."""
+    head = f"""WITH {_SQL_LSH_CTES},
+pairs AS ({_SQL_LSH_SELECT}),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+nn AS MATERIALIZED (SELECT CAST({unit} AS BIGINT) // COUNT(*) AS init FROM deg),
+pr0 AS MATERIALIZED (SELECT u, nn.init AS pr FROM deg, nn)"""
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f""",
+pr{k} AS MATERIALIZED (
+  SELECT i.u,
+         ({100 - damping_pct} * nn.init + {damping_pct} * i.inflow) // 100 AS pr
+  FROM (
+    SELECT e.v AS u, SUM(p.pr // d.deg) AS inflow
+    FROM edges e
+    JOIN pr{k - 1} p ON p.u = e.u
+    JOIN deg d ON d.u = e.u
+    GROUP BY e.v
+  ) i, nn
+)""")
+    tail = f"""
+SELECT u AS node, CAST(pr AS BIGINT) AS pr_units FROM pr{iters}"""
+    return head + "".join(rounds) + tail
+
+
+@query("dedup_pagerank", oracle=_pagerank_oracle(5))
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the verified near-dup pair graph
+    (operators/components.py pagerank_units): which documents sit at the
+    CENTER of duplication clusters -- the canonical-representative signal
+    (highest-rank member = the version most other variants are near),
+    complementing the cluster id (membership) and triangle count
+    (density). Third iterative driver-loop operator after components and
+    BPE; exact integer fixed-point makes the k=5 unrolled-CTE oracle a
+    bit-for-bit match."""
+    from ..operators.components import pagerank_units
+    from ..operators.dedup import near_dup_pairs
+
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = near_dup_pairs(corpus, threshold=0.5, num_hashes=16, bands=4)
+    return pagerank_units(pairs.select("id_a", "id_b"))

@@ -43,3 +43,21 @@ def test_dedup_survivors_keep_min_per_cluster(spark):
     out = sorted(r.doc_id for r in dedup_survivors(df, pairs).collect())
     # losers: 5,7 (cluster min 1), 3 (cluster min 2)
     assert out == [0, 1, 2, 4, 6]
+
+
+def test_pagerank_star_graph_properties(spark):
+    """Integer fixed-point PageRank: the hub of a star out-ranks every
+    leaf, leaves tie exactly (determinism), and total mass stays within
+    quantization slack of one unit."""
+    from gmail_bigquery_etl_spark.operators.components import pagerank_units
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "id_a long, id_b long"
+    )
+    rows = {r.node: r.pr_units for r in pagerank_units(star, iters=5).collect()}
+    assert len(rows) == 9
+    hub, leaves = rows[0], [rows[i] for i in range(1, 9)]
+    assert all(hub > l for l in leaves)
+    assert len(set(leaves)) == 1  # exact tie, no float drift
+    total = hub + sum(leaves)
+    assert abs(total - 10**12) < 10**6  # mass conserved to quantization
