@@ -62,6 +62,7 @@ _ROUND5_FRONT = [
     "ingest_pruned_sink_scan",
     "text_cms_heavy_hitters",
     "dedup_pagerank",
+    "embedding_kmeans_lloyd",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

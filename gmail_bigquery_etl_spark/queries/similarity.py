@@ -741,3 +741,64 @@ def ann_index_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_scale").cast("double").alias("total_scale"),
         F.countDistinct("_pq0").alias("pq0_codes"),
     )
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled-CTE twin of operators/kmeans.kmeans_lloyd: seed -> assign
+    -> (recenter -> assign) x iters, all BIGINT micro-unit arithmetic
+    (DuckDB's `//` and Spark's `div` both truncate toward zero --
+    verified -- so centroid means match sign-for-sign)."""
+    dist = (
+        "CAST(list_sum(list_transform(generate_series(1, {dim}), "
+        "j -> (q.v[j] - c.v[j]) * (q.v[j] - c.v[j]))) AS BIGINT)"
+    ).format(dim=dim)
+    parts = [f"""WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT {k})
+)"""]
+    for r in range(iters + 1):
+        if r > 0:
+            parts.append(f""",
+c{r} AS MATERIALIZED (
+  SELECT cid, list(m ORDER BY j) AS v FROM (
+    SELECT a.cluster AS cid, g.j, SUM(q.v[g.j]) // COUNT(*) AS m
+    FROM a{r - 1} a JOIN q USING (vec_id)
+    CROSS JOIN generate_series(1, {dim}) g(j)
+    GROUP BY 1, 2
+  ) GROUP BY cid
+)""")
+        parts.append(f""",
+a{r} AS MATERIALIZED (
+  SELECT vec_id, cid AS cluster, dist FROM (
+    SELECT vec_id, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (SELECT q.vec_id, c.cid, {dist} AS dist FROM q CROSS JOIN c{r} c)
+  ) WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT vec_id, CAST(cluster AS INT) AS cluster, dist FROM a{iters}""")
+    return "".join(parts)
+
+
+@query("embedding_kmeans_lloyd", oracle=_kmeans_oracle(8, 3, 64))
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (operators/kmeans.py): the ITERATIVE
+    quantizer next to the one-pass label quantizer the IVF index uses --
+    k=8, 3 rounds, deterministic lowest-id seeding. Per round: a pure
+    literal-matrix projection assigns (no shuffle), one (cluster, dim)
+    shuffle recenters, k*dim ints cross the driver. Exact integer
+    micro-unit arithmetic end-to-end makes the unrolled-CTE oracle a
+    bit-for-bit gate on final assignments AND distances -- the fourth
+    iterative driver-loop operator (components, BPE, PageRank)."""
+    from ..operators.kmeans import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=8, iters=3).select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "dist"
+    )
