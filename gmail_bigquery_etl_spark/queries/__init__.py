@@ -63,6 +63,7 @@ _ROUND5_FRONT = [
     "text_cms_heavy_hitters",
     "dedup_pagerank",
     "embedding_kmeans_lloyd",
+    "ingest_bloom_prefilter",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

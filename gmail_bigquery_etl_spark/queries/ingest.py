@@ -251,3 +251,59 @@ def ingest_pruned_sink_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = pruned_sink_ids(spark, sink, since)
     incoming = messages_from_events_df(ev.filter(F.to_date("ts") >= F.lit(since)))
     return ingest_increment(incoming, existing)
+
+
+@query(
+    "ingest_bloom_prefilter",
+    oracle=_MSG_CTE
+    + """
+, sink AS (SELECT 'm' || CAST(event_id AS VARCHAR) AS id FROM events
+           WHERE event_id % 3 = 0),
+bits AS (
+  -- ONE shared bit array across the d hash rows (classic Bloom), not
+  -- per-row bit sets: any hash row may satisfy any probe position
+  SELECT DISTINCT
+         CAST('0x' || substring(md5(id), g.i * 8 + 1, 8) AS BIGINT) % 8192 AS bit
+  FROM sink CROSS JOIN generate_series(0, 3) g(i)
+),
+fresh AS (
+  SELECT * FROM msgs WHERE event_type IN ('signup', 'purchase', 'click')
+),
+flags AS (
+  SELECT f.id,
+         COUNT(b.bit) = 4 AS bloom_checked
+  FROM (SELECT DISTINCT id FROM fresh) f
+  CROSS JOIN generate_series(0, 3) g(i)
+  LEFT JOIN bits b
+    ON b.bit = CAST('0x' || substring(md5(f.id), g.i * 8 + 1, 8) AS BIGINT) % 8192
+  GROUP BY f.id
+)
+SELECT m.id, m.threadId, m.subject, m.sender, m.recipient, m."timestamp",
+       m.combined_labels, fl.bloom_checked
+FROM fresh m JOIN flags fl ON fl.id = m.id
+WHERE m.event_id % 3 <> 0
+""",
+)
+def ingest_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned incremental anti-join (operators/bloom.py): rows whose
+    id the sink's Bloom filter proves ABSENT skip the exact anti-join
+    entirely; only the maybe-present sliver joins. The gated output is
+    the plain anti-join result (identical rows to ingest_incremental)
+    PLUS the bloom_checked split flag, and the oracle replays the filter
+    bit-for-bit (same md5-slice positions), so both the pruning's
+    exactness (no dropped new rows, no leaked sink rows) and the split
+    itself are checked. 100 TB posture: the filter is a <= 8192-row
+    broadcast; the exact join's probe side shrinks from |incoming| to
+    |true positives| + the false-positive sliver."""
+    from ..operators.bloom import bloom_prefiltered_anti_join
+    from ..operators.incremental import extract_email_records
+    from ..functions.headers import label_predicate
+
+    msgs = gmail_messages_from_events(spark, sf_dir)
+    existing = existing_sink_ids(spark, sf_dir)
+    fresh = msgs.filter(label_predicate("labelIds"))
+    kept = bloom_prefiltered_anti_join(fresh, existing, "id")
+    recs = extract_email_records(kept).join(
+        kept.select("id", "bloom_checked").distinct(), "id"
+    )
+    return recs.dropDuplicates(["id"])

@@ -56,3 +56,33 @@ def test_cms_estimate_unseen_candidate_is_bounded(spark):
         built, _items(spark, ["zzz-never-seen"]), "x", width=1024
     ).collect()
     assert len(out) == 1 and 0 <= out[0].cms_est <= 3
+
+
+def test_bloom_prefilter_equals_plain_anti_join(spark):
+    """Bloom pruning is a pure plan change: result rows == plain anti-join
+    rows, the definitely-new split is non-trivial, and every sink id is
+    flagged for the exact check (no false negatives)."""
+    from gmail_bigquery_etl_spark.operators.bloom import (
+        bloom_prefiltered_anti_join,
+    )
+    from gmail_bigquery_etl_spark.operators.incremental import (
+        incremental_anti_join,
+    )
+
+    inc = spark.range(0, 2000).select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("id"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    sink = spark.range(0, 2000, 3).select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("id")
+    )
+    got = bloom_prefiltered_anti_join(inc, sink, "id")
+    plain = {r.id for r in incremental_anti_join(inc, sink, "id").collect()}
+    rows = got.collect()
+    assert {r.id for r in rows} == plain
+    assert all(r.payload is not None for r in rows)  # columns survive
+    checked = {r.id for r in rows if r.bloom_checked}
+    unchecked = {r.id for r in rows if not r.bloom_checked}
+    assert unchecked, "bloom pruned nothing: filter is vacuously full"
+    # false-positive sliver should be small at m=8192, n=667
+    assert len(checked) < len(plain) / 2, (len(checked), len(plain))

@@ -98,6 +98,8 @@ def test_no_accidental_cartesian_products(spark):
         "dedup_triangle_counts",
         # broadcast crossJoins of the 4-row CMS depth dim + 1-row total
         "text_cms_heavy_hitters",
+        # same 4-row depth-dim crossJoins (bloom build + probe)
+        "ingest_bloom_prefilter",
     }
     offenders = []
     for name in ALL_QUERIES:
