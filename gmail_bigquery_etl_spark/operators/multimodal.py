@@ -6,12 +6,14 @@ mapInPandas signatures, partitioning -- is real and tested. Codec status:
 ``decode_features(fake=False)`` REALLY decodes binary PPM (P6) images via
 the pure-Python parser below (header parse + pixel-length validation),
 and ``audio_features(fake=False)`` REALLY decodes PCM WAV (RIFF) headers
-(chunk walk + fmt/data consistency validation) -- the two formats simple
-enough to parse with zero codec libraries. Every other format, and the
-resize/frame-sample codecs, stay STUBBED behind NotImplementedError (the
-container ships no image/audio libs) with a deterministic md5-derived
-fake behind ``fake=True`` keeping every downstream operator exercisable
-end-to-end.
+(chunk walk + fmt/data consistency validation); BMP, PNG (CRC chunk walk
++ inflate + all five scanline filters), nearest-neighbor resize over the
+decoded PNG/PPM rasters, and ANM1 multi-frame sampling (``parse_anim``)
+are likewise real -- the formats simple enough to parse with zero codec
+libraries. Every other format (JPEG, MP4, ...) stays STUBBED behind
+NotImplementedError (the container ships no image/audio libs) with a
+deterministic md5-derived fake behind ``fake=True`` keeping every
+downstream operator exercisable end-to-end.
 
 Scale notes: binary payloads ride in Arrow record batches; mapInPandas
 streams batches (never materializes a partition); payload columns are
@@ -368,23 +370,100 @@ FRAME_SCHEMA = T.StructType(
     ]
 )
 
+FRAME_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+    ]
+)
+
+_ANM_MAGIC = b"ANM1"
+
+
+def parse_anim(b: bytes) -> tuple[int, int, int]:
+    """REAL multi-frame container parse: the ``ANM1`` animation format
+    (magic + LE u16 frame-count/width/height header, then ``n_frames``
+    raw 24-bit RGB rasters of ``w*h*3`` bytes back to back -- the same
+    fixed-raster layout uncompressed AVI/Y4M streams use). Returns
+    (n_frames, width, height) after validating the magic, the header
+    length and that the payload holds EXACTLY the declared rasters, so a
+    truncated or padded stream errors instead of mis-slicing frames.
+    Raises ValueError for malformed payloads."""
+    if b[:4] != _ANM_MAGIC:
+        raise NotImplementedError(
+            "only ANM1 multi-frame payloads decode without codec "
+            "libraries; pass fake=True for other video formats"
+        )
+    if len(b) < 10:
+        raise ValueError("ANM payload truncated inside the header")
+    n_frames, w, h = struct.unpack_from("<HHH", b, 4)
+    if n_frames < 1 or w < 1 or h < 1:
+        raise ValueError("ANM header fields must be positive")
+    expect = 10 + n_frames * w * h * 3
+    if len(b) != expect:
+        raise ValueError(
+            f"ANM length mismatch: declared {expect} bytes, got {len(b)}"
+        )
+    return n_frames, w, h
+
+
+def anim_frame(b: bytes, idx: int) -> bytes:
+    """Slice frame ``idx``'s raster out of a validated ANM1 payload."""
+    n_frames, w, h = parse_anim(b)
+    if not 0 <= idx < n_frames:
+        raise ValueError(f"frame {idx} out of range (n_frames={n_frames})")
+    size = w * h * 3
+    start = 10 + idx * size
+    return b[start : start + size]
+
 
 def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:
     """Frame sampling over binary 'video' payloads: one output row per
     sampled frame (a fan-out mapInPandas, the UDTF batch shape).
+
+    fake=False runs a REAL container decode for the ANM1 multi-frame
+    format (parse_anim above: header parse + exact-length validation),
+    emitting every ``every_n``-th frame's dimensions and raster byte sum
+    -- values that depend on slicing the RIGHT byte range, so the oracle
+    catches off-by-one frame offsets. Payloads that are not ANM1 raise
+    (honest contract: real video codecs need libraries this container
+    ships without).
 
     Deterministic fake decode: a payload of B bytes 'contains'
     B // 100 + 1 frames; frame k's digest is md5(md5(payload) || ':' k) --
     reproducible in SQL, so the sampling query is oracle-gated.
     """
 
+    def sample_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, sums = [], [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if b is None:
+                    continue
+                b = bytes(b)
+                n_frames, w, h = parse_anim(b)
+                size = w * h * 3
+                for k in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(k)
+                    ws.append(w)
+                    hs.append(h)
+                    sums.append(sum(b[10 + k * size : 10 + (k + 1) * size]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video frame decode requires codec libraries not present "
-                    "in this environment; pass fake=True for the stand-in"
-                )
             ids, idxs, digs = [], [], []
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
                 if b is None:
@@ -401,7 +480,10 @@ def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> Dat
                 {"media_id": ids, "frame_idx": idxs, "frame_digest": digs}
             )
 
-    return media.select("media_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
+    src = media.select("media_id", "payload")
+    if not fake:
+        return src.mapInPandas(sample_real, FRAME_REAL_SCHEMA)
+    return src.mapInPandas(sample, FRAME_SCHEMA)
 
 
 BMP_SCHEMA = T.StructType(

@@ -64,6 +64,7 @@ _ROUND5_FRONT = [
     "dedup_pagerank",
     "embedding_kmeans_lloyd",
     "ingest_bloom_prefilter",
+    "multimodal_frame_sample_real",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

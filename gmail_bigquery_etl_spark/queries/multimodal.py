@@ -386,3 +386,60 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.mapInPandas(build, "media_id long, payload binary")
     resized = resize_media(media, 5, 4, fake=False)
     return png_features(resized, fake=False)
+
+
+@query(
+    "multimodal_frame_sample_real",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 6 + 2 AS INT) AS nf,
+         CAST(doc_id % 5 + 2 AS INT) AS w,
+         CAST(doc_id % 4 + 2 AS INT) AS h
+  FROM documents
+),
+f AS (
+  SELECT media_id, w, h, UNNEST(range(0, nf, 3)) AS frame_idx FROM m
+)
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       w AS width, h AS height,
+       CAST(w * h * 3 * ((media_id * 7 + frame_idx * 13) % 251) AS BIGINT)
+         AS pixel_sum
+FROM f
+""",
+)
+def multimodal_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame sampling end-to-end (upgrades the last fake-only
+    multimodal operator; reference parity: the attachment pipeline of
+    etl_service/main.py:170-208 moves opaque media blobs it never
+    decodes -- this engine decodes them). Synthesize a valid ANM1
+    multi-frame container per document with PURE Spark expressions
+    (magic + LE u16 header via hex/unhex, per-frame constant-byte
+    rasters via transform/repeat -- all codegen'd, zero Python in the
+    build), push the payloads through sample_frames(fake=False) -- the
+    stdlib container parser, which validates magic, header and exact
+    payload length -- and gate every 3rd frame's dimensions and raster
+    byte sum against an oracle predicting them arithmetically. The sums
+    only match if the parser sliced the RIGHT w*h*3 byte range for the
+    RIGHT frame index, so off-by-one frame offsets cannot cancel out."""
+    from ..operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 6 + 2).cast("int").alias("nf"),
+        (F.col("doc_id") % 5 + 2).cast("int").alias("w"),
+        (F.col("doc_id") % 4 + 2).cast("int").alias("h"),
+    )
+    hex_payload = F.concat(
+        F.lit("414E4D31"),  # "ANM1"
+        _le_hex(F.col("nf"), 2),
+        _le_hex(F.col("w"), 2),
+        _le_hex(F.col("h"), 2),
+        F.expr(
+            "array_join(transform(sequence(0, nf - 1), f ->"
+            " repeat(lpad(hex((media_id * 7 + f * 13) % 251), 2, '0'),"
+            " w * h * 3)), '')"
+        ),
+    )
+    media = d.select("media_id", F.unhex(hex_payload).alias("payload"))
+    return sample_frames(media, every_n=3, fake=False)

@@ -335,3 +335,60 @@ def test_resize_real_roundtrip_nearest_neighbor():
                 want[1] += (5 * sx + 11 * sy) % 256
                 want[2] += (sx + sy) % 256
         assert (W, H) == (out_w, out_h) and sums == tuple(want)
+
+
+def test_parse_anim_real_decode():
+    """ANM1 container: header parse, exact-length validation, and frame
+    slicing must read the RIGHT byte ranges."""
+    import struct
+
+    from gmail_bigquery_etl_spark.operators.multimodal import (
+        anim_frame,
+        parse_anim,
+    )
+
+    w, h, nf = 3, 2, 4
+    frames = [bytes([10 * k + 1]) * (w * h * 3) for k in range(nf)]
+    payload = b"ANM1" + struct.pack("<HHH", nf, w, h) + b"".join(frames)
+    assert parse_anim(payload) == (nf, w, h)
+    for k in range(nf):
+        assert anim_frame(payload, k) == frames[k]
+
+    # Wrong format -> honest stub (NotImplementedError), like non-P6 PPM.
+    with pytest.raises(NotImplementedError):
+        parse_anim(b"RIFF" + payload[4:])
+    # Claimed ANM1 but malformed -> loud ValueError, never a mis-slice.
+    with pytest.raises(ValueError, match="truncated"):
+        parse_anim(payload[:8])
+    with pytest.raises(ValueError, match="length mismatch"):
+        parse_anim(payload[:-1])
+    with pytest.raises(ValueError, match="length mismatch"):
+        parse_anim(payload + b"\x00")
+    with pytest.raises(ValueError, match="positive"):
+        parse_anim(b"ANM1" + struct.pack("<HHH", 0, w, h))
+    with pytest.raises(ValueError, match="out of range"):
+        anim_frame(payload, nf)
+
+
+def test_sample_frames_real_path(spark):
+    """fake=False over synthesized ANM1 payloads: every 2nd frame, with
+    byte sums proving the parser sliced frame k (not k-1 or k+1)."""
+    import struct
+
+    from gmail_bigquery_etl_spark.operators.multimodal import sample_frames
+
+    w, h, nf = 2, 2, 5
+    size = w * h * 3
+    frames = [bytes([7 * k + 3]) * size for k in range(nf)]
+    payload = b"ANM1" + struct.pack("<HHH", nf, w, h) + b"".join(frames)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    rows = {
+        r["frame_idx"]: r
+        for r in sample_frames(media, every_n=2, fake=False).collect()
+    }
+    assert sorted(rows) == [0, 2, 4]
+    for k, r in rows.items():
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["pixel_sum"] == (7 * k + 3) * size
