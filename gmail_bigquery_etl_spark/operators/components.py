@@ -217,3 +217,112 @@ def pagerank_units(
             .alias("pr"),
         ).localCheckpoint()
     return pr.select(F.col("u").alias("node"), F.col("pr").alias("pr_units"))
+
+
+def bfs_hops(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    sources: DataFrame | None = None,
+    max_iter: int = 32,
+) -> DataFrame:
+    """Multi-source BFS over the (undirected) pair graph: (node, hops)
+    where hops = shortest distance to the nearest source. Default source
+    set: each component's min node id (the dedup survivor), making the
+    result "how far is every variant from its cluster's canonical
+    document" -- and guaranteeing every graph node gets a row.
+
+    Level-synchronous frontier expansion, the textbook distributed BFS:
+    each round joins the CURRENT frontier (not the whole distance table)
+    against the edge list, min-aggregates candidate distances, and
+    anti-joins out already-settled nodes; because expansion is strictly
+    level by level, the first round that reaches a node reaches it along
+    a shortest path, so no relaxation/decrease-key pass is needed. One
+    join + one agg + one anti-join shuffle per LEVEL (not per node, and
+    the same count regardless of how many sources -- multi-source BFS is
+    free parallelism); frontier and distance tables are
+    localCheckpoint'd so round k's job never re-executes rounds 1..k-1.
+    The driver holds per-round frontier counts -- never rows."""
+    p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    edges = (
+        p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if sources is None:
+        comp = connected_components(pairs, src=src, dst=dst)
+        sources = comp.filter(F.col("node") == F.col("component")).select(
+            F.col("node")
+        )
+    dist = (
+        sources.toDF("u")
+        .select(F.col("u").cast("long"), F.lit(0).cast("int").alias("hops"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        nxt = (
+            frontier.join(edges, "u")
+            .select(F.col("v").alias("u"), (F.col("hops") + 1).alias("hops"))
+            .groupBy("u")
+            .agg(F.min("hops").cast("int").alias("hops"))
+            .join(dist.select("u"), "u", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return dist.select(F.col("u").alias("node"), "hops")
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int = 2,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete every
+    node with degree < k (and its edges) until a fixpoint; return
+    (node, core_deg) for the surviving subgraph -- the density filter
+    that separates a genuine duplication CLUSTER from a chain of
+    borderline pairwise matches (a path survives 2-core never, a clique
+    always), the graph-side analogue of the triangle count.
+
+    Each peel round is one degree aggregation plus two semi-joins
+    (endpoint-keeps) -- all equi-joins on the node key, one shuffle
+    each; the round result is localCheckpoint'd and the driver tests the
+    fixpoint on the edge COUNT only. Converges in at most O(peel depth)
+    rounds (degenerate graphs peel layer by layer; dedup clique graphs
+    settle in 1-2)."""
+    p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    edges = (
+        p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        keep = (
+            edges.groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("u")
+        )
+        nxt = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_nxt = nxt.count()
+        edges = nxt
+        if n_nxt == n_edges:
+            break
+        n_edges = n_nxt
+    return (
+        edges.groupBy("u")
+        .agg(F.count("*").cast("int").alias("core_deg"))
+        .select(F.col("u").alias("node"), "core_deg")
+    )

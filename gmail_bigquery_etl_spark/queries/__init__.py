@@ -24,6 +24,8 @@ from . import tpch as _tpch  # noqa: E402,F401
 from . import pipeline as _pipeline  # noqa: E402,F401  (split/shard assembly)
 from . import warehouse as _warehouse  # noqa: E402,F401  (merge/SCD2/profiling)
 from . import curation as _curation  # noqa: E402,F401  (corpus curation ops)
+from . import entity as _entity  # noqa: E402,F401  (fuzzy entity resolution)
+from . import graph as _graph  # noqa: E402,F401  (BFS/k-core over dup pairs)
 
 # Round-5 rotation: the driver samples the first ~50 registrations, and
 # the union r01..r04 covers 133/147 with only two non-green rows ever.
@@ -65,6 +67,9 @@ _ROUND5_FRONT = [
     "embedding_kmeans_lloyd",
     "ingest_bloom_prefilter",
     "multimodal_frame_sample_real",
+    "er_fuzzy_match_master",
+    "graph_bfs_hops",
+    "graph_kcore",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

@@ -61,3 +61,72 @@ def test_pagerank_star_graph_properties(spark):
     assert len(set(leaves)) == 1  # exact tie, no float drift
     total = hub + sum(leaves)
     assert abs(total - 10**12) < 10**6  # mass conserved to quantization
+
+
+def test_bfs_hops_multi_source_shortest(spark):
+    """Distance to the nearest component-min survivor, level-synchronous:
+    chain 1-2-3-4 (hops 0,1,2,3), triangle 20-21-22 (hops 0,1,1), and a
+    cycle 30..35 where two paths compete and the SHORTER must win."""
+    from gmail_bigquery_etl_spark.operators.components import bfs_hops
+
+    pairs = _pairs(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (20, 21), (21, 22), (20, 22)]
+        + [(30, 31), (31, 32), (32, 33), (33, 34), (34, 35), (35, 30)],
+    )
+    got = {r.node: r.hops for r in bfs_hops(pairs).collect()}
+    assert got == {
+        1: 0, 2: 1, 3: 2, 4: 3,
+        20: 0, 21: 1, 22: 1,
+        30: 0, 31: 1, 32: 2, 33: 3, 34: 2, 35: 1,
+    }
+
+
+def test_bfs_hops_explicit_sources(spark):
+    from gmail_bigquery_etl_spark.operators.components import bfs_hops
+
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4)])
+    srcs = spark.createDataFrame([(4,)], "node bigint")
+    got = {r.node: r.hops for r in bfs_hops(pairs, sources=srcs).collect()}
+    assert got == {4: 0, 3: 1, 2: 2, 1: 3}
+
+
+def test_kcore_peels_chains_keeps_cliques(spark):
+    """2-core: a path graph peels to nothing; a 4-clique with a pendant
+    chain keeps exactly the clique (pendant peels, then fixpoint)."""
+    from gmail_bigquery_etl_spark.operators.components import kcore
+
+    path = _pairs(spark, [(1, 2), (2, 3), (3, 4)])
+    assert kcore(path, k=2).count() == 0
+
+    clique = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    g = _pairs(spark, clique + [(13, 20), (20, 21)])
+    got = {r.node: r.core_deg for r in kcore(g, k=2).collect()}
+    assert got == {10: 3, 11: 3, 12: 3, 13: 3}
+
+
+def test_kcore_cascading_peel_depth(spark):
+    """A peel that CASCADES: caterpillar where removing leaves drops the
+    spine below k, round after round -- exercises the multi-round
+    fixpoint loop the unrolled oracle depth must cover."""
+    from gmail_bigquery_etl_spark.operators.components import kcore
+
+    # chain 0-1-2-...-9 with an extra leaf on each end node: every round
+    # peels the current endpoints; 2-core is empty after ~5 rounds.
+    edges = [(i, i + 1) for i in range(9)] + [(0, 100), (9, 101)]
+    assert kcore(_pairs(spark, edges), k=2).count() == 0
+
+
+def test_kcore_fixture_peel_depth_within_oracle_unroll(spark, sf_dir):
+    """The graph_kcore oracle unrolls 8 peel rounds; assert the sf fixture
+    graph actually reaches its fixpoint within fewer (guards the
+    'unroll >= true peel depth' exactness precondition)."""
+    from gmail_bigquery_etl_spark.operators.components import kcore
+    from gmail_bigquery_etl_spark.queries.graph import _lsh_pairs
+
+    pairs = _lsh_pairs(spark, sf_dir).localCheckpoint()
+    full = kcore(pairs, k=3, max_iter=30)
+    capped = kcore(pairs, k=3, max_iter=6)
+    a = sorted((r.node, r.core_deg) for r in full.collect())
+    b = sorted((r.node, r.core_deg) for r in capped.collect())
+    assert a == b
