@@ -26,6 +26,7 @@ from . import warehouse as _warehouse  # noqa: E402,F401  (merge/SCD2/profiling)
 from . import curation as _curation  # noqa: E402,F401  (corpus curation ops)
 from . import entity as _entity  # noqa: E402,F401  (fuzzy entity resolution)
 from . import graph as _graph  # noqa: E402,F401  (BFS/k-core over dup pairs)
+from . import retrieval as _retrieval  # noqa: E402,F401  (BM25 ranked search)
 
 # Round-5 rotation: the driver samples the first ~50 registrations, and
 # the union r01..r04 covers 133/147 with only two non-green rows ever.
@@ -70,6 +71,7 @@ _ROUND5_FRONT = [
     "er_fuzzy_match_master",
     "graph_bfs_hops",
     "graph_kcore",
+    "text_bm25_topk",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

@@ -1,0 +1,171 @@
+"""Ranked text retrieval: BM25 over a distributed inverted index.
+
+The reference's only search surface is BigQuery string predicates over
+the mined email table (survey §2.2 T1/T3); a corpus engine needs RANKED
+retrieval. This module implements BM25 (the Robertson/Spärck Jones
+probabilistic ranking function, the default scorer in Lucene/Elastic)
+Spark-first:
+
+  inverted index   ->  (term, doc, tf) groupBy aggregates -- the same
+                       distributed posting lists the dedup family joins
+  query matching   ->  posting-list equi-join on term (never doc x doc,
+                       never a collected vocabulary)
+  scoring          ->  per-term BM25 partials quantized to DECIMAL(18,8)
+                       so the per-(query,doc) SUM is associative/exact
+                       (the repo-wide float-determinism contract), libm
+                       ln rounded only at the very end
+  top-k            ->  per-query window rank with total-order tiebreaker
+
+100 TB posture: corpus statistics (N, avgdl) ride as a 1-row broadcast,
+document frequencies as a term-keyed join -- nothing driver-side; the
+candidate set is bounded by |query terms| x posting length, the
+classic inverted-index retrieval cost, and skew on stop-word postings
+is the same df-cap story the dedup family measures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table, spread
+from .registry import query
+
+_K1 = "1.2"
+_B = "0.75"
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS cnt FROM tok
+  WHERE term <> '' GROUP BY doc_id, term
+),
+dlen AS (SELECT doc_id, SUM(cnt) AS n_tok FROM tf GROUP BY doc_id),
+df AS (SELECT term, COUNT(*) AS n_docs FROM tf GROUP BY term),
+stats AS (
+  SELECT COUNT(*) AS n_total,
+         CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dlen
+),
+qterms AS (
+  SELECT doc_id AS query_id, term FROM (
+    SELECT doc_id, term,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, term) AS rnk
+    FROM tf WHERE doc_id % 100 = 0
+  ) WHERE rnk <= 3
+),
+partials AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(ROUND(
+           ln(1.0 + (stats.n_total - df.n_docs + 0.5) / (df.n_docs + 0.5))
+             * (tf.cnt * ({_K1} + 1.0))
+             / (tf.cnt + {_K1} * (1.0 - {_B} + {_B} * dlen.n_tok / stats.avgdl)),
+           8) AS DECIMAL(18, 8)) AS part
+  FROM qterms q
+  JOIN tf ON tf.term = q.term AND tf.doc_id <> q.query_id
+  JOIN dlen ON dlen.doc_id = tf.doc_id
+  JOIN df ON df.term = q.term
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, SUM(part) AS score
+  FROM partials GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT query_id, doc_id, ROUND(CAST(score AS DOUBLE), 6) AS score,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 10
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-example BM25: every 100th document acts as a query (its
+    top-3 terms by tf, tiebroken lexically), retrieval runs over the
+    distributed inverted index, and each query returns its 10 best
+    documents (k1=1.2, b=0.75, Lucene-style idf = ln(1 + (N-df+.5)/(df+.5)))
+    -- self-matches excluded. Per-term partials are quantized to
+    DECIMAL(18,8) BEFORE the per-document sum so ranking compares exact
+    decimals, never float-accumulation noise."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    from ..functions.text import whitespace_tokens
+
+    tok = docs.where(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    ).select("doc_id", F.explode(whitespace_tokens("text")).alias("term"))
+    tf = (
+        tok.where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dlen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("n_docs"))
+    stats = dlen.agg(
+        F.count("*").alias("n_total"),
+        (F.sum("n_tok").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    wq = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("term"))
+    qterms = (
+        tf.where(F.col("doc_id") % 100 == 0)
+        .withColumn("rnk", F.row_number().over(wq))
+        .where(F.col("rnk") <= 3)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    partials = (
+        qterms.join(tf, "term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(dlen, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("n_total") - F.col("n_docs") + 0.5)
+                    / (F.col("n_docs") + 0.5)
+                )
+                * (F.col("cnt") * F.expr(f"{_K1} + 1.0"))
+                / (
+                    F.col("cnt")
+                    + F.expr(_K1)
+                    * (
+                        F.expr(f"1.0 - {_B}")
+                        + F.expr(_B) * F.col("n_tok") / F.col("avgdl")
+                    )
+                ),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("part"),
+        )
+    )
+    scored = partials.groupBy("query_id", "doc_id").agg(
+        F.sum("part").alias("score")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("score").cast("double"), 6).alias("score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
