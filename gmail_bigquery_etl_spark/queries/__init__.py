@@ -72,6 +72,7 @@ _ROUND5_FRONT = [
     "graph_bfs_hops",
     "graph_kcore",
     "text_bm25_topk",
+    "events_ewma_halflife",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

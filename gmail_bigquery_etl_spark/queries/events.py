@@ -1237,3 +1237,67 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.desc("monetary"), F.asc("user_id")))
         .alias("m_score"),
     )
+
+
+@query(
+    "events_ewma_halflife",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_id, CAST(value AS DECIMAL(18,4)) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+),
+j AS (
+  SELECT a.user_id, a.event_id,
+         SUM(b.v * (CAST(1 AS BIGINT) << (15 - (a.rn - b.rn)))) AS num,
+         SUM(CAST(1 AS BIGINT) << (15 - (a.rn - b.rn))) AS den
+  FROM r a JOIN r b
+    ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 15 AND a.rn
+  GROUP BY a.user_id, a.event_id
+)
+SELECT user_id, event_id, ROUND(CAST(num AS DOUBLE) / den, 6) AS ewma
+FROM j
+""",
+)
+def events_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (half-life = one
+    event, trailing 16-event window) in EXACT integer arithmetic: weight
+    for the event d steps back is 2^(15-d) -- a bigint shift, never a
+    float pow -- so numerator and denominator are exact decimals and the
+    single double division at the end is deterministic (numerator stays
+    under 2^53 in 1e-4 units, so even the decimal->double cast is exact).
+
+    Plan shape: ONE shuffle (the user_id window sort); the trailing
+    window rides a ROWS frame collect_list and the weighted fold is a
+    JVM HOF (transform + aggregate) -- no per-row Python and, unlike the
+    oracle's self-join formulation, no 16x row blow-up: the array frame
+    is O(W) per row locally, the classic streaming-features trade. The
+    smoothing alpha=1/2 makes this the dyadic EWMA variant monitoring
+    pipelines use for exact-reproducible alerting baselines."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, W.currentRow)
+    )
+    arr = F.collect_list(_dec(F.col("value"))).over(w)
+    out = ev.select("user_id", "event_id", arr.alias("arr")).select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "aggregate("
+            "  transform(arr, (x, j) ->"
+            "    CAST(x * shiftleft(CAST(1 AS BIGINT),"
+            "                       15 - (size(arr) - 1 - j)) AS DECIMAL(38,4))),"
+            "  CAST(0 AS DECIMAL(38,4)), (acc, t) -> acc + t)"
+        ).alias("num"),
+        F.expr(
+            "CAST(65536 AS BIGINT)"
+            " - shiftleft(CAST(1 AS BIGINT), 16 - size(arr))"
+        ).alias("den"),
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("num").cast("double") / F.col("den"), 6).alias("ewma"),
+    )

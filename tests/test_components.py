@@ -130,3 +130,40 @@ def test_kcore_fixture_peel_depth_within_oracle_unroll(spark, sf_dir):
     a = sorted((r.node, r.core_deg) for r in full.collect())
     b = sorted((r.node, r.core_deg) for r in capped.collect())
     assert a == b
+
+
+def test_ewma_halflife_exact_weights(spark, tmp_path):
+    """Dyadic EWMA: hand-check the 2^(15-d) weighting and the partial
+    window normalization on a 3-event user."""
+    import shutil
+    from datetime import datetime
+
+    from gmail_bigquery_etl_spark.queries.events import events_ewma_halflife
+
+    rows = [
+        (0, datetime(2024, 1, 1, 0, 0), 1, "a", 1.0, "{}"),
+        (1, datetime(2024, 1, 1, 0, 1), 1, "a", 2.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 2), 1, "a", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+    try:
+        got = {
+            r.event_id: r.ewma
+            for r in events_ewma_halflife(spark, str(d)).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got[0] == 1.0
+    # n=2: (2*2^15 + 1*2^14) / (2^16 - 2^14)
+    assert got[1] == round((2 * 2**15 + 1 * 2**14) / (2**16 - 2**14), 6)
+    # n=3: (4*2^15 + 2*2^14 + 1*2^13) / (2^16 - 2^13)
+    assert got[2] == round(
+        (4 * 2**15 + 2 * 2**14 + 1 * 2**13) / (2**16 - 2**13), 6
+    )
