@@ -240,9 +240,16 @@ def bfs_hops(
     a shortest path, so no relaxation/decrease-key pass is needed. One
     join + one agg + one anti-join shuffle per LEVEL (not per node, and
     the same count regardless of how many sources -- multi-source BFS is
-    free parallelism); frontier and distance tables are
-    localCheckpoint'd so round k's job never re-executes rounds 1..k-1.
-    The driver holds per-round frontier counts -- never rows."""
+    free parallelism). Each FRONTIER is localCheckpoint'd so level k's
+    job never re-executes levels 1..k-1; the settled set is a union of
+    those materialized frontiers (O(levels) lineage, nothing to
+    re-checkpoint). The input pair list is pinned ONCE and the default
+    source derivation (connected components) runs on the PINNED list --
+    not the caller's plan, which would re-execute the whole upstream
+    pair-generation pipeline a second time (measured as the dominant
+    cost before the fix, same lesson as connected_components' header
+    comment). The driver holds per-level frontier counts -- never
+    rows."""
     p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
     edges = (
         p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -250,29 +257,34 @@ def bfs_hops(
         .localCheckpoint()
     )
     if sources is None:
-        comp = connected_components(pairs, src=src, dst=dst)
+        comp = connected_components(p, src="u", dst="v")
         sources = comp.filter(F.col("node") == F.col("component")).select(
             F.col("node")
         )
-    dist = (
+    frontier = (
         sources.toDF("u")
         .select(F.col("u").cast("long"), F.lit(0).cast("int").alias("hops"))
         .localCheckpoint()
     )
-    frontier = dist
+    fronts = [frontier]
+    settled = frontier.select("u")
     for _ in range(max_iter):
         nxt = (
             frontier.join(edges, "u")
             .select(F.col("v").alias("u"), (F.col("hops") + 1).alias("hops"))
             .groupBy("u")
             .agg(F.min("hops").cast("int").alias("hops"))
-            .join(dist.select("u"), "u", "left_anti")
+            .join(settled, "u", "left_anti")
             .localCheckpoint()
         )
         if nxt.limit(1).count() == 0:
             break
-        dist = dist.unionAll(nxt).localCheckpoint()
+        fronts.append(nxt)
+        settled = settled.unionAll(nxt.select("u"))
         frontier = nxt
+    dist = fronts[0]
+    for f in fronts[1:]:
+        dist = dist.unionAll(f)
     return dist.select(F.col("u").alias("node"), "hops")
 
 

@@ -206,6 +206,12 @@ def parse_wav_meta(b: bytes) -> tuple[int, int, int, int]:
     n_frames). Raises NotImplementedError for any non-RIFF/WAVE payload
     and for compressed (non-PCM) WAV variants (honest stub: those need
     the absent codec libs); ValueError for malformed/truncated PCM WAV."""
+    n_ch, rate, bits, n_frames, _off, _dlen = _wav_walk(b)
+    return n_ch, rate, bits, n_frames
+
+
+def _wav_walk(b: bytes) -> tuple[int, int, int, int, int, int]:
+    """Shared RIFF walk: (n_ch, rate, bits, n_frames, data_off, data_len)."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError(
             "only PCM WAV (RIFF/WAVE) payloads decode without codec "
@@ -218,6 +224,7 @@ def parse_wav_meta(b: bytes) -> tuple[int, int, int, int]:
         )
     fmt = None
     data_len = None
+    data_off = None
     pos = 12
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
@@ -238,6 +245,7 @@ def parse_wav_meta(b: bytes) -> tuple[int, int, int, int]:
             fmt = (n_ch, rate, byte_rate, block_align, bits)
         elif cid == b"data":
             data_len = size
+            data_off = pos + 8
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     if fmt is None or data_len is None:
         raise ValueError("missing fmt or data chunk")
@@ -250,7 +258,84 @@ def parse_wav_meta(b: bytes) -> tuple[int, int, int, int]:
         raise ValueError(f"byte_rate {byte_rate} != rate*block_align")
     if data_len % block_align:
         raise ValueError(f"data size {data_len} not frame-aligned")
-    return n_ch, rate, bits, data_len // block_align
+    return n_ch, rate, bits, data_len // block_align, data_off, data_len
+
+
+def parse_wav_samples(b: bytes) -> tuple[int, int, int, list[int]]:
+    """REAL PCM sample extraction on top of the RIFF walk: returns
+    (n_channels, sample_rate, bits, samples) with samples CENTERED --
+    8-bit PCM is unsigned-biased-128 per the WAVE spec (subtract 128),
+    16-bit is signed little-endian (struct '<h'). Interleaved channel
+    order preserved. 24/32-bit PCM raises NotImplementedError."""
+    n_ch, rate, bits, _n_frames, off, dlen = _wav_walk(b)
+    raw = b[off : off + dlen]
+    if bits == 8:
+        samples = [x - 128 for x in raw]
+    elif bits == 16:
+        samples = list(struct.unpack(f"<{dlen // 2}h", raw))
+    else:
+        raise NotImplementedError(
+            f"{bits}-bit PCM sample decode not implemented (8/16 only)"
+        )
+    return n_ch, rate, bits, samples
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_idx", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("sum_x", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+    ]
+)
+
+
+def audio_window_stats(media: DataFrame, window: int = 16) -> DataFrame:
+    """Windowed audio feature extraction over REAL decoded PCM samples:
+    one row per ``window``-frame window with exact integer sample sum and
+    energy (sum of squares) -- the moments RMS/loudness/silence-detection
+    features derive from, kept integral so the oracle comparison is
+    bit-for-bit. Window membership is by FRAME (interleaved channels of
+    a frame share a window). Fan-out mapInPandas over Arrow batches,
+    same shape as frame sampling; sums prove the parser pulled the RIGHT
+    bytes from the data chunk (a one-byte offset error shifts every
+    value)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, sx, sq = [], [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if b is None:
+                    continue
+                n_ch, _rate, _bits, samples = parse_wav_samples(bytes(b))
+                agg: dict[int, list[int]] = {}
+                for i, v in enumerate(samples):
+                    wi = (i // n_ch) // window
+                    a = agg.setdefault(wi, [0, 0, 0])
+                    a[0] += 1
+                    a[1] += v
+                    a[2] += v * v
+                for wi in sorted(agg):
+                    n, s1, s2 = agg[wi]
+                    ids.append(mid)
+                    idxs.append(wi)
+                    ns.append(n)
+                    sx.append(s1)
+                    sq.append(s2)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(idxs, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "sum_x": pd.Series(sx, dtype="int64"),
+                    "sum_sq": pd.Series(sq, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, AUDIO_WINDOW_SCHEMA
+    )
 
 
 def _fake_audio(digest: str) -> tuple[int, int, int, int]:

@@ -73,6 +73,7 @@ _ROUND5_FRONT = [
     "graph_kcore",
     "text_bm25_topk",
     "events_ewma_halflife",
+    "multimodal_audio_energy",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

@@ -4,10 +4,13 @@
 BinaryType column with a typed metadata struct. Feature extraction runs
 through the real Arrow/mapInPandas plumbing (operators/multimodal.py).
 Codec status: multimodal_ppm_decode (PPM/P6 image), multimodal_wav_decode
-(PCM WAV audio) and multimodal_bmp_decode (uncompressed BMP image) each
-run a REAL pure-Python decode end-to-end (fake=False); the remaining
-queries use the deterministic md5-derived fake (other formats stay
-stubbed behind NotImplementedError -- no codec libs in this container).
++ multimodal_audio_energy (PCM WAV: header walk and real sample decode),
+multimodal_bmp_decode (uncompressed BMP), multimodal_png_decode (full
+PNG), multimodal_resize_real (NN resample) and
+multimodal_frame_sample_real (ANM1 multi-frame container) each run a
+REAL pure-Python decode end-to-end (fake=False); the remaining queries
+use the deterministic md5-derived fake (other formats stay stubbed
+behind NotImplementedError -- no codec libs in this container).
 """
 
 from __future__ import annotations
@@ -443,3 +446,63 @@ def multimodal_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = d.select("media_id", F.unhex(hex_payload).alias("payload"))
     return sample_frames(media, every_n=3, fake=False)
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id, CAST(doc_id % 40 + 8 AS INT) AS nf
+  FROM documents
+),
+s AS (SELECT media_id, UNNEST(range(0, nf)) AS i FROM m),
+x AS (
+  SELECT media_id, i // 16 AS wi,
+         ((media_id * 3 + i * 5) % 256) - 128 AS v
+  FROM s
+)
+SELECT media_id, CAST(wi AS BIGINT) AS window_idx,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sum_x,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq
+FROM x GROUP BY 1, 2
+""",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio DSP end-to-end: synthesize an 8-bit mono PCM WAV per
+    document whose sample bytes VARY ((doc_id*3 + i*5) % 256 -- built
+    with pure codegen'd hex/unhex expressions, zero Python), decode the
+    samples through parse_wav_samples (RIFF walk + biased-128 centering)
+    and aggregate 16-frame windows into exact integer sum / energy via
+    audio_window_stats. The oracle predicts both moments arithmetically:
+    they only match if the parser pulled the RIGHT bytes at the RIGHT
+    offset from the data chunk (a one-byte shift changes every window's
+    sum), extending the WAV surface from header parsing
+    (multimodal_wav_decode) to actual sample decode."""
+    from ..operators.multimodal import audio_window_stats
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 40 + 8).cast("long").alias("nf"),
+    )
+    hex_payload = F.concat(
+        F.lit("52494646"),  # "RIFF"
+        _le_hex(F.lit(36) + F.col("nf"), 4),
+        F.lit("57415645"),  # "WAVE"
+        F.lit("666D7420"),  # "fmt "
+        F.lit("10000000"),  # fmt chunk size 16
+        F.lit("0100"),  # PCM
+        F.lit("0100"),  # 1 channel
+        _le_hex(F.lit(8000), 4),  # sample rate
+        _le_hex(F.lit(8000), 4),  # byte rate (mono 8-bit)
+        F.lit("0100"),  # block align 1
+        F.lit("0800"),  # 8 bits
+        F.lit("64617461"),  # "data"
+        _le_hex(F.col("nf"), 4),
+        F.expr(
+            "array_join(transform(sequence(0, nf - 1), i ->"
+            " lpad(hex((media_id * 3 + i * 5) % 256), 2, '0')), '')"
+        ),
+    )
+    media = d.select("media_id", F.unhex(hex_payload).alias("payload"))
+    return audio_window_stats(media, window=16)

@@ -392,3 +392,65 @@ def test_sample_frames_real_path(spark):
     for k, r in rows.items():
         assert (r["width"], r["height"]) == (w, h)
         assert r["pixel_sum"] == (7 * k + 3) * size
+
+
+def test_parse_wav_samples_real_decode():
+    """Sample extraction: biased-128 centering for 8-bit, signed LE for
+    16-bit, and the data-chunk offset must be honored exactly."""
+    import struct
+
+    from gmail_bigquery_etl_spark.operators.multimodal import (
+        parse_wav_samples,
+    )
+
+    def wav(ch, rate, bits, frames_bytes):
+        block = ch * bits // 8
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(frames_bytes))
+            + b"WAVEfmt "
+            + struct.pack(
+                "<IHHIIHH", 16, 1, ch, rate, rate * block, block, bits
+            )
+            + b"data"
+            + struct.pack("<I", len(frames_bytes))
+            + frames_bytes
+        )
+
+    b8 = wav(1, 8000, 8, bytes([0, 128, 255, 200]))
+    assert parse_wav_samples(b8) == (1, 8000, 8, [-128, 0, 127, 72])
+
+    b16 = wav(2, 16000, 16, struct.pack("<4h", -32768, -1, 0, 32767))
+    assert parse_wav_samples(b16) == (2, 16000, 16, [-32768, -1, 0, 32767])
+
+    with pytest.raises(NotImplementedError, match="8/16"):
+        parse_wav_samples(wav(1, 8000, 32, b"\x00" * 8))
+
+
+def test_audio_window_stats_window_boundaries(spark):
+    """Exact moments per 4-frame window, including the ragged tail."""
+    import struct
+
+    from gmail_bigquery_etl_spark.operators.multimodal import (
+        audio_window_stats,
+    )
+
+    vals = [130, 126, 128, 132, 120, 128]  # centered: 2,-2,0,4,-8,0
+    data = bytes(vals)
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    media = spark.createDataFrame(
+        [(7, bytearray(payload))], "media_id long, payload binary"
+    )
+    rows = {
+        r.window_idx: (r.n_samples, r.sum_x, r.sum_sq)
+        for r in audio_window_stats(media, window=4).collect()
+    }
+    assert rows == {0: (4, 4, 24), 1: (2, -8, 64)}
