@@ -693,3 +693,125 @@ def near_dup_pairs(
     )
     scored = jaccard_pairs_from_grams(grams, cand, id_col)
     return scored.filter(F.col("jaccard") >= threshold)
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """EXACT Jaccard >= t self-join with PREFIX FILTERING (the All-Pairs /
+    PPJoin candidate bound, Bayardo et al. WWW'07 / Xiao et al. WWW'08):
+    the same answer as a full posting-list self-join, from an index that
+    holds only each document's RARE-TOKEN PREFIX.
+
+    Under a global token order (ascending document frequency, rare
+    first), each document of |x| distinct shingles indexes only its
+    first ``|x| - ceil(t*|x|) + 1`` tokens. Completeness lemma: J(A,B)
+    >= t forces |A∩B| >= t*max(|A|,|B|) (since J <= min/max, the sizes
+    already satisfy min >= t*max); if the globally-smallest common token
+    were outside A's prefix, the whole intersection would fit in A's
+    last ceil(t|A|)-1 tokens -- fewer than t|A| <= |A∩B|, a
+    contradiction -- so BOTH prefixes contain that token and the prefix
+    self-join generates every qualifying pair. Unlike the df-cap
+    (:func:`df_capped_postings`) this drops NO tokens from the score:
+    candidates shrink, semantics don't.
+
+    The threshold is a RATIONAL num/den and the prefix length uses exact
+    integer ceil ((num*sz + den - 1) div den): a float ceil that rounds
+    1.2000000000000002 up one too far would SHORTEN the prefix below the
+    lemma bound and silently drop pairs. Verification is also integer:
+    n_inter*den >= num*(sz_a + sz_b - n_inter), no float compare in the
+    keep/drop decision.
+
+    Scale shape: one window pass computes df (shuffle on token) and
+    size/position (shuffle on doc); the candidate join touches only
+    prefix postings -- for t=0.5 about half of each posting list, and
+    the RAREST half, which is exactly where the quadratic df^2 bucket
+    cost lives (the frequent tokens that explode posting joins sit in
+    suffixes and never join); verification joins the bounded candidate
+    set against per-doc shingle arrays (O(|doc|) each with
+    array_intersect, JVM-side)."""
+    toks = (
+        shingle_hash_stage(df, text_col, id_col, shingle_n, out_col="_hs")
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct("_hs")).alias("g"),
+        )
+        .withColumn("_df", F.count("*").over(W.partitionBy("g")))
+        .withColumn("sz", F.count("*").over(W.partitionBy("_id")))
+        .withColumn(
+            "_pos",
+            F.row_number().over(
+                W.partitionBy("_id").orderBy("_df", "g")
+            ),
+        )
+        .localCheckpoint()
+    )
+    # integer ceil(t*sz) via `div` (a float division here could round up
+    # across an integer boundary and shorten the prefix past the lemma
+    # bound); prefix keeps _pos <= sz - ceil + 1
+    prefix = toks.filter(
+        F.col("_pos")
+        <= F.col("sz")
+        - F.expr(
+            f"(sz * {threshold_num} + {threshold_den} - 1)"
+            f" div {threshold_den}"
+        )
+        + 1
+    ).select("_id", "g", "sz")
+    cand = (
+        prefix.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
+        .join(
+            prefix.select(
+                F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"), "g"
+            ),
+            "g",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # size filter: J >= t requires min >= t * max
+            & (
+                F.least("sz_a", "sz_b") * threshold_den
+                >= F.greatest("sz_a", "sz_b") * threshold_num
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    arrays = toks.groupBy("_id").agg(
+        F.sort_array(F.collect_set("g")).alias("arr")
+    )
+    verified = (
+        cand.join(
+            arrays.select(F.col("_id").alias("id_a"), F.col("arr").alias("arr_a")),
+            "id_a",
+        )
+        .join(
+            arrays.select(F.col("_id").alias("id_b"), F.col("arr").alias("arr_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long").alias("n_inter"),
+            F.size("arr_a").cast("long").alias("sz_a"),
+            F.size("arr_b").cast("long").alias("sz_b"),
+        )
+        .filter(
+            F.col("n_inter") * threshold_den
+            >= (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")) * threshold_num
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+            6,
+        ).alias("jaccard"),
+    )

@@ -74,6 +74,7 @@ _ROUND5_FRONT = [
     "text_bm25_topk",
     "events_ewma_halflife",
     "multimodal_audio_energy",
+    "dedup_jaccard_prefix_filter",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

@@ -910,3 +910,44 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
     pairs = near_dup_pairs(corpus, threshold=0.5, num_hashes=16, bands=4)
     return pagerank_units(pairs.select("id_a", "id_b"))
+
+
+@query(
+    "dedup_jaccard_prefix_filter",
+    oracle=f"""
+WITH corpus AS ({_SQL_AUGMENTED}),
+hashed AS ({_SQL_HASHED}),
+toks AS (SELECT doc_id, unnest(list_distinct(hs)) AS g FROM hashed),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b,
+       ROUND(CAST(s.n_inter AS DOUBLE) / (sa.sz + sb.sz - s.n_inter), 6) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.id_a
+JOIN sizes sb ON sb.doc_id = s.id_b
+WHERE 2 * s.n_inter >= sa.sz + sb.sz - s.n_inter
+""",
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT full-shingle-space Jaccard >= 1/2 pairs via PREFIX FILTERING
+    (operators/dedup.py:prefix_filter_jaccard_pairs): the index holds
+    only each document's rare-token prefix, yet the answer is provably
+    identical to the oracle's FULL uncapped posting self-join -- the
+    All-Pairs/PPJoin completeness lemma, checked here as an operator
+    contract (the oracle runs the naive full join; the Spark side runs
+    the pruned plan; every pair must agree). The scale rung above the
+    df-cap twins: those trade boilerplate tokens for bounded joins; this
+    keeps exact semantics and still never joins the frequent-token
+    postings (they sit in suffixes). Integer threshold arithmetic
+    end-to-end -- the float compare exists only in the displayed
+    score."""
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    return prefix_filter_jaccard_pairs(
+        corpus, threshold_num=1, threshold_den=2
+    )

@@ -270,3 +270,81 @@ def test_incremental_near_dup_outcomes(spark):
         else:
             assert outcome == "exact_dup", (doc_id, outcome)
     assert {"exact_dup", "near_dup", "ingest"} == set(out.values())
+
+
+def test_prefix_filter_jaccard_equals_bruteforce(spark):
+    """PPJoin completeness on an adversarial mini-corpus: near-identical
+    pairs, disjoint docs, a shared-boilerplate cluster (frequent tokens
+    that must land in suffixes), and size-skewed pairs the size filter
+    prunes. Result must equal brute-force exact Jaccard >= 1/2."""
+    from gmail_bigquery_etl_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "the quick brown fox jumps over the lazy cat today",
+        3: "completely different words appear in this document here now",
+        4: "the quick brown fox jumps over the lazy dog today",  # exact dup of 1
+        5: "boiler plate header text boiler plate header text boiler plate",
+        6: "boiler plate header text boiler plate header text boiler plate",
+        7: "short doc only",
+        8: "the quick brown fox jumps over the lazy dog today plus lots "
+        "of extra trailing content making this much longer than before",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(df).collect()
+    }
+
+    # brute force over the SAME shingle hashes the operator uses
+    from gmail_bigquery_etl_spark.operators.dedup import shingle_hash_stage
+
+    sh = {
+        r["doc_id"]: set(r["_hs"])
+        for r in shingle_hash_stage(df).collect()
+    }
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and 2 * inter >= union:
+                want[(a, b)] = round(inter / union, 6)
+    assert got == want
+    assert (1, 4) in got and got[(1, 4)] == 1.0
+    assert (5, 6) in got
+
+
+def test_prefix_filter_indexes_fewer_postings(spark, sf_dir):
+    """The point of the prefix index: it must be materially smaller than
+    the full posting list at fixture scale."""
+    from gmail_bigquery_etl_spark.operators.dedup import shingle_hash_stage
+    from gmail_bigquery_etl_spark.queries.text import _augmented_corpus
+    from gmail_bigquery_etl_spark.catalog import load_table
+
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    toks = (
+        shingle_hash_stage(corpus)
+        .select("doc_id", F.explode(F.array_distinct("_hs")).alias("g"))
+    )
+    full = toks.count()
+    # prefix length for t=1/2 is sz - ceil(sz/2) + 1 ~= sz/2 + 1
+    from pyspark.sql import Window as W
+
+    pos = (
+        toks.withColumn("_df", F.count("*").over(W.partitionBy("g")))
+        .withColumn("sz", F.count("*").over(W.partitionBy("doc_id")))
+        .withColumn(
+            "_pos",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("_df", "g")),
+        )
+    )
+    prefix = pos.filter(
+        F.col("_pos") <= F.col("sz") - F.expr("(sz + 1) div 2") + 1
+    ).count()
+    assert prefix < 0.65 * full
