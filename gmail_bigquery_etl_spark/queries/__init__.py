@@ -75,6 +75,7 @@ _ROUND5_FRONT = [
     "events_ewma_halflife",
     "multimodal_audio_energy",
     "dedup_jaccard_prefix_filter",
+    "events_time_weighted_avg",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

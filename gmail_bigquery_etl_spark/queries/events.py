@@ -1301,3 +1301,61 @@ def events_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("num").cast("double") / F.col("den"), 6).alias("ewma"),
     )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+WITH r AS (
+  SELECT user_id, CAST(value AS DECIMAL(18,4)) AS v,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+         LEAD(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events WHERE value IS NOT NULL
+),
+w AS (
+  SELECT user_id, SUM(v * (nxt - sec)) AS num, SUM(nxt - sec) AS den
+  FROM r WHERE nxt IS NOT NULL GROUP BY user_id
+)
+SELECT user_id,
+       ROUND(CAST(num AS DOUBLE) / den, 6) AS twap,
+       CAST(den AS BIGINT) AS total_seconds
+FROM w WHERE den > 0
+""",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP, the market-data
+    aggregate): each observation is weighted by how long it REMAINED
+    current (epoch-second gap to the next event, an exact bigint), so a
+    value held for an hour counts 3600x a value replaced within a
+    second. Numerator stays an exact DECIMAL (value DECIMAL(18,4) x
+    bigint seconds -- magnitudes sized to keep even the final
+    decimal->double cast exact under 2^53), denominator an exact bigint;
+    one double division at the end, rounded. Plan: ONE user_id shuffle
+    shared by the LEAD window and the rollup -- Catalyst reuses the sort
+    order, no second exchange. Users whose events all share one second
+    (zero total weight) are excluded on both sides rather than emitting
+    a NaN."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        _dec(F.col("value")).alias("v"),
+        F.unix_timestamp("ts").alias("sec"),
+    ).withColumn("nxt", F.lead("sec").over(w))
+    agg = (
+        r.where(F.col("nxt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("v") * (F.col("nxt") - F.col("sec"))).alias("num"),
+            F.sum(F.col("nxt") - F.col("sec")).alias("den"),
+        )
+        .where(F.col("den") > 0)
+    )
+    return agg.select(
+        "user_id",
+        F.round(F.col("num").cast("double") / F.col("den"), 6).alias("twap"),
+        F.col("den").cast("long").alias("total_seconds"),
+    )
