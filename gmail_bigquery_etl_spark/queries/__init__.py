@@ -76,6 +76,7 @@ _ROUND5_FRONT = [
     "multimodal_audio_energy",
     "dedup_jaccard_prefix_filter",
     "events_time_weighted_avg",
+    "events_corr_matrix",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

@@ -1359,3 +1359,110 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("num").cast("double") / F.col("den"), 6).alias("twap"),
         F.col("den").cast("long").alias("total_seconds"),
     )
+
+
+@query(
+    "events_corr_matrix",
+    oracle="""
+WITH ud AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         event_type, SUM(CAST(value AS DECIMAL(18,4))) AS s
+  FROM events GROUP BY 1, 2, 3
+),
+days AS (SELECT DISTINCT user_id, day FROM ud),
+types AS (SELECT DISTINCT event_type FROM ud),
+filled AS (
+  SELECT d.user_id, d.day, t.event_type,
+         COALESCE(u.s, CAST(0 AS DECIMAL(18,4))) AS v
+  FROM days d CROSS JOIN types t
+  LEFT JOIN ud u ON u.user_id = d.user_id AND u.day = d.day
+                AND u.event_type = t.event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n,
+         SUM(a.v) AS sx, SUM(b.v) AS sy,
+         SUM(a.v * a.v) AS sxx, SUM(b.v * b.v) AS syy,
+         SUM(a.v * b.v) AS sxy
+  FROM filled a JOIN filled b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n,
+       ROUND(
+         (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+         6) AS corr
+FROM pairs
+""",
+)
+def events_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation MATRIX across event types, computed
+    over zero-filled per-user-day activity vectors (a user-day with no
+    clicks contributes 0, not a missing row -- the spine cross join that
+    makes correlations well-defined). All five co-moments are EXACT
+    decimal sums; doubles appear only in the final closed-form corr and
+    both engines evaluate the identical expression tree over identical
+    exact inputs, so the 6dp rounding is engine-stable.
+
+    Scale shape: one groupBy to user-day-type cells, a BROADCAST cross
+    join against the O(K) type dimension for the fill (bounded, in the
+    plan guard's allowlist class), and a self-join on the (user, day)
+    key -- K^2/2 output cells aggregated map-side. Never row x row."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.groupBy(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    ).agg(F.sum(_dec(F.col("value"))).alias("s"))
+    ud = ud.localCheckpoint()
+    days = ud.select("user_id", "day").distinct()
+    types = ud.select("event_type").distinct()
+    filled = (
+        days.crossJoin(F.broadcast(types))
+        .join(ud, ["user_id", "day", "event_type"], "left")
+        .select(
+            "user_id",
+            "day",
+            "event_type",
+            F.coalesce("s", F.lit(0).cast("decimal(18,4)")).alias("v"),
+        )
+    )
+    a = filled.select(
+        "user_id", "day", F.col("event_type").alias("type_a"), F.col("v").alias("va")
+    )
+    b = filled.select(
+        "user_id", "day", F.col("event_type").alias("type_b"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("va").alias("sx"),
+            F.sum("vb").alias("sy"),
+            F.sum(F.col("va") * F.col("va")).alias("sxx"),
+            F.sum(F.col("vb") * F.col("vb")).alias("syy"),
+            F.sum(F.col("va") * F.col("vb")).alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        n.cast("long").alias("n"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr"),
+    )

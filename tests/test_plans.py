@@ -100,6 +100,10 @@ def test_no_accidental_cartesian_products(spark):
         "text_cms_heavy_hitters",
         # same 4-row depth-dim crossJoins (bloom build + probe)
         "ingest_bloom_prefilter",
+        # broadcast crossJoin of the 1-row (N, avgdl) corpus-stats agg
+        "text_bm25_topk",
+        # broadcast crossJoin of the O(K)-row event-type dim (zero-fill spine)
+        "events_corr_matrix",
     }
     offenders = []
     for name in ALL_QUERIES:
