@@ -77,6 +77,8 @@ _ROUND5_FRONT = [
     "dedup_jaccard_prefix_filter",
     "events_time_weighted_avg",
     "events_corr_matrix",
+    "warehouse_fk_audit",
+    "events_mutual_information",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

@@ -1466,3 +1466,71 @@ def events_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr"),
     )
+
+
+@query(
+    "events_mutual_information",
+    oracle="""
+WITH cells AS (
+  SELECT event_type, EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS h,
+         COUNT(*) AS nxy
+  FROM events GROUP BY 1, 2
+),
+mx AS (SELECT event_type, SUM(nxy) AS nx FROM cells GROUP BY 1),
+my AS (SELECT h, SUM(nxy) AS ny FROM cells GROUP BY 1),
+tot AS (SELECT SUM(nxy) AS n FROM cells),
+contrib AS (
+  SELECT c.event_type,
+         CAST(ROUND(
+           (CAST(c.nxy AS DOUBLE) / tot.n)
+             * ln(CAST(c.nxy AS DOUBLE) * tot.n / (mx.nx * my.ny)),
+           10) AS DECIMAL(18,10)) AS part
+  FROM cells c
+  JOIN mx ON mx.event_type = c.event_type
+  JOIN my ON my.h = c.h
+  CROSS JOIN tot
+)
+SELECT event_type, ROUND(CAST(SUM(part) AS DOUBLE), 6) AS mi_nats
+FROM contrib GROUP BY event_type
+""",
+)
+def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day (the
+    feature-relevance screen): per-type contribution sums of
+    p(x,y)*ln(p(x,y)/(p(x)p(y))) over the 24-hour contingency table.
+    Counts are exact bigints from one groupBy; each cell's libm
+    contribution is quantized to DECIMAL(18,10) BEFORE the per-type sum
+    (the BM25 pattern) so addition order cannot move the 6dp result.
+    Plan: one shuffle to the K x 24 cell table, then broadcast-size
+    marginal joins -- the contingency table never leaves the cluster,
+    only K rows return."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").alias("h")
+    ).agg(F.count("*").alias("nxy"))
+    cells = cells.localCheckpoint()
+    mx = cells.groupBy("event_type").agg(F.sum("nxy").alias("nx"))
+    my = cells.groupBy("h").agg(F.sum("nxy").alias("ny"))
+    tot = cells.agg(F.sum("nxy").alias("n"))
+    contrib = (
+        cells.join(mx, "event_type")
+        .join(my, "h")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.round(
+                (F.col("nxy").cast("double") / F.col("n"))
+                * F.log(
+                    F.col("nxy").cast("double")
+                    * F.col("n")
+                    / (F.col("nx") * F.col("ny"))
+                ),
+                10,
+            )
+            .cast("decimal(18,10)")
+            .alias("part"),
+        )
+    )
+    return contrib.groupBy("event_type").agg(
+        F.round(F.sum("part").cast("double"), 6).alias("mi_nats")
+    )

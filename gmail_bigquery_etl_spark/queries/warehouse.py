@@ -466,3 +466,72 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("o_totalprice"), 4).alias("hi"),
         F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total"),
     )
+
+
+@query(
+    "warehouse_fk_audit",
+    oracle="""
+WITH edges AS (
+  SELECT 'orders.o_custkey->customer' AS fk_edge,
+         COUNT(*) AS n_child,
+         COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS n_orphan
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->orders', COUNT(*),
+         COUNT(*) FILTER (WHERE o.o_orderkey IS NULL)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part', COUNT(*),
+         COUNT(*) FILTER (WHERE p.p_partkey IS NULL)
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
+         COUNT(*) FILTER (WHERE s.s_suppkey IS NULL)
+  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation', COUNT(*),
+         COUNT(*) FILTER (WHERE n.n_nationkey IS NULL)
+  FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT fk_edge, CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_orphan AS BIGINT) AS n_orphan,
+       ROUND(CAST(n_orphan AS DOUBLE) / n_child, 6) AS orphan_ratio
+FROM edges
+""",
+)
+def warehouse_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's five FK
+    edges: per edge, child rows and orphans (children whose parent key
+    resolves to nothing) -- the data-quality gate a warehouse runs after
+    every load, and the check the reference pipeline has no analogue for
+    (it trusts BigQuery ingestion blindly; etl_service/main.py:240-268
+    never validates what landed). Each edge is one left join counted
+    with a null-parent predicate: Catalyst compiles the small parents to
+    broadcast joins, the lineitem-side edges to shuffle joins -- both
+    one pass over the child, never a per-key probe loop. Exact integer
+    counts; the ratio is one bigint division rounded."""
+    defs = [
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for edge, child, fk, parent, pk in defs:
+        c = load_table(spark, sf_dir, child).select(F.col(fk))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk)).distinct()
+        joined = c.join(p, c[fk] == p[pk], "left").agg(
+            F.count("*").alias("n_child"),
+            F.count(F.when(F.col(pk).isNull(), 1)).alias("n_orphan"),
+        )
+        row = joined.select(
+            F.lit(edge).alias("fk_edge"),
+            F.col("n_child").cast("long"),
+            F.col("n_orphan").cast("long"),
+            F.round(
+                F.col("n_orphan").cast("double") / F.col("n_child"), 6
+            ).alias("orphan_ratio"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
