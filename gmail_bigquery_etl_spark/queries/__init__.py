@@ -79,6 +79,7 @@ _ROUND5_FRONT = [
     "events_corr_matrix",
     "warehouse_fk_audit",
     "events_mutual_information",
+    "agg_trimmed_mean",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

@@ -535,3 +535,57 @@ def warehouse_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+WITH ranked AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(18,4)) AS p,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+kept AS (
+  SELECT l_returnflag, p FROM ranked
+  WHERE rn > (n + 19) // 20 AND rn <= n - (n + 19) // 20
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS trimmed_mean
+FROM kept GROUP BY l_returnflag
+""",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean per return flag -- the robust location estimate
+    between the mean (outlier-hostage) and the median (throws away 98%
+    of the data), next to MAD in the robust-stats family. Trimming is
+    RANK-based in exact integers: drop the bottom and top ceil(n/20)
+    ranks under a total order (price, orderkey, linenumber), so both
+    engines cut identical row sets -- no float percentile boundary to
+    disagree on -- then exact decimal mean over the kept rows. One
+    shuffle for the per-group sort window, one for the rollup."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("p"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    cut = F.expr("(n + 19) div 20")
+    kept = ranked.where((F.col("rn") > cut) & (F.col("rn") <= F.col("n") - cut))
+    return kept.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.round(F.sum("p").cast("double") / F.count("*"), 6).alias(
+            "trimmed_mean"
+        ),
+    )
