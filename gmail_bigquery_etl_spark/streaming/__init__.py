@@ -19,7 +19,7 @@ batched insert, sleep-based throttling -- reference etl_service/main.py:
 from .replay import replay_events_stream, write_replay_dir
 from .windows import session_counts, sliding_counts, tumbling_counts
 from .ingest import start_incremental_ingest
-from .stateful import running_user_counts
+from .stateful import running_ewma, running_user_counts
 from .dedup import dedup_events
 from .joins import interval_join_pairs
 
@@ -30,5 +30,6 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "start_incremental_ingest",
+    "running_ewma",
     "running_user_counts",
 ]

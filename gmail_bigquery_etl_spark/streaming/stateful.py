@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -107,5 +108,91 @@ def running_user_counts(events: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+# deque of the last <=16 scaled values (newest last) + the (ts, event_id)
+# high-water mark for the cross-chunk ordering defense _update uses.
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("recent_scaled", ArrayType(LongType())),
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_id", LongType()),
+    ]
+)
+
+_EWMA_WINDOW = 16
+
+
+def _ewma_update(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming twin of queries/events.events_ewma_halflife: per event,
+    the dyadic EWMA over the trailing 16 values, carried in state as
+    exact 1e4-scaled int64s (the registry determinism rule applied to
+    streaming state -- integer num/den, one float division at emit).
+
+    Ordering contract: rows are sorted within each micro-batch (chunk
+    order from applyInPandasWithState is not guaranteed -- all chunks
+    concatenate and sort ONCE globally, the sessionizer lesson), and
+    event time is assumed per-key non-decreasing ACROSS batches (the
+    log-replay/ingestion shape); a genuinely late cross-batch row would
+    need watermark buffering, which the windowed aggs in
+    streaming/windows.py own."""
+    if state.exists:
+        recent, last_ts, last_eid = state.get
+        recent = list(recent)
+    else:
+        recent, last_ts, last_eid = [], None, None
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        allp = pd.concat(frames, ignore_index=True)
+        ordered = allp.sort_values(["ts", "event_id"])
+        eids, ewmas = [], []
+        vals = ordered["value"].to_numpy(dtype="float64") * _SCALE
+        scaled = np.trunc(vals + np.copysign(0.5, vals)).astype("int64")
+        for eid, v in zip(ordered["event_id"], scaled):
+            recent.append(int(v))
+            if len(recent) > _EWMA_WINDOW:
+                recent.pop(0)
+            n = len(recent)
+            num = sum(x << (15 - (n - 1 - j)) for j, x in enumerate(recent))
+            den = (1 << 16) - (1 << (16 - n))
+            eids.append(int(eid))
+            ewmas.append((num / _SCALE) / den)
+        tail = ordered.iloc[-1]
+        last_ts = int(pd.Timestamp(tail["ts"]).value // 1_000)
+        last_eid = int(tail["event_id"])
+        state.update((recent, last_ts, last_eid))
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(len(eids), key[0], dtype="int64"),
+                "event_id": np.asarray(eids, dtype="int64"),
+                "ewma": np.asarray(ewmas, dtype="float64"),
+            }
+        )
+    else:
+        state.update((recent, last_ts, last_eid))
+
+
+def running_ewma(events: DataFrame) -> DataFrame:
+    """Per-event dyadic EWMA over a stream; append mode (each event's
+    smoothed value is final the moment it is computed)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ewma_update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -767,3 +767,38 @@ def test_sessionizer_update_handles_newest_first_chunks():
     assert closed == [(base, base + h // 10, 2)]  # session A closed in-batch
     start_us, last_us, _eid, n = state.updated  # session B still open
     assert (start_us, last_us, n) == (base + 2 * h, base + 2 * h + h // 10, 2)
+
+
+def test_stateful_ewma_stream_matches_batch(spark, replay_dir, tmp_path):
+    """Streaming dyadic EWMA (applyInPandasWithState, append mode) must
+    equal the batch window query per event -- same exact integer
+    num/den, so equality is to the last ulp before a shared rounding."""
+    from gmail_bigquery_etl_spark.queries.events import events_ewma_halflife
+    from gmail_bigquery_etl_spark.streaming.stateful import running_ewma
+
+    stream = replay_events_stream(spark, replay_dir)
+    out = str(tmp_path / "ewma_out")
+
+    q = (
+        running_ewma(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = {
+        (r.user_id, r.event_id): r.ewma6
+        for r in spark.read.parquet(out)
+        .select("user_id", "event_id", F.round("ewma", 6).alias("ewma6"))
+        .collect()
+    }
+    want = {
+        (r.user_id, r.event_id): r.ewma
+        for r in events_ewma_halflife(spark, SMOKE_SF).collect()
+    }
+    assert got == want
