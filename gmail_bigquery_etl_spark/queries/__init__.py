@@ -80,6 +80,8 @@ _ROUND5_FRONT = [
     "warehouse_fk_audit",
     "events_mutual_information",
     "agg_trimmed_mean",
+    "privacy_k_anonymity",
+    "events_psi_drift",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

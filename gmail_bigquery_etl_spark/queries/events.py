@@ -1534,3 +1534,84 @@ def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy("event_type").agg(
         F.round(F.sum("part").cast("double"), 6).alias("mi_nats")
     )
+
+
+@query(
+    "events_psi_drift",
+    oracle="""
+WITH bounds AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+),
+bucketed AS (
+  SELECT e.event_type,
+         CASE WHEN e.ts < TIMESTAMP '2024-02-01' THEN 0 ELSE 1 END AS half,
+         LEAST(CAST(FLOOR((e.value - b.lo) / ((b.hi - b.lo) / 10.0)) AS INT), 9)
+           AS bucket
+  FROM events e CROSS JOIN bounds b
+),
+cells AS (
+  SELECT event_type, bucket,
+         COUNT(*) FILTER (WHERE half = 0) + 1 AS n0,
+         COUNT(*) FILTER (WHERE half = 1) + 1 AS n1
+  FROM bucketed GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(n0) AS t0, SUM(n1) AS t1
+  FROM cells GROUP BY 1
+),
+contrib AS (
+  SELECT c.event_type,
+         CAST(ROUND(
+           (CAST(c.n0 AS DOUBLE) / t.t0 - CAST(c.n1 AS DOUBLE) / t.t1)
+             * ln((CAST(c.n0 AS DOUBLE) / t.t0) / (CAST(c.n1 AS DOUBLE) / t.t1)),
+           10) AS DECIMAL(18,10)) AS part
+  FROM cells c JOIN tot t ON t.event_type = c.event_type
+)
+SELECT event_type, ROUND(CAST(SUM(part) AS DOUBLE), 6) AS psi
+FROM contrib GROUP BY event_type
+""",
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per event type: the distribution-drift
+    monitor (credit-scoring heritage, now the standard training-data
+    drift alarm). Values bucket into 10 equal-width bins over the global
+    range; the January vs rest-of-fixture halves are compared with
+    add-one smoothing (a bucket empty on one side must not produce
+    ln(0)). Counts are exact bigints; each bucket's libm contribution is
+    DECIMAL-quantized before the per-type sum (the BM25/MI pattern) so
+    the 6dp result is order-independent. Plan: one groupBy to K x 10
+    cells against a 1-row broadcast bounds agg -- drift monitoring costs
+    one pass however big the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bucketed = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-02-01").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 10.0)
+            ).cast("int"),
+            F.lit(9),
+        ).alias("bucket"),
+    )
+    cells = bucketed.groupBy("event_type", "bucket").agg(
+        (F.count(F.when(F.col("half") == 0, 1)) + 1).alias("n0"),
+        (F.count(F.when(F.col("half") == 1, 1)) + 1).alias("n1"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
+    )
+    p0 = F.col("n0").cast("double") / F.col("t0")
+    p1 = F.col("n1").cast("double") / F.col("t1")
+    contrib = cells.join(tot, "event_type").select(
+        "event_type",
+        F.round((p0 - p1) * F.log(p0 / p1), 10)
+        .cast("decimal(18,10)")
+        .alias("part"),
+    )
+    return contrib.groupBy("event_type").agg(
+        F.round(F.sum("part").cast("double"), 6).alias("psi")
+    )

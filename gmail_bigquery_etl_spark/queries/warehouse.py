@@ -589,3 +589,35 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trimmed_mean"
         ),
     )
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle="""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+  FROM customer GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, CAST(class_size AS BIGINT) AS class_size,
+       CAST(class_size < 5 AS BOOLEAN) AS violates_k5
+FROM classes
+""",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (nation, market
+    segment): every equivalence class's size, flagging classes smaller
+    than k=5 -- the re-identification risk gate a privacy review runs
+    before releasing a derived dataset (the reference stores raw sender
+    identities with no such check, etl_service/main.py:154-168). One
+    groupBy; the flag is a plain projection so downstream suppression
+    (drop or generalize violating classes) composes as a filter."""
+    cust = load_table(spark, sf_dir, "customer")
+    cls = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("class_size")
+    )
+    return cls.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("class_size").cast("long").alias("class_size"),
+        (F.col("class_size") < 5).alias("violates_k5"),
+    )
