@@ -82,6 +82,8 @@ _ROUND5_FRONT = [
     "agg_trimmed_mean",
     "privacy_k_anonymity",
     "events_psi_drift",
+    "profile_sort_key_advisor",
+    "layout_zorder_buckets",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

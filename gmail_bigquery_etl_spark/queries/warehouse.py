@@ -621,3 +621,168 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("class_size").cast("long").alias("class_size"),
         (F.col("class_size") < 5).alias("violates_k5"),
     )
+
+
+@query(
+    "profile_sort_key_advisor",
+    oracle="""
+WITH flag AS (
+  SELECT l_orderkey, CAST(l_returnflag AS VARCHAR) AS v,
+         LAG(CAST(l_returnflag AS VARCHAR)) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, v) AS pv
+  FROM lineitem
+),
+stat_flag AS (
+  SELECT 'l_returnflag' AS col, COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE pv IS NULL OR v <> pv) AS n_runs,
+         COUNT(DISTINCT v) AS n_distinct
+  FROM flag
+),
+ls AS (
+  SELECT l_orderkey, CAST(l_linestatus AS VARCHAR) AS v,
+         LAG(CAST(l_linestatus AS VARCHAR)) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, v) AS pv
+  FROM lineitem
+),
+stat_ls AS (
+  SELECT 'l_linestatus', COUNT(*),
+         COUNT(*) FILTER (WHERE pv IS NULL OR v <> pv),
+         COUNT(DISTINCT v)
+  FROM ls
+),
+sd AS (
+  SELECT l_orderkey, CAST(l_shipdate AS VARCHAR) AS v,
+         LAG(CAST(l_shipdate AS VARCHAR)) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, v) AS pv
+  FROM lineitem
+),
+stat_sd AS (
+  SELECT 'l_shipdate', COUNT(*),
+         COUNT(*) FILTER (WHERE pv IS NULL OR v <> pv),
+         COUNT(DISTINCT v)
+  FROM sd
+),
+u AS (
+  SELECT * FROM stat_flag UNION ALL SELECT * FROM stat_ls
+  UNION ALL SELECT * FROM stat_sd
+)
+SELECT col, CAST(n AS BIGINT) AS n, CAST(n_runs AS BIGINT) AS n_runs,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       ROUND(CAST(n AS DOUBLE) / n_runs, 6) AS avg_run_len
+FROM u
+""",
+)
+def profile_sort_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-key / encoding advisor: for each candidate column, the
+    run-length profile under the table's physical order (runs counted
+    within each l_orderkey group, order-boundary = new run -- the
+    partition-parallel definition that needs NO global sort, each
+    group's lag window is independent; equal line numbers tiebreak on
+    the value itself so the statistic stays well-defined under the
+    fixture's duplicate keys). avg_run_len is what RLE/delta
+    encodings and min-max zone maps actually buy: a column averaging
+    200-row runs prunes and compresses; avg 1.0 means the sort order
+    does nothing for it. Exact integer counts; one user-key shuffle per
+    candidate, unioned."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = None
+    for col in ("l_returnflag", "l_linestatus", "l_shipdate"):
+        t = li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col(col).cast("string").alias("v"),
+        )
+        w = W.partitionBy("l_orderkey").orderBy("l_linenumber", "v")
+        t = t.withColumn("pv", F.lag("v").over(w))
+        s = t.agg(
+            F.count("*").cast("long").alias("n"),
+            F.count(
+                F.when(F.col("pv").isNull() | (F.col("v") != F.col("pv")), 1)
+            )
+            .cast("long")
+            .alias("n_runs"),
+            F.countDistinct("v").cast("long").alias("n_distinct"),
+        ).select(
+            F.lit(col).alias("col"),
+            "n",
+            "n_runs",
+            "n_distinct",
+            F.round(F.col("n").cast("double") / F.col("n_runs"), 6).alias(
+                "avg_run_len"
+            ),
+        )
+        out = s if out is None else out.unionByName(s)
+    return out
+
+
+def _interleave8(x: str, y: str) -> str:
+    """SQL fragment: bit-interleave the low 8 bits of two int expressions
+    (x gets even bit positions, y odd) -- the 16-bit Morton/Z-value.
+    Plain shifts and masks, so Spark and DuckDB evaluate identically."""
+    parts = []
+    for b in range(8):
+        parts.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        parts.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(parts)
+
+
+_Z_EXPR = _interleave8(
+    "CAST(o_custkey % 256 AS BIGINT)",
+    "CAST(datediff('day', DATE '2023-01-01', CAST(o_orderdate AS DATE)) % 256 AS BIGINT)",
+)
+
+_Z_EXPR_SPARK = _interleave8(
+    "CAST(o_custkey % 256 AS BIGINT)",
+    "CAST(datediff(CAST(o_orderdate AS DATE), DATE '2023-01-01') % 256 AS BIGINT)",
+)
+
+
+@query(
+    "layout_zorder_buckets",
+    oracle=f"""
+WITH z AS (
+  SELECT o_orderkey, o_custkey,
+         datediff('day', DATE '2023-01-01', CAST(o_orderdate AS DATE)) % 256 AS dday,
+         ({_Z_EXPR}) AS zval
+  FROM orders
+)
+SELECT CAST(zval >> 10 AS BIGINT) AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT o_custkey % 256) AS BIGINT) AS n_cust_cells,
+       CAST(COUNT(DISTINCT dday) AS BIGINT) AS n_day_cells,
+       CAST(MAX(o_custkey % 256) - MIN(o_custkey % 256) AS BIGINT) AS cust_span,
+       CAST(MAX(dday) - MIN(dday) AS BIGINT) AS day_span
+FROM z GROUP BY 1
+""",
+)
+def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout: interleave the low 8 bits of
+    customer and order-day into a 16-bit Z-value and bucket on its high
+    6 bits -- the multi-dimensional clustering trick (Delta/Iceberg
+    OPTIMIZE ZORDER) that lets min-max zone maps prune on BOTH
+    dimensions at once, where single-key sorting prunes only its
+    leading column. The emitted per-bucket spans are the zone-map
+    quality measure: every Z-bucket covers a bounded range of customers
+    AND days (spans <= 2^5-ish each), versus a day-sorted layout whose
+    customer span per file is the full domain. Pure integer shift/mask
+    expressions -- codegen'd, engine-identical, no UDF."""
+    o = load_table(spark, sf_dir, "orders")
+    z = o.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "datediff(CAST(o_orderdate AS DATE), DATE '2023-01-01') % 256 AS dday",
+        f"({_Z_EXPR_SPARK}) AS zval",
+    )
+    return z.groupBy(
+        F.expr("CAST(zval >> 10 AS BIGINT)").alias("z_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct(F.expr("o_custkey % 256")).cast("long").alias("n_cust_cells"),
+        F.countDistinct("dday").cast("long").alias("n_day_cells"),
+        (F.max(F.expr("o_custkey % 256")) - F.min(F.expr("o_custkey % 256")))
+        .cast("long")
+        .alias("cust_span"),
+        (F.max("dday") - F.min("dday")).cast("long").alias("day_span"),
+    )
