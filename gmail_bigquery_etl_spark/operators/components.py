@@ -197,6 +197,12 @@ def pagerank_units(
     )
     deg = edges.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint()
     n = deg.count()  # the one driver-side scalar (node count)
+    if n == 0:
+        # cold start / empty graph: a well-typed empty result, not a
+        # ZeroDivisionError from unit // 0
+        return deg.select(
+            F.col("u").alias("node"), F.lit(0).cast("bigint").alias("pr_units")
+        )
     init = unit // n
     base = (100 - damping_pct) * init
     pr = deg.select("u", F.lit(init).cast("bigint").alias("pr"))

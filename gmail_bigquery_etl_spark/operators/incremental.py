@@ -68,7 +68,10 @@ def pruned_sink_ids(
     the scan node, plan-asserted in tests) and unmatched partitions are
     never listed, opened, or footer-read."""
     return (
-        spark.read.parquet(sink_path)
+        # explicit schema: a cold-start sink written from an EMPTY source
+        # has no partition dirs to infer from
+        spark.read.schema(f"{key} string, {date_col} date")
+        .parquet(sink_path)
         .filter(F.col(date_col) >= F.lit(since))
         .select(key)
     )

@@ -53,23 +53,29 @@ def _assign(qv: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
     """(vec_id, cluster, dist): nearest centroid by exact L2^2 over the
     literal centroid matrix; ties break to the smallest cluster id via
     struct min."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"),
-                        F.array(*[F.lit(x) for x in cv]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, d: acc + d,
-                ).alias("dist"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cv in centroids
-        ]
-    )
+    if not centroids:
+        # empty-input cold start: a well-TYPED empty candidate array so
+        # array_min folds to a null struct and the assignment projects
+        # null cluster/dist over zero rows instead of failing analysis
+        scored = F.array().cast("array<struct<dist:bigint,cid:int>>")
+    else:
+        scored = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.array(*[F.lit(x) for x in cv]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, d: acc + d,
+                    ).alias("dist"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in centroids
+            ]
+        )
     return qv.select(
         "vec_id",
         F.array_min(scored).alias("_best"),

@@ -416,13 +416,21 @@ def ivf_cell_scores(
     the smallest label.)
     """
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    cm = F.array(
-        *[F.array(*[F.lit(float(x)) for x in cent]) for _, cent in centroids]
-    )
-    cnorms = F.array(
-        *[F.lit(sum(x * x for x in cent) ** 0.5) for _, cent in centroids]
-    )
-    neg_labs = F.array(*[F.lit(-lab) for lab, _ in centroids])
+    if not centroids:
+        # empty-input cold start: well-TYPED empty literals keep the
+        # transform/array_max tree analyzable; consumers see an empty
+        # score array (assign -> null label) over zero rows
+        cm = F.array().cast("array<array<double>>")
+        cnorms = F.array().cast("array<double>")
+        neg_labs = F.array().cast("array<int>")
+    else:
+        cm = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cent]) for _, cent in centroids]
+        )
+        cnorms = F.array(
+            *[F.lit(sum(x * x for x in cent) ** 0.5) for _, cent in centroids]
+        )
+        neg_labs = F.array(*[F.lit(-lab) for lab, _ in centroids])
     vnorm = F.sqrt(_self_dot(v))
     return F.transform(
         cm,
@@ -647,12 +655,16 @@ def pq_code_col(
     prior fold exponentially; HOF expressions get no CSE)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     sub = F.slice(v, s * d_sub + 1, d_sub)
-    entries = F.array(
-        *[
-            F.struct(_l2sq_lit(sub, cw).alias("d"), F.lit(lab).alias("lab"))
-            for lab, cw in codebook_s
-        ]
-    )
+    if not codebook_s:
+        # empty-codebook cold start: typed empty -> null code id
+        entries = F.array().cast("array<struct<d:double,lab:int>>")
+    else:
+        entries = F.array(
+            *[
+                F.struct(_l2sq_lit(sub, cw).alias("d"), F.lit(lab).alias("lab"))
+                for lab, cw in codebook_s
+            ]
+        )
     return F.array_min(entries)["lab"]
 
 

@@ -715,7 +715,13 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.isdir(out):
                 raise
-    parted = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    # explicit schema: an EMPTY source writes a partitioned dir with no
+    # partition subdirs, and schema inference would fail the cold start
+    parted = (
+        spark.read.schema("user_id bigint, value double, event_type string")
+        .parquet(out)
+        .filter(F.col("event_type") == "purchase")
+    )
     return parted.groupBy("user_id").agg(
         F.count("*").alias("n"),
         F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
@@ -877,8 +883,15 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # final state per user = the update with the largest running count
-    # (n_events strictly increases across a user's emissions)
-    emitted = spark.read.parquet(sink)
+    # (n_events strictly increases across a user's emissions). Explicit
+    # schema + exists-guard: an empty source stream lands no batch, so
+    # the sink dir may be missing entirely (cold start).
+    from ..streaming.stateful import OUTPUT_SCHEMA
+
+    if os.path.isdir(sink):
+        emitted = spark.read.schema(OUTPUT_SCHEMA).parquet(sink)
+    else:
+        emitted = spark.createDataFrame([], OUTPUT_SCHEMA)
     return (
         emitted.groupBy("user_id")
         .agg(

@@ -247,6 +247,12 @@ def ingest_pruned_sink_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # watermark read: ONE scalar crosses the driver (plan-time literal so
     # the partition pruning below stays static)
     since = ev.agg(F.date_add(F.max(F.to_date("ts")), -7)).first()[0]
+    if since is None:
+        # empty source: no watermark exists; any literal keeps the plan
+        # analyzable and both scans correctly empty
+        import datetime
+
+        since = datetime.date(1970, 1, 1)
     sink = partitioned_sink_path(spark, sf_dir)
     existing = pruned_sink_ids(spark, sink, since)
     incoming = messages_from_events_df(ev.filter(F.to_date("ts") >= F.lit(since)))
