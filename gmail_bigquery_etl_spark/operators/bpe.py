@@ -84,17 +84,19 @@ def learn_bpe_merges(
     merges: list[tuple[int, str, str, int]] = []
     for k in range(num_merges):
         pairs = (
-            # guard: a fully-merged word has one symbol; sequence(1, 0)
-            # would infer step -1 under ANSI and index 0 would throw
-            wf.filter(F.size("syms") >= 2)
-            .withColumn(
+            # adjacent pairs via zip_with over two slices: for a
+            # fully-merged 1-symbol word both slices are empty, so no
+            # index expression can ever go out of bounds -- unlike the
+            # previous element_at(i+1)-over-sequence form, which relied
+            # on a size>=2 filter that Catalyst's projection/predicate
+            # reordering is free to evaluate AFTER the indexing (observed
+            # as an ANSI INVALID_ARRAY_INDEX on a 1-symbol corpus)
+            wf.withColumn(
                 "_ps",
-                F.transform(
-                    F.sequence(F.lit(1), F.size("syms") - 1),
-                    lambda i: F.struct(
-                        F.element_at("syms", i).alias("a"),
-                        F.element_at("syms", i + 1).alias("b"),
-                    ),
+                F.zip_with(
+                    F.slice("syms", 1, F.size("syms") - 1),
+                    F.slice("syms", 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
                 ),
             )
             .select(F.explode("_ps").alias("p"), "f")

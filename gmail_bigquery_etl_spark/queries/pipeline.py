@@ -450,7 +450,7 @@ WITH keyed AS (
          -ln((CAST(('0x' || substring(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
              / 281474976710657.0)
            / CAST(n_chars AS DOUBLE) AS es_key
-  FROM documents
+  FROM documents WHERE n_chars > 0
 )
 SELECT doc_id, n_chars, rank FROM (
   SELECT doc_id, n_chars,
@@ -472,7 +472,9 @@ def docs_weighted_sample_noreplace(spark: SparkSession, sf_dir: str) -> DataFram
     never a global sort). u = (md5_48bit + 1) / 2^48 is identical
     arithmetic in both engines; ln is libm on identical doubles, ranking
     uses the raw key with a doc_id tiebreak."""
-    docs = load_table(spark, sf_dir, "documents")
+    # weight-0 (empty) documents are unsampleable by definition and would
+    # divide by zero under ANSI: excluded on both sides
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit("es:"), F.col("doc_id").cast("string"))), 1, 12),
