@@ -104,6 +104,9 @@ def test_no_accidental_cartesian_products(spark):
         "text_bm25_topk",
         # broadcast crossJoin of the O(K)-row event-type dim (zero-fill spine)
         "events_corr_matrix",
+        # broadcast crossJoin of the 1-row token-total / value-bounds agg
+        "events_mutual_information",
+        "events_psi_drift",
     }
     offenders = []
     for name in ALL_QUERIES:
@@ -295,3 +298,37 @@ def test_pruned_sink_scan_partition_filters(spark):
         assert "ingest_date" in l.split("PartitionFilters:")[1].split("]")[0]
         assert ">=" in l.split("PartitionFilters:")[1].split("]")[0], l
         assert "ReadSchema: struct<id:string>" in l, l
+
+
+def test_er_fuzzy_blocking_joins_broadcast(spark):
+    """Both ER blocking joins (prefix-2 and suffix-2 vs the master dim)
+    must be broadcast hash joins -- the dirty fact side never shuffles
+    for candidate generation -- and no nested-loop shape may appear."""
+    plan = _plan(spark, "er_fuzzy_match_master")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_inverted_join_is_hash_not_nlj(spark):
+    """BM25's candidate generation is posting-list equi-joins on term;
+    the only non-equi shape allowed is the 1-row corpus-stats broadcast
+    (the allowlisted class)."""
+    plan = _plan(spark, "text_bm25_topk")
+    assert "CartesianProduct" not in plan
+    # term/doc joins present as hash joins
+    assert "Join" in plan
+
+
+def test_trimmed_mean_single_sort_exchange(spark):
+    """The rank-trim runs both windows (row_number + count) on ONE
+    l_returnflag exchange: no second shuffle for the rollup's input."""
+    plan = _plan(spark, "agg_trimmed_mean")
+    n_flag_exchanges = len(
+        [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning(l_returnflag" in ln
+        ]
+    )
+    assert n_flag_exchanges == 1, plan[:1500]
