@@ -802,3 +802,32 @@ def test_stateful_ewma_stream_matches_batch(spark, replay_dir, tmp_path):
         for r in events_ewma_halflife(spark, SMOKE_SF).collect()
     }
     assert got == want
+
+
+def test_streaming_cms_equals_batch_sketch(spark, replay_dir, tmp_path):
+    """Sketch maintenance over the replayed stream: after the final
+    micro-batch, the maintained CMS cell table must equal a one-shot
+    batch build over the whole fixture, bit for bit (the mergeability
+    contract, operationalized through the snapshot-pointer sink)."""
+    from gmail_bigquery_etl_spark.operators.cms import cms_build
+    from gmail_bigquery_etl_spark.streaming.sketches import (
+        read_sketch,
+        start_cms_maintenance,
+    )
+
+    stream = replay_events_stream(spark, replay_dir).select("event_type")
+    sink = str(tmp_path / "cms_sink")
+    q = start_cms_maintenance(
+        stream, "event_type", sink, str(tmp_path / "cms_ckpt")
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = {
+        (r.i, r.col): r.c for r in read_sketch(spark, sink).collect()
+    }
+    want_df = load_table(spark, SMOKE_SF, "events").select("event_type")
+    want = {
+        (r.i, r.col): r.c for r in cms_build(want_df, "event_type").collect()
+    }
+    assert got == want and got
