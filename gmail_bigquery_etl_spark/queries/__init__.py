@@ -84,6 +84,7 @@ _ROUND5_FRONT = [
     "events_psi_drift",
     "profile_sort_key_advisor",
     "layout_zorder_buckets",
+    "events_conversion_paths",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

@@ -1628,3 +1628,45 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy("event_type").agg(
         F.round(F.sum("part").cast("double"), 6).alias("psi")
     )
+
+
+@query(
+    "events_conversion_paths",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type, 1) OVER w AS prev1,
+         LAG(event_type, 2) OVER w AS prev2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT prev2, prev1, COUNT(*) AS n_conversions
+FROM seq
+WHERE event_type = 'purchase' AND prev1 IS NOT NULL AND prev2 IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def events_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top pre-conversion paths: for every purchase, the exact two-event
+    path that led to it (lag-2 window over each user's timeline),
+    counted by path -- the sequence-mining complement to the ordered
+    funnel (which fixes the steps and asks how many complete) and the
+    Markov matrix (which is memoryless; this is the order-2 evidence
+    that justifies or refutes it). One user_id shuffle for both lags,
+    then a K^2-cell rollup; exact integer counts."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    )
+    return (
+        seq.where(
+            (F.col("event_type") == "purchase")
+            & F.col("prev1").isNotNull()
+            & F.col("prev2").isNotNull()
+        )
+        .groupBy("prev2", "prev1")
+        .agg(F.count("*").alias("n_conversions"))
+    )
