@@ -348,3 +348,39 @@ def test_prefix_filter_indexes_fewer_postings(spark, sf_dir):
         F.col("_pos") <= F.col("sz") - F.expr("(sz + 1) div 2") + 1
     ).count()
     assert prefix < 0.65 * full
+
+
+def test_prefix_filter_jaccard_randomized_corpus(spark):
+    """Seeded random corpus (vocab small enough to force collisions,
+    sizes 1..12 tokens incl. sub-shingle docs): prefix-filtered result
+    must equal brute-force exact Jaccard >= 1/2 over the same hashes."""
+    import random
+
+    from gmail_bigquery_etl_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+        shingle_hash_stage,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(5)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(30)
+    ]
+    # planted near-dups: clone + one appended token (J usually >= 1/2)
+    rows += [(100 + i, t + " w0") for i, t in rows[:10]]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(df).collect()
+    }
+    sh = {r["doc_id"]: set(r["_hs"]) for r in shingle_hash_stage(df).collect()}
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and 2 * inter >= union:
+                want[(a, b)] = round(inter / union, 6)
+    assert got == want and want  # non-vacuous: the seed produces pairs
