@@ -59,3 +59,16 @@ def interval_join_pairs(
         & (F.col("c_ts") <= F.col("p_ts")),
         join_type,
     ).select("user_id", "p_ts", "c_ts", "value")
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-STATIC enrichment: join an unbounded stream against a
+    bounded dimension -- the third join shape next to the batch
+    anti-join and the watermarked stream-stream interval join, and the
+    one every event pipeline runs first (attach the user/account
+    attributes to each event). No watermark and no state store are
+    needed: the static side is broadcast to every micro-batch, so the
+    join is stateless per batch and left-outer keeps events whose key is
+    missing from the dimension (late dimension arrival must not drop
+    facts)."""
+    return stream.join(F.broadcast(dim), key, "left")

@@ -831,3 +831,49 @@ def test_streaming_cms_equals_batch_sketch(spark, replay_dir, tmp_path):
         (r.i, r.col): r.c for r in cms_build(want_df, "event_type").collect()
     }
     assert got == want and got
+
+
+def test_stream_static_enrichment_matches_batch(spark, replay_dir, tmp_path):
+    """Stream-static broadcast enrichment == the same join on the static
+    fixture, including events whose user is absent from the dimension
+    (left-outer keeps them with a NULL segment)."""
+    from gmail_bigquery_etl_spark.streaming.joins import enrich_with_dim
+
+    ev_static = load_table(spark, SMOKE_SF, "events")
+    # dimension derived from the fixture, minus some users (absent-key path)
+    dim = (
+        ev_static.select("user_id")
+        .distinct()
+        .where(F.col("user_id") % 5 != 0)
+        .withColumn(
+            "segment",
+            F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"),
+        )
+    )
+    stream = replay_events_stream(spark, replay_dir)
+    out = str(tmp_path / "enrich_out")
+    q = (
+        enrich_with_dim(stream, dim)
+        .select("event_id", "user_id", "segment")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = {
+        (r.event_id, r.user_id, r.segment)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.event_id, r.user_id, r.segment)
+        for r in enrich_with_dim(ev_static, dim)
+        .select("event_id", "user_id", "segment")
+        .collect()
+    }
+    assert got == want
+    assert any(seg is None for _, _, seg in got)  # absent-key facts kept
