@@ -85,6 +85,7 @@ _ROUND5_FRONT = [
     "profile_sort_key_advisor",
     "layout_zorder_buckets",
     "events_conversion_paths",
+    "text_langid_eval",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

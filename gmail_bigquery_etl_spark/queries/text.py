@@ -951,3 +951,108 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(
         corpus, threshold_num=1, threshold_den=2
     )
+
+
+_SQL_PRED_LANG = f"""
+  SELECT doc_id, lang,
+         CASE WHEN GREATEST(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+              WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+              WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+              WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+              WHEN s_fr = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+              ELSE 'zh' END AS pred_lang
+  FROM (
+    SELECT doc_id, lang,
+           {_SQL_LANG_SCORE.format(m="'the','and','of','to','is'")} AS s_en,
+           {_SQL_LANG_SCORE.format(m="'el','la','de','que','los'")} AS s_es,
+           {_SQL_LANG_SCORE.format(m="'der','die','und','das','ist'")} AS s_de,
+           {_SQL_LANG_SCORE.format(m="'le','la','les','des','est'")} AS s_fr,
+           {_SQL_LANG_SCORE.format(m="'de5','shi4','le5','zai4','he2'")} AS s_zh
+    FROM documents
+  )
+"""
+
+
+@query(
+    "text_langid_eval",
+    oracle=f"""
+WITH pred AS ({_SQL_PRED_LANG}),
+cm AS (
+  SELECT lang, pred_lang, COUNT(*) AS n FROM pred
+  WHERE lang IS NOT NULL GROUP BY 1, 2
+),
+classes AS (SELECT DISTINCT lang AS c FROM cm),
+stats AS (
+  SELECT c,
+         COALESCE((SELECT SUM(n) FROM cm WHERE lang = c AND pred_lang = c), 0) AS tp,
+         COALESCE((SELECT SUM(n) FROM cm WHERE lang <> c AND pred_lang = c), 0) AS fp,
+         COALESCE((SELECT SUM(n) FROM cm WHERE lang = c AND pred_lang <> c), 0) AS fn
+  FROM classes
+)
+SELECT c AS lang, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS precision_,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall_,
+       ROUND(CAST(2 * tp AS DOUBLE) / NULLIF(2 * tp + fp + fn, 0), 6) AS f1
+FROM stats
+""",
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation harness over the language-ID heuristic:
+    per-class confusion counts (tp/fp/fn against the fixture's labelled
+    lang column) and the precision/recall/F1 they imply -- the eval
+    query every model-in-the-loop curation pipeline runs before trusting
+    a filter. Counts are exact integers from ONE groupBy over the
+    (actual, predicted) pairs; the metrics are single bigint ratios
+    rounded at the end (NULL, not NaN, for undefined precision on
+    never-predicted classes). Reuses the exact predicted_lang expression
+    the text_lang_id query gates, so this is also a cross-check that the
+    heuristic's quality is itself reproducible."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pred = docs.where(F.col("lang").isNotNull()).select(
+        "lang", predicted_lang("text").alias("pred_lang")
+    )
+    cm = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    cm = cm.localCheckpoint()
+    classes = cm.select(F.col("lang").alias("c")).distinct()
+    tp = cm.where(F.col("lang") == F.col("pred_lang")).select(
+        F.col("lang").alias("c"), F.col("n").alias("tp")
+    )
+    fp = (
+        cm.where(F.col("lang") != F.col("pred_lang"))
+        .groupBy(F.col("pred_lang").alias("c"))
+        .agg(F.sum("n").alias("fp"))
+    )
+    fn = (
+        cm.where(F.col("lang") != F.col("pred_lang"))
+        .groupBy(F.col("lang").alias("c"))
+        .agg(F.sum("n").alias("fn"))
+    )
+    stats = (
+        classes.join(tp, "c", "left")
+        .join(fp, "c", "left")
+        .join(fn, "c", "left")
+        .select(
+            "c",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("fp", F.lit(0)).cast("long").alias("fp"),
+            F.coalesce("fn", F.lit(0)).cast("long").alias("fn"),
+        )
+    )
+    tp_, fp_, fn_ = F.col("tp"), F.col("fp"), F.col("fn")
+    return stats.select(
+        F.col("c").alias("lang"),
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            tp_.cast("double") / F.nullif(tp_ + fp_, F.lit(0)), 6
+        ).alias("precision_"),
+        F.round(
+            tp_.cast("double") / F.nullif(tp_ + fn_, F.lit(0)), 6
+        ).alias("recall_"),
+        F.round(
+            (2 * tp_).cast("double") / F.nullif(2 * tp_ + fp_ + fn_, F.lit(0)),
+            6,
+        ).alias("f1"),
+    )
