@@ -124,3 +124,48 @@ def test_every_query_survives_pathological_rows(spark, nasty_sf):
                 (name, type(ex).__name__, str(ex).splitlines()[0][:120])
             )
     assert not failures, failures
+
+
+def test_text_pipeline_survives_giant_and_unicode_rows(spark):
+    """Row-size skew + unicode: a multi-megabyte document and CJK/emoji/
+    RTL/combining-mark documents must flow through the hot text operators
+    (tokenize -> shingle -> simhash; quality; fingerprint) without
+    crashing, and with counts that match a Python reference for the
+    unicode rows (whitespace split and lower() are codepoint-safe)."""
+    from pyspark.sql import functions as F
+
+    from gmail_bigquery_etl_spark.functions.text import (
+        token_count,
+        whitespace_tokens,
+    )
+    from gmail_bigquery_etl_spark.operators.dedup import simhash
+
+    giant = "token " * 500_000  # ~3 MB, 500k tokens
+    rows = [
+        (1, giant),
+        (2, "今天 天气 很好"),      # CJK
+        (3, "café naïve über"),                # accents
+        (4, "\U0001f600 \U0001f680 \U0001f9e0"),              # emoji
+        (5, "شكرا جزيلا"),  # RTL
+        (6, "étoile été"),                  # combining marks
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n, r.fp is not None)
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("n"),
+            simhash("text").alias("fp"),
+        ).collect()
+    }
+    for did, text in rows:
+        assert got[did][0] == len(text.split()), did
+        assert got[did][1], did
+    # giant row round-trips the Arrow batch path too (mapInPandas)
+    from gmail_bigquery_etl_spark.operators.multimodal import resize_media
+
+    media = df.where(F.col("doc_id") == 1).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    assert resize_media(media, 4, 4, fake=True).count() == 1
