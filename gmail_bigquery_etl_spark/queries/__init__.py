@@ -86,6 +86,7 @@ _ROUND5_FRONT = [
     "layout_zorder_buckets",
     "events_conversion_paths",
     "text_langid_eval",
+    "agg_hll_custom",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",
