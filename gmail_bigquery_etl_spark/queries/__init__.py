@@ -87,6 +87,7 @@ _ROUND5_FRONT = [
     "events_conversion_paths",
     "text_langid_eval",
     "agg_hll_custom",
+    "agg_hll_intersection",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

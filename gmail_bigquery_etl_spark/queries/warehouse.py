@@ -875,3 +875,115 @@ def agg_hll_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+@query(
+    "agg_hll_intersection",
+    oracle="""
+WITH h AS (
+  SELECT event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 256 AS bucket,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 9, 15) AS BIGINT)
+           AS h60
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IN ('click', 'purchase')
+),
+regs AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN h60 = 0 THEN 61
+                  ELSE 61 - length(bin(h60)) END) AS reg
+  FROM h GROUP BY 1, 2
+),
+u AS (
+  SELECT bucket, MAX(reg) AS reg FROM regs GROUP BY 1
+),
+-- one estimator, applied to each of the three register tables
+est AS (
+  SELECT s, CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+                 THEN 256.0 * ln(256.0 / zeros) ELSE raw END AS e
+  FROM (
+    SELECT s,
+           (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 2305843009213693952.0
+             / CAST(sum_nonempty
+                    + CAST(256 - n_buckets AS DECIMAL(38,0))
+                      * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE)
+             AS raw,
+           256 - n_buckets AS zeros
+    FROM (
+      SELECT event_type AS s,
+             CAST(SUM(CAST(1 AS BIGINT) << (61 - reg)) AS DECIMAL(38,0))
+               AS sum_nonempty,
+             COUNT(*) AS n_buckets
+      FROM regs GROUP BY 1
+      UNION ALL
+      SELECT 'union',
+             CAST(SUM(CAST(1 AS BIGINT) << (61 - reg)) AS DECIMAL(38,0)),
+             COUNT(*)
+      FROM u
+    )
+  )
+),
+exact AS (
+  SELECT COUNT(*) AS exact_both FROM (
+    SELECT user_id FROM events
+    WHERE user_id IS NOT NULL AND event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events
+    WHERE user_id IS NOT NULL AND event_type = 'purchase'
+  )
+)
+-- each estimate is 6dp-rounded BEFORE the inclusion-exclusion sum,
+-- mirroring hll_estimate's per-sketch rounding on the Spark side
+SELECT ROUND(ROUND((SELECT e FROM est WHERE s = 'click'), 6)
+           + ROUND((SELECT e FROM est WHERE s = 'purchase'), 6)
+           - ROUND((SELECT e FROM est WHERE s = 'union'), 6), 6)
+         AS est_intersection,
+       ROUND((SELECT e FROM est WHERE s = 'union'), 6) AS est_union,
+       exact_both
+FROM exact
+""",
+)
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: |click-users ∩ purchase-users| estimated by
+    inclusion-exclusion over three HLL sketches -- est(A) + est(B) -
+    est(merge(A,B)) -- beside the exact INTERSECT count. This is the
+    operation the relational register representation exists FOR: the
+    union sketch is just an element-wise max over the two register
+    tables (operators/hll.hll_merge), something approx_count_distinct's
+    opaque buffers cannot compose after the fact. Register state exact,
+    estimator expressions engine-identical, so the oracle matches bit
+    for bit."""
+    from ..operators.hll import hll_estimate, hll_merge, hll_registers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    a = hll_registers(ev.where(F.col("event_type") == "click"), "uid")
+    b = hll_registers(ev.where(F.col("event_type") == "purchase"), "uid")
+    a, b = a.localCheckpoint(), b.localCheckpoint()
+    est_a = hll_estimate(a).select(F.col("hll_estimate").alias("ea"))
+    est_b = hll_estimate(b).select(F.col("hll_estimate").alias("eb"))
+    est_u = hll_estimate(hll_merge(a, b)).select(
+        F.col("hll_estimate").alias("eu")
+    )
+    exact = (
+        ev.where(F.col("event_type") == "click")
+        .select("uid")
+        .intersect(
+            ev.where(F.col("event_type") == "purchase").select("uid")
+        )
+        .agg(F.count("*").alias("exact_both"))
+    )
+    j = (
+        est_a.crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(exact))
+    )
+    return j.select(
+        F.round(F.col("ea") + F.col("eb") - F.col("eu"), 6).alias(
+            "est_intersection"
+        ),
+        F.round(F.col("eu"), 6).alias("est_union"),
+        "exact_both",
+    )
