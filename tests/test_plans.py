@@ -107,6 +107,8 @@ def test_no_accidental_cartesian_products(spark):
         # broadcast crossJoin of the 1-row token-total / value-bounds agg
         "events_mutual_information",
         "events_psi_drift",
+        # broadcast crossJoins of three 1-row sketch-estimate aggregates
+        "agg_hll_intersection",
     }
     offenders = []
     for name in ALL_QUERIES:
