@@ -88,6 +88,7 @@ _ROUND5_FRONT = [
     "text_langid_eval",
     "agg_hll_custom",
     "agg_hll_intersection",
+    "events_time_to_convert",
     # (d) code path edited in round 5 -> revalidate under the driver
     "multimodal_ppm_decode",
     "multimodal_png_decode",

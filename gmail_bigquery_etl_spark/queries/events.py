@@ -1670,3 +1670,81 @@ def events_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev2", "prev1")
         .agg(F.count("*").alias("n_conversions"))
     )
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+WITH first_click AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+),
+conv AS (
+  SELECT f.user_id,
+         epoch_us(CAST(MIN(e.ts) AS TIMESTAMP)) // 1000000
+           - epoch_us(CAST(f.t0 AS TIMESTAMP)) // 1000000 AS delta_sec
+  FROM first_click f
+  JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = 'purchase' AND e.ts >= f.t0
+  GROUP BY f.user_id, f.t0
+),
+ranked AS (
+  SELECT delta_sec,
+         ROW_NUMBER() OVER (ORDER BY delta_sec, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM conv
+)
+SELECT q, CAST(delta_sec AS BIGINT) AS delta_sec
+FROM ranked, (VALUES (25), (50), (75), (90)) AS t(q)
+WHERE rn = CAST(ceil(q * n / 100.0) AS BIGINT)
+""",
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: exact p25/p50/p75/p90 of the
+    first-click -> first-subsequent-purchase latency across converting
+    users. Quantiles are RANK-SELECTED (element at ceil(q*n/100) under a
+    total order), not interpolated -- the discrete definition both
+    engines compute identically on exact integer seconds, the same
+    determinism trick as the trimmed mean. Plan: two user_id aggregates
+    feeding one ordered rank window over the (small) per-user delta set;
+    the 4-row quantile dim rides a broadcast join."""
+    ev = load_table(spark, sf_dir, "events")
+    first_click = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    conv = (
+        first_click.join(
+            ev.where(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("pts")
+            ),
+            "user_id",
+        )
+        .where(F.col("pts") >= F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(F.min("pts").alias("t1"))
+        .select(
+            "user_id",
+            (
+                F.unix_timestamp("t1") - F.unix_timestamp("t0")
+            ).alias("delta_sec"),
+        )
+    )
+    w = W.orderBy("delta_sec", "user_id")
+    ranked = conv.select(
+        "delta_sec",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    qdim = F.broadcast(
+        ranked.sparkSession.createDataFrame([(25,), (50,), (75,), (90,)], "q int")
+    )
+    return (
+        ranked.crossJoin(qdim)
+        .where(
+            F.col("rn")
+            == F.ceil(F.col("q") * F.col("n") / 100.0).cast("long")
+        )
+        .select("q", F.col("delta_sec").cast("long").alias("delta_sec"))
+    )

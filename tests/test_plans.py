@@ -109,6 +109,8 @@ def test_no_accidental_cartesian_products(spark):
         "events_psi_drift",
         # broadcast crossJoins of three 1-row sketch-estimate aggregates
         "agg_hll_intersection",
+        # broadcast crossJoin of the 4-row quantile dim
+        "events_time_to_convert",
     }
     offenders = []
     for name in ALL_QUERIES:
