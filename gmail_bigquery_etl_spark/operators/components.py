@@ -236,7 +236,11 @@ def bfs_hops(
     where hops = shortest distance to the nearest source. Default source
     set: each component's min node id (the dedup survivor), making the
     result "how far is every variant from its cluster's canonical
-    document" -- and guaranteeing every graph node gets a row.
+    document" -- and guaranteeing every graph node gets a row PROVIDED
+    the graph's eccentricity from the sources is <= ``max_iter`` (the
+    loop settles distances up to max_iter; the graph_bfs_hops oracle
+    walks the same bound, and tests pin the fixture eccentricity well
+    inside it -- test_bfs_fixture_eccentricity_within_cap).
 
     Level-synchronous frontier expansion, the textbook distributed BFS:
     each round joins the CURRENT frontier (not the whole distance table)

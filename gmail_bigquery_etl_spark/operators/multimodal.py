@@ -258,6 +258,16 @@ def _wav_walk(b: bytes) -> tuple[int, int, int, int, int, int]:
         raise ValueError(f"byte_rate {byte_rate} != rate*block_align")
     if data_len % block_align:
         raise ValueError(f"data size {data_len} not frame-aligned")
+    # Explicit post-walk truncation contract (the per-chunk size check
+    # above already implies it, but parse_wav_samples slices
+    # b[off:off+len] and Python slicing truncates silently -- this
+    # guard makes "declared data is fully present" an asserted
+    # invariant rather than an inference).
+    if data_off + data_len > len(b):
+        raise ValueError(
+            f"data chunk declares {data_len} bytes at offset {data_off}, "
+            f"payload is only {len(b)} bytes (truncated PCM WAV)"
+        )
     return n_ch, rate, bits, data_len // block_align, data_off, data_len
 
 

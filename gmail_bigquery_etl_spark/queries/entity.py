@@ -48,8 +48,10 @@ WITH master AS (
 ),
 dirty AS (
   SELECT p_partkey AS dirty_id,
-         concat(substring(p_name, 1, CAST((p_partkey * 7) % length(p_name) AS INT)),
-                substring(p_name, CAST((p_partkey * 7) % length(p_name) AS INT) + 2))
+         concat(substring(p_name, 1,
+                  CAST((p_partkey * 7) % GREATEST(length(p_name), 1) AS INT)),
+                substring(p_name,
+                  CAST((p_partkey * 7) % GREATEST(length(p_name), 1) AS INT) + 2))
            AS dirty_name
   FROM part
 ),
@@ -88,11 +90,15 @@ def er_fuzzy_match_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     master = part.groupBy(F.col("p_name").alias("master_name")).agg(
         F.min("p_partkey").alias("master_id")
     )
+    # greatest(length, 1) guards an empty-string p_name: % 0 throws
+    # under ANSI on both engines; with the guard an empty name maps to
+    # an empty dirty_name on both sides.
+    pos = "(p_partkey * 7) % greatest(length(p_name), 1)"
     dirty = part.select(
         F.col("p_partkey").alias("dirty_id"),
         F.concat(
-            F.expr("substring(p_name, 1, (p_partkey * 7) % length(p_name))"),
-            F.expr("substring(p_name, (p_partkey * 7) % length(p_name) + 2)"),
+            F.expr(f"substring(p_name, 1, {pos})"),
+            F.expr(f"substring(p_name, {pos} + 2)"),
         ).alias("dirty_name"),
     )
     m = F.broadcast(master)

@@ -1558,7 +1558,8 @@ WITH bounds AS (
 bucketed AS (
   SELECT e.event_type,
          CASE WHEN e.ts < TIMESTAMP '2024-02-01' THEN 0 ELSE 1 END AS half,
-         LEAST(CAST(FLOOR((e.value - b.lo) / ((b.hi - b.lo) / 10.0)) AS INT), 9)
+         LEAST(CAST(FLOOR((e.value - b.lo)
+                          / (GREATEST(b.hi - b.lo, 1e-300) / 10.0)) AS INT), 9)
            AS bucket
   FROM events e CROSS JOIN bounds b
 ),
@@ -1602,10 +1603,13 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("ts") < F.lit("2024-02-01").cast("timestamp"), 0)
         .otherwise(1)
         .alias("half"),
+        # greatest(width, tiny) guards the all-values-equal corpus
+        # (hi == lo => width 0 => floor(NaN) throws under ANSI); with
+        # the guard every value lands in bucket 0, both engines agree.
         F.least(
             F.floor(
                 (F.col("value") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / 10.0)
+                / (F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-300)) / 10.0)
             ).cast("int"),
             F.lit(9),
         ).alias("bucket"),

@@ -52,7 +52,10 @@ srcs AS (SELECT node AS u FROM compo WHERE node = component),
 walk(u, d) AS (
   SELECT u, 0 FROM srcs
   UNION
-  SELECT e.v, w.d + 1 FROM walk w JOIN edges e ON e.u = w.u WHERE w.d < 31
+  -- d < 32 matches bfs_hops(max_iter=32) exactly: both sides settle
+  -- distances up to 32; tests pin the fixture eccentricity well under
+  -- the cap so both bounds are slack (test_bfs_fixture_eccentricity).
+  SELECT e.v, w.d + 1 FROM walk w JOIN edges e ON e.u = w.u WHERE w.d < 32
 )
 SELECT u AS node, CAST(MIN(d) AS INT) AS hops
 FROM walk GROUP BY u

@@ -167,3 +167,27 @@ def test_ewma_halflife_exact_weights(spark, tmp_path):
     assert got[2] == round(
         (4 * 2**15 + 2 * 2**14 + 1 * 2**13) / (2**16 - 2**13), 6
     )
+
+
+def test_bfs_fixture_eccentricity_within_cap(spark, sf_dir):
+    """bfs_hops caps at max_iter=32 and the graph_bfs_hops oracle walks
+    to d < 32; assert the fixture graph's eccentricity from the
+    component-min sources sits well inside BOTH caps (guards the
+    'cap >= true eccentricity' exactness precondition, the BFS analog
+    of test_kcore_fixture_peel_depth_within_oracle_unroll), and that
+    every graph node is reached (the docstring's every-node-gets-a-row
+    guarantee holds because sources cover every component)."""
+    from gmail_bigquery_etl_spark.operators.components import bfs_hops
+    from gmail_bigquery_etl_spark.queries.graph import _lsh_pairs
+
+    pairs = _lsh_pairs(spark, sf_dir).localCheckpoint()
+    dist = bfs_hops(pairs).localCheckpoint()
+    max_hops = dist.agg(F.max("hops")).first()[0]
+    assert max_hops <= 16, f"fixture eccentricity {max_hops} nears the cap"
+    n_nodes = (
+        pairs.select(F.col("id_a").alias("n"))
+        .unionAll(pairs.select(F.col("id_b").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert dist.count() == n_nodes

@@ -454,3 +454,36 @@ def test_audio_window_stats_window_boundaries(spark):
         for r in audio_window_stats(media, window=4).collect()
     }
     assert rows == {0: (4, 4, 24), 1: (2, -8, 64)}
+
+
+def test_parse_wav_truncated_data_raises_value_error():
+    """A WAV whose RIFF size field was patched to agree with a TRUNCATED
+    payload (so the outer size check passes) must still raise ValueError
+    -- for 16-bit via the chunk/data-extent guards, never a bare
+    struct.error, and for 8-bit never a silent short decode."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    import pytest as _pytest
+
+    from gmail_bigquery_etl_spark.operators.multimodal import (
+        parse_wav_meta,
+        parse_wav_samples,
+    )
+
+    for sampwidth in (1, 2):
+        buf = io.BytesIO()
+        w = wave_mod.open(buf, "wb")
+        w.setnchannels(1)
+        w.setframerate(8000)
+        w.setsampwidth(sampwidth)
+        w.writeframes(b"\x40" * (20 * sampwidth))
+        w.close()
+        good = buf.getvalue()
+        cut = bytearray(good[: len(good) - 6 * sampwidth])
+        cut[4:8] = struct.pack("<I", len(cut) - 8)  # self-consistent RIFF size
+        with _pytest.raises(ValueError):
+            parse_wav_meta(bytes(cut))
+        with _pytest.raises(ValueError):
+            parse_wav_samples(bytes(cut))

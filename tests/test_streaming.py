@@ -833,6 +833,36 @@ def test_streaming_cms_equals_batch_sketch(spark, replay_dir, tmp_path):
     assert got == want and got
 
 
+def test_streaming_cms_replayed_batch_is_not_double_counted(spark, tmp_path):
+    """Crash-after-swap replay: foreachBatch redelivers a batch whose
+    pointer swap committed but whose checkpoint didn't. CMS merge is
+    additive, so without the id guard the redelivery would double-count;
+    apply_cms_batch must no-op on an already-recorded batch id (and on
+    any stale id below it) while still applying genuinely new ids."""
+    from gmail_bigquery_etl_spark.streaming.sketches import (
+        apply_cms_batch,
+        read_sketch,
+    )
+
+    sink = str(tmp_path / "cms_replay_sink")
+    b0 = spark.createDataFrame([("a",), ("b",), ("a",)], "k string")
+    b1 = spark.createDataFrame([("b",), ("c",)], "k string")
+
+    def cells():
+        return {(r.i, r.col): r.c for r in read_sketch(spark, sink).collect()}
+
+    apply_cms_batch(spark, b0, 0, "k", sink)
+    after_b0 = cells()
+    apply_cms_batch(spark, b0, 0, "k", sink)  # crash-after-swap replay
+    assert cells() == after_b0
+    apply_cms_batch(spark, b1, 1, "k", sink)
+    after_b1 = cells()
+    assert after_b1 != after_b0
+    apply_cms_batch(spark, b1, 1, "k", sink)  # replay of the new head
+    apply_cms_batch(spark, b0, 0, "k", sink)  # stale id below the head
+    assert cells() == after_b1
+
+
 def test_stream_static_enrichment_matches_batch(spark, replay_dir, tmp_path):
     """Stream-static broadcast enrichment == the same join on the static
     fixture, including events whose user is absent from the dimension
