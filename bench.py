@@ -8,7 +8,21 @@ directory and prints ONE JSON line:
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32),
      BENCH_QUERIES      (optional comma-list to restrict),
-     BENCH_RUNS         (runs per query, default 2; min is reported).
+     BENCH_RUNS         (runs per query, default 2; min is reported),
+     BENCH_LOAD_GATE    (start-gate loadavg threshold, default 1.5;
+                         0 disables),
+     BENCH_LOAD_GATE_TIMEOUT (max seconds to wait for the gate,
+                         default 300).
+
+Contention defenses (rounds 4/5 both benched on a loaded box):
+1. START GATE -- before any timing, wait (bounded) for 1-min loadavg to
+   drop under BENCH_LOAD_GATE. Timing out does not abort the bench, it
+   just records reality: the gate wait plus start/end loadavg land in
+   the output line, so a contaminated run stays diagnosable.
+2. OUTLIER RE-RUN -- after the main pass, the top-10 slowest queries by
+   warm min get one extra run each and report best-of-(N+1). A noise
+   spike that inflated both main-pass samples of one query (the
+   BENCH_r05 `set_ops` 4.7 s case) self-corrects inside the artifact.
 
 Each query is materialized with the noop writer (full computation, no
 driver collect, no Python transfer) -- the honest end-to-end cost of the
@@ -53,7 +67,6 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    load_start = round(os.getloadavg()[0], 1)
     spark = get_spark("bench", cpus=cpus)
 
     # Warmup so the alphabetically-first queries don't absorb session
@@ -92,6 +105,20 @@ def main() -> None:
         .save()
     )
 
+    # Start gate: don't begin timing while the box is visibly busy with
+    # someone else's work (the bench's own Spark session is idle here).
+    gate = float(os.environ.get("BENCH_LOAD_GATE", "1.5"))
+    gate_timeout = float(os.environ.get("BENCH_LOAD_GATE_TIMEOUT", "300"))
+    gate_t0 = time.perf_counter()
+    while (
+        gate > 0
+        and os.getloadavg()[0] > gate
+        and time.perf_counter() - gate_t0 < gate_timeout
+    ):
+        time.sleep(5)
+    gate_wait = round(time.perf_counter() - gate_t0, 1)
+    load_start = round(os.getloadavg()[0], 1)  # post-gate reality
+
     runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))
     timings: dict[str, float] = {}  # best-of-N (warm) -- the headline
     cold: dict[str, float] = {}  # first run, plan compile included
@@ -113,6 +140,25 @@ def main() -> None:
         else:
             cold[name] = timings[name] = -1.0
 
+    # Outlier re-run: one extra warm sample for the top-10 slowest, so a
+    # transient load spike that hit both main-pass runs of a query gets
+    # a third chance to show the query's true cost (best-of-3).
+    slowest = sorted(
+        (k for k, v in timings.items() if v >= 0),
+        key=lambda k: timings[k],
+        reverse=True,
+    )[:10]
+    for name in slowest:
+        try:
+            t0 = time.perf_counter()
+            df = ALL_QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = min(
+                timings[name], round(time.perf_counter() - t0, 3)
+            )
+        except Exception as exc:
+            print(f"# BENCH RERUN ERROR {name}: {exc}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     cold_total = round(sum(t for t in cold.values() if t >= 0), 3)
     # Contamination detector: BENCH_r04's official warm total ran ~20%
@@ -130,6 +176,7 @@ def main() -> None:
         "cold_queries": cold,
         "sf": sf,
         "loadavg": [load_start, load_end],
+        "gate_wait": gate_wait,
     }
     # Full precision for humans/history: a file + stderr (NOT stdout --
     # extra stdout bytes push the parseable line out of the tail capture).

@@ -52,3 +52,64 @@ def broadcast_subtrees(df: DataFrame, full_metadata: bool = True) -> list[str]:
 
     walk(df._jdf.queryExecution().executedPlan())
     return out
+
+
+def _resolve(node):
+    """Unwrap plan-tree indirections that hide the real operator: the
+    adaptive root, query-stage wrappers, exchange reuse, and codegen
+    adapters."""
+    name = node.nodeName()
+    if name.startswith("AdaptiveSparkPlan"):
+        return _resolve(node.executedPlan())
+    if "QueryStage" in name:  # Broadcast/Shuffle/Result query stages
+        return _resolve(node.plan())
+    if name.startswith("ReusedExchange"):
+        # ReusedExchangeExec is a LEAF node (it references, not owns, the
+        # original exchange subtree) -- children() is empty, use child().
+        return _resolve(node.child())
+    if name.startswith(("InputAdapter", "WholeStageCodegen")):
+        return _resolve(node.children().apply(0))
+    return node
+
+
+def nlj_build_side_rows(df: DataFrame) -> list[int]:
+    """EXECUTE the query and return the actual numOutputRows of the
+    broadcast build side of every BroadcastNestedLoopJoin in the final
+    adaptive plan.
+
+    This is the machine-checked complement to the cartesian-guard
+    allowlist: an annotation can claim the NLJ's build side is a 1-row
+    aggregate or an O(K) dim table, but the runtime metric PROVES it --
+    a regression that grows a build side past the bound fails the suite
+    even if the query's name is already on the list.
+
+    Execution goes through df.collect() (NOT a noop write, which runs a
+    separate QueryExecution and would leave this df's metrics unset) --
+    intended for small-SF test fixtures only."""
+    df.collect()
+    counts: list[int] = []
+
+    def build_rows(child) -> int | None:
+        node = _resolve(child)
+        if node.nodeName().startswith("BroadcastExchange"):
+            return int(node.metrics().apply("numOutputRows").value())
+        return None
+
+    def walk(node) -> None:
+        node = _resolve(node)
+        if node.nodeName().startswith("BroadcastNestedLoopJoin"):
+            sides = [
+                build_rows(node.children().apply(i))
+                for i in range(node.children().length())
+            ]
+            found = [s for s in sides if s is not None]
+            assert found, (
+                "BroadcastNestedLoopJoin with no broadcast-exchange child: "
+                + node.toString()
+            )
+            counts.extend(found)
+        for i in range(node.children().length()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return counts

@@ -61,12 +61,12 @@ def test_topk_avoids_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_no_accidental_cartesian_products(spark):
-    """Cross-join shapes are allowed ONLY where declared intentional:
-    join_cross_theta (explicit NLJ over dims) and the brute-force/blocked
-    similarity baselines (broadcast NLJ over a bounded query block).
-    Everything else must be equi-join shaped."""
-    allowed_nlj = {
+# Queries whose plans may contain a BroadcastNestedLoopJoin -- each entry
+# is annotated with WHY the build side is bounded, and every entry's claim
+# is VERIFIED at runtime by test_allowlisted_nlj_build_sides_are_bounded
+# (executed numOutputRows of the broadcast build side must stay under
+# _NLJ_BUILD_BOUND). Adding a name here does NOT exempt it from the bound.
+_ALLOWED_NLJ = {
         "join_cross_theta",
         "knn_bruteforce_cosine",
         "ann_sq8_topk",  # SQ8-flat scan: same bounded-query-block NLJ as knn
@@ -112,14 +112,61 @@ def test_no_accidental_cartesian_products(spark):
         # broadcast crossJoin of the 4-row quantile dim
         "events_time_to_convert",
     }
+
+# Build-side row bound for every allowlisted NLJ: the biggest legitimate
+# build is a per-query-block LUT (O(query_block x subspaces), ~100s of
+# rows today). 4096 leaves headroom for a bigger query block while still
+# catching any SF-scaling relation (even sf0.001 lineitem is 6k rows).
+_NLJ_BUILD_BOUND = 4096
+
+
+def test_no_accidental_cartesian_products(spark):
+    """Cross-join shapes are allowed ONLY where declared intentional:
+    join_cross_theta (explicit NLJ over dims) and the brute-force/blocked
+    similarity baselines (broadcast NLJ over a bounded query block).
+    Everything else must be equi-join shaped."""
     offenders = []
     for name in ALL_QUERIES:
         plan = _plan(spark, name)
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
-        if "BroadcastNestedLoopJoin" in plan and name not in allowed_nlj:
+        if "BroadcastNestedLoopJoin" in plan and name not in _ALLOWED_NLJ:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_allowlisted_nlj_build_sides_are_bounded(spark):
+    """The allowlist's annotations, machine-checked: EXECUTE every
+    allowlisted query and assert the broadcast build side of each of its
+    nested-loop joins actually produced <= _NLJ_BUILD_BOUND rows. A
+    regression that turns a 1-row-aggregate build into an SF-scaling
+    relation now fails here even though the name is already listed."""
+    from gmail_bigquery_etl_spark.plans.inspect import nlj_build_side_rows
+
+    offenders = []
+    for name in sorted(_ALLOWED_NLJ):
+        rows = nlj_build_side_rows(ALL_QUERIES[name](spark, SF))
+        bad = [r for r in rows if r > _NLJ_BUILD_BOUND]
+        if bad:
+            offenders.append((name, rows))
+    assert not offenders, offenders
+
+
+def test_nlj_bound_check_is_not_vacuous(spark):
+    """The bound check must FAIL on a genuinely unbounded build side: an
+    explicit broadcast-NLJ whose build is the lineitem table (6k rows at
+    this SF, over the bound). Guards against the metric reader silently
+    returning 0/[] after a Spark upgrade (which would green every
+    allowlist entry)."""
+    from gmail_bigquery_etl_spark.plans.inspect import nlj_build_side_rows
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey")
+    one = spark.range(1)
+    df = one.join(
+        F.broadcast(li), one.id > F.col("l_orderkey"), "left"
+    ).select(F.count("*").alias("n"))
+    rows = nlj_build_side_rows(df)
+    assert rows and max(rows) > _NLJ_BUILD_BOUND, rows
 
 
 def test_broadcast_subtrees_sees_forced_broadcast_under_aqe(spark):
