@@ -987,3 +987,166 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("eu"), 6).alias("est_union"),
         "exact_both",
     )
+
+
+@query(
+    "agg_quantile_sketch",
+    oracle="""
+WITH pos AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+         o_orderkey % 2 AS half
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0
+),
+cells_h AS (
+  SELECT half, length(bin(v)) AS e,
+         v >> greatest(length(bin(v)) - 8, 0) AS m,
+         COUNT(*) AS cnt
+  FROM pos GROUP BY 1, 2, 3
+),
+cells AS (
+  SELECT e, m, CAST(SUM(cnt) AS BIGINT) AS cnt FROM cells_h GROUP BY 1, 2
+),
+cum AS (
+  SELECT e, m, CAST(SUM(cnt) OVER (ORDER BY e, m) AS BIGINT) AS cum
+  FROM cells
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cells),
+qdim AS (SELECT * FROM (VALUES (500),(900),(950),(990)) q(q_permille)),
+hits AS (
+  SELECT q.q_permille,
+         (c.m << greatest(c.e - 8, 0)) AS est_lo,
+         (((c.m + 1) << greatest(c.e - 8, 0)) - 1) AS est_hi,
+         ROW_NUMBER() OVER (PARTITION BY q.q_permille ORDER BY c.e, c.m)
+           AS rn
+  FROM cum c CROSS JOIN tot t
+  JOIN qdim q ON c.cum * 1000 >= q.q_permille * t.total
+)
+SELECT q_permille, est_lo, est_hi FROM hits WHERE rn = 1
+""",
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/quantile.py -- deterministic
+    base-2 DDSketch-style cell table): p50/p90/p95/p99 bucket bounds of
+    o_totalprice in cents, computed from TWO sketches built on disjoint
+    halves of orders and MERGED -- so the driver gate itself proves
+    merge(build(X), build(Y)) behaves as build(X ∪ Y) (the exact
+    cell-level identity is pytest-pinned in tests/test_quantile.py).
+    Everything is exact integer arithmetic (bit-length buckets, shifts,
+    integer rank targets), so the oracle rebuilds the sketch and the
+    walk bit for bit; the pytest accuracy anchor checks the bucket
+    bounds bracket the exact rank-selected quantile within the
+    2^-(sub_bits-1) relative-error contract."""
+    from ..operators.quantile import (
+        qsketch_build,
+        qsketch_merge,
+        qsketch_quantiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = qsketch_build(
+        orders.where(F.col("o_orderkey") % 2 == 0), "o_totalprice"
+    )
+    b = qsketch_build(
+        orders.where(F.col("o_orderkey") % 2 == 1), "o_totalprice"
+    )
+    return qsketch_quantiles(qsketch_merge(a, b), [500, 900, 950, 990])
+
+
+@query(
+    "warehouse_time_travel_diff",
+    oracle="""
+WITH sums AS (
+  SELECT o_custkey AS k,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s0,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s1,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS s2,
+    COUNT(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 END) AS n0,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1999-01-01' THEN 1 END) AS n1,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 END) AS n2
+  FROM orders GROUP BY 1
+),
+v1f AS (
+  SELECT k, CASE WHEN n1 > 0 THEN s1 ELSE s0 END AS bal
+  FROM sums
+  WHERE (n0 > 0 OR n1 > 0)
+    AND NOT (n1 > 0 AND k % 10 = 0)
+),
+v2f AS (
+  SELECT k, CASE WHEN n2 > 0 THEN s2 WHEN n1 > 0 THEN s1 ELSE s0 END AS bal
+  FROM sums
+  WHERE NOT (n2 = 0 AND n1 > 0 AND k % 10 = 0)
+),
+diff AS (
+  SELECT COALESCE(a.k, b.k) AS c_custkey, a.bal AS bal_v1, b.bal AS bal_v2
+  FROM v1f a FULL JOIN v2f b ON a.k = b.k
+  WHERE a.bal IS DISTINCT FROM b.bal
+)
+SELECT * FROM diff
+""",
+)
+def warehouse_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel over the CDC merge sink: three merge
+    generations are materialized through the REAL snapshot-pointer
+    machinery (streaming/merge_sink.apply_merge_batch -- the exact code
+    path the streaming sink runs per micro-batch), then version 1 and
+    version 2 are read back with ``read_as_of`` and diffed. Generations
+    are deterministic CDC post-images derived from orders (cumulative
+    customer spend through rolling date cutoffs; generation 1 DELETES
+    every custkey % 10 == 0 active in its window, generation 2
+    re-inserts those that reorder). The oracle recomputes both
+    historical states RELATIONALLY -- so the driver gate proves the
+    on-disk snapshot history equals the set-theoretic definition of
+    'state after batch k'. The sink write is per-call temp storage
+    (O(customer) rows x 3 generations); retention/vacuum semantics are
+    pytest-gated in tests/test_merge.py."""
+    import tempfile
+
+    from ..streaming.merge_sink import apply_merge_batch, read_as_of
+
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    c1, c2 = "1997-01-01", "1999-01-01"
+    sums = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.when(F.col("o_orderdate") < c1, dec))
+        .cast("decimal(28,4)")
+        .alias("s0"),
+        F.sum(F.when(F.col("o_orderdate") < c2, dec))
+        .cast("decimal(28,4)")
+        .alias("s1"),
+        F.sum(dec).cast("decimal(28,4)").alias("s2"),
+        F.count(F.when(F.col("o_orderdate") < c1, 1)).alias("n0"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") >= c1) & (F.col("o_orderdate") < c2), 1
+            )
+        ).alias("n1"),
+        F.count(F.when(F.col("o_orderdate") >= c2, 1)).alias("n2"),
+    )
+    b0 = sums.where(F.col("n0") > 0).select(
+        "k", F.col("s0").alias("bal"), F.lit(False).alias("is_delete")
+    )
+    b1 = sums.where(F.col("n1") > 0).select(
+        "k",
+        F.col("s1").alias("bal"),
+        (F.col("k") % 10 == 0).alias("is_delete"),
+    )
+    b2 = sums.where(F.col("n2") > 0).select(
+        "k", F.col("s2").alias("bal"), F.lit(False).alias("is_delete")
+    )
+    root = tempfile.mkdtemp(prefix="time_travel_sink_")
+    for i, b in enumerate([b0, b1, b2]):
+        apply_merge_batch(spark, b, i, root, ["k"])
+    v1 = read_as_of(spark, root, 1).select("k", F.col("bal").alias("bal_v1"))
+    v2 = read_as_of(spark, root, 2).select("k", F.col("bal").alias("bal_v2"))
+    return (
+        v1.join(v2, "k", "full_outer")
+        .where(~F.col("bal_v1").eqNullSafe(F.col("bal_v2")))
+        .select(F.col("k").alias("c_custkey"), "bal_v1", "bal_v2")
+    )

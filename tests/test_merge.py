@@ -67,3 +67,76 @@ def test_scd2_interval_chain(spark):
     assert rows[2] == ("2024-01-05", "2024-01-05", False)
     assert rows[3] == ("2024-01-05", None, True)
     assert rows[4] == ("2024-02-01", None, True)
+
+
+def _state(df):
+    return {(r.k): (r.v) for r in df.collect()}
+
+
+def test_time_travel_reads_across_three_generations(spark, tmp_path):
+    """read_as_of(v) must equal the sequential merge_upsert state after
+    batch v, for every retained v across >= 3 generations, including a
+    delete and a re-insert; read_as_of(None) is the current pointer;
+    a never-committed version raises."""
+    import pytest
+
+    from gmail_bigquery_etl_spark.streaming.merge_sink import (
+        apply_merge_batch,
+        list_versions,
+        read_as_of,
+    )
+
+    batches = [
+        [(1, "a", False), (2, "b", False), (3, "c", False)],
+        [(2, "b2", False), (3, None, True), (4, "d", False)],
+        [(3, "c3", False), (1, None, True)],
+    ]
+    root = str(tmp_path / "tt_sink")
+    expected = {}
+    state = spark.createDataFrame([], "k int, v string")
+    for i, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, "k int, v string, is_delete boolean")
+        apply_merge_batch(spark, b, i, root, ["k"])
+        state = merge_upsert(state, b, ["k"], delete_col="is_delete")
+        expected[i] = _state(state)
+
+    assert list_versions(root) == [0, 1, 2]
+    for v in (0, 1, 2):
+        assert _state(read_as_of(spark, root, v)) == expected[v], v
+    assert _state(read_as_of(spark, root)) == expected[2]
+    assert expected[1][4] == "d" and 3 not in expected[1]  # delete landed
+    assert expected[2][3] == "c3" and 1 not in expected[2]  # re-insert+del
+    with pytest.raises(ValueError, match="not retained"):
+        read_as_of(spark, root, 7)
+
+
+def test_vacuum_retention_keeps_current_and_horizon(spark, tmp_path):
+    """vacuum(keep_last=N) drops the oldest snapshots, never the current
+    pointer target; time-travel past the horizon raises instead of
+    silently reading something else."""
+    import pytest
+
+    from gmail_bigquery_etl_spark.streaming.merge_sink import (
+        apply_merge_batch,
+        list_versions,
+        read_as_of,
+        vacuum,
+    )
+
+    root = str(tmp_path / "vac_sink")
+    for i in range(4):
+        b = spark.createDataFrame(
+            [(1, f"v{i}", False)], "k int, v string, is_delete boolean"
+        )
+        apply_merge_batch(spark, b, i, root, ["k"])
+
+    removed = vacuum(root, keep_last=2)
+    assert removed == [0, 1]
+    assert list_versions(root) == [2, 3]
+    assert _state(read_as_of(spark, root)) == {1: "v3"}
+    assert _state(read_as_of(spark, root, 2)) == {1: "v2"}
+    with pytest.raises(ValueError, match="not retained"):
+        read_as_of(spark, root, 0)
+    # keep_last is floored at 1 and the current target always survives
+    assert vacuum(root, keep_last=0) == [2]
+    assert _state(read_as_of(spark, root)) == {1: "v3"}

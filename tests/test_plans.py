@@ -111,6 +111,9 @@ _ALLOWED_NLJ = {
         "agg_hll_intersection",
         # broadcast crossJoin of the 4-row quantile dim
         "events_time_to_convert",
+    # quantile-sketch walk: 1-row total crossJoin + broadcast NLJ of the
+    # 4-row q_permille dim against the O(cells) cumulative table
+    "agg_quantile_sketch",
     }
 
 # Build-side row bound for every allowlisted NLJ: the biggest legitimate
