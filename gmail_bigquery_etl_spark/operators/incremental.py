@@ -218,3 +218,80 @@ def incremental_near_dup(
             .alias("outcome"),
         )
     )
+
+
+# --- J1 auto-mode: size-driven broadcast / bloom / shuffle selection ---------
+
+BROADCAST_MAX_BYTES = 8 << 20  # ship the whole id set to every executor
+BLOOM_MAX_BYTES = 2 << 30  # past this a bounded-m filter saturates
+
+
+def estimate_plan_bytes(df: DataFrame) -> int:
+    """Catalyst's own plan-time size estimate (sizeInBytes from the
+    optimized logical plan) -- file-size-based for parquet scans, free
+    (no job). The same statistic the engine's auto-broadcast decision
+    uses, so auto-mode's regime choice agrees with what Catalyst would
+    believe about the relation."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
+def choose_anti_join_strategy(
+    existing: DataFrame,
+    broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
+    bloom_max_bytes: int = BLOOM_MAX_BYTES,
+) -> str:
+    """'broadcast' | 'bloom' | 'shuffle' from the build side's estimated
+    bytes. Rungs: a small id set ships whole (one broadcast, zero
+    shuffle of the probe side); a mid-size set is too big to ship but a
+    <= m-row Bloom bit table still broadcasts, pruning
+    definitely-absent probes before the residual shuffle join; a huge
+    set saturates any bounded-m filter (all bits set => no pruning, pure
+    overhead), so it goes straight to the shuffle anti-join."""
+    est = estimate_plan_bytes(existing)
+    if est <= broadcast_max_bytes:
+        return "broadcast"
+    if est <= bloom_max_bytes:
+        return "bloom"
+    return "shuffle"
+
+
+def incremental_anti_join_auto(
+    incoming: DataFrame,
+    existing: DataFrame,
+    key: str = "id",
+    mode: str = "auto",
+    broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
+    bloom_max_bytes: int = BLOOM_MAX_BYTES,
+    bloom_m: int = 1 << 20,
+    bloom_depth: int = 4,
+) -> DataFrame:
+    """Self-tuning J1: plain-anti-join SEMANTICS in every regime (the
+    Bloom rung's no-false-negative split and residual join compose to
+    exactly the anti-join answer -- the equivalence the
+    ingest_bloom_prefilter oracle proves), with the physical strategy
+    picked from the build side's plan-time size estimate. ``mode``
+    overrides explicitly ('broadcast' / 'bloom' / 'shuffle'); 'auto'
+    delegates to choose_anti_join_strategy. Regime thresholds are
+    plan-test-pinned in tests/test_plans.py."""
+    if mode == "auto":
+        mode = choose_anti_join_strategy(
+            existing, broadcast_max_bytes, bloom_max_bytes
+        )
+    if mode == "broadcast":
+        return incremental_anti_join(incoming, existing, key, True)
+    if mode == "shuffle":
+        return incremental_anti_join(incoming, existing, key, False)
+    if mode == "bloom":
+        from .bloom import bloom_prefiltered_anti_join
+
+        return bloom_prefiltered_anti_join(
+            incoming,
+            existing,
+            key,
+            m=bloom_m,
+            depth=bloom_depth,
+            broadcast_hint=False,
+        ).drop("bloom_checked")
+    raise ValueError(f"unknown anti-join mode: {mode}")

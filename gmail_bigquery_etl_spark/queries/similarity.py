@@ -802,3 +802,98 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(emb, k=8, iters=3).select(
         "vec_id", F.col("cluster").cast("int").alias("cluster"), "dist"
     )
+
+
+# --- ANN quality scoreboard ---------------------------------------------------
+
+def _recall_scoreboard_oracle() -> str:
+    """Composes the ALREADY-REGISTERED oracles of the exact baseline and
+    each approximate method as CTE subqueries (DuckDB allows a nested
+    WITH inside a CTE), so the scoreboard's ground truth is definitionally
+    the same SQL the per-method gates run."""
+    from .registry import ALL_ORACLES
+
+    legs = {
+        "sq8": "ann_sq8_topk",
+        "ivf_sq8": "ann_ivf_sq8_topk",
+        "pq": "ann_pq_topk",
+        "pq_rerank": "ann_pq_rerank",
+    }
+    ctes = ",\n".join(
+        f"m_{m} AS ({ALL_ORACLES[q]})" for m, q in legs.items()
+    )
+    union = "\nUNION ALL ".join(
+        f"SELECT '{m}' AS method, query_id, match_id FROM m_{m}"
+        for m in legs
+    )
+    return f"""
+WITH exact_leg AS ({ALL_ORACLES['knn_bruteforce_cosine']}),
+{ctes},
+approx AS ({union}),
+ex AS (SELECT query_id, match_id FROM exact_leg),
+nex AS (SELECT COUNT(*) AS n_exact FROM ex),
+hits AS (
+  SELECT a.method,
+         COUNT(e.match_id) AS n_hits,
+         COUNT(*) AS n_returned
+  FROM approx a
+  LEFT JOIN ex e ON e.query_id = a.query_id AND e.match_id = a.match_id
+  GROUP BY 1
+)
+SELECT h.method, h.n_hits, h.n_returned, x.n_exact,
+       ROUND(CAST(h.n_hits AS DOUBLE) / NULLIF(x.n_exact, 0), 4) AS recall
+FROM hits h CROSS JOIN nex x
+"""
+
+
+@query("ann_recall_scoreboard", oracle=_recall_scoreboard_oracle())
+def ann_recall_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality scoreboard as a GATED QUERY: recall@5 of every
+    approximate method (SQ8 flat, IVF+SQ8, PQ-ADC, PQ+exact-rerank)
+    against the float32 brute-force baseline, one row per method. The
+    per-method pytest floors (tests/test_ann.py) catch regressions
+    locally; registering the scoreboard puts the same quality numbers
+    under the driver's oracle gate, so an index change that silently
+    costs recall shows up as a value mismatch, not just a local red
+    test. Reuses the registered query callables on the Spark side and
+    their registered oracle SQL on the DuckDB side -- the scoreboard
+    cannot drift from the methods it scores."""
+    exact = knn_bruteforce_cosine(spark, sf_dir).select(
+        "query_id", "match_id"
+    )
+    legs = {
+        "sq8": ann_sq8_topk,
+        "ivf_sq8": ann_ivf_sq8_topk,
+        "pq": ann_pq_topk,
+        "pq_rerank": ann_pq_rerank,
+    }
+    tagged = None
+    for m, fn in legs.items():
+        part = fn(spark, sf_dir).select(
+            F.lit(m).alias("method"), "query_id", "match_id"
+        )
+        tagged = part if tagged is None else tagged.unionAll(part)
+    nex = exact.agg(F.count("*").alias("n_exact"))
+    hits = (
+        tagged.join(
+            exact.withColumn("_hit", F.lit(1)),
+            ["query_id", "match_id"],
+            "left",
+        )
+        .groupBy("method")
+        .agg(
+            F.count("_hit").alias("n_hits"),
+            F.count("*").alias("n_returned"),
+        )
+    )
+    return hits.crossJoin(F.broadcast(nex)).select(
+        "method",
+        "n_hits",
+        "n_returned",
+        "n_exact",
+        F.round(
+            F.col("n_hits").cast("double")
+            / F.nullif(F.col("n_exact"), F.lit(0)),
+            4,
+        ).alias("recall"),
+    )

@@ -114,6 +114,9 @@ _ALLOWED_NLJ = {
     # quantile-sketch walk: 1-row total crossJoin + broadcast NLJ of the
     # 4-row q_permille dim against the O(cells) cumulative table
     "agg_quantile_sketch",
+    # unions the sq8/ivf_sq8/pq/pq_rerank legs (inheriting their bounded
+    # query-block NLJs) + a 1-row exact-count crossJoin
+    "ann_recall_scoreboard",
     }
 
 # Build-side row bound for every allowlisted NLJ: the biggest legitimate
@@ -386,3 +389,84 @@ def test_trimmed_mean_single_sort_exchange(spark):
         ]
     )
     assert n_flag_exchanges == 1, plan[:1500]
+
+
+def test_auto_anti_join_regimes(spark):
+    """J1 auto-mode: the strategy choice follows the build side's
+    plan-time size estimate across its two thresholds, each regime plans
+    the shape it promises, and every regime returns the SAME ROWS (the
+    physical strategy is never allowed to change the answer)."""
+    from gmail_bigquery_etl_spark.operators.incremental import (
+        choose_anti_join_strategy,
+        estimate_plan_bytes,
+        incremental_anti_join_auto,
+    )
+    from gmail_bigquery_etl_spark.plans.inspect import (
+        broadcast_subtrees,
+        plan_string,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    incoming = ev.select(F.col("event_id").cast("string").alias("id"))
+    existing = ev.where(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").cast("string").alias("id")
+    )
+    est = estimate_plan_bytes(existing)
+    assert est > 0
+
+    # threshold sweep: the same relation lands on each rung as the
+    # thresholds move past its estimated size
+    assert choose_anti_join_strategy(existing) == "broadcast"
+    assert (
+        choose_anti_join_strategy(existing, broadcast_max_bytes=est - 1)
+        == "bloom"
+    )
+    assert (
+        choose_anti_join_strategy(
+            existing, broadcast_max_bytes=est - 1, bloom_max_bytes=est - 1
+        )
+        == "shuffle"
+    )
+
+    expected = sorted(
+        r.id
+        for r in incremental_anti_join_auto(
+            incoming, existing, mode="broadcast"
+        ).collect()
+    )
+    assert expected  # non-vacuous: some ids are genuinely new
+
+    # broadcast regime: hint-forced broadcast hash anti-join
+    plan = plan_string(incremental_anti_join_auto(incoming, existing))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # shuffle regime: no broadcast anywhere, shuffle anti-join
+        df_shuffle = incremental_anti_join_auto(
+            incoming,
+            existing,
+            broadcast_max_bytes=est - 1,
+            bloom_max_bytes=est - 1,
+        )
+        plan = plan_string(df_shuffle)
+        assert "LeftAnti" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert not broadcast_subtrees(df_shuffle)
+        assert "Union" not in plan  # distinguishes it from the bloom split
+
+        # bloom regime: definitely-absent ∪ residual-checked split (the
+        # Union is the regime's signature); the bit-table broadcast runs
+        # inside the prefilter's pinned (localCheckpoint) stage, and the
+        # residual plan must ship NO hint-forced broadcast of the id set
+        df_bloom = incremental_anti_join_auto(
+            incoming, existing, broadcast_max_bytes=est - 1
+        )
+        plan = plan_string(df_bloom)
+        assert "Union" in plan and "LeftAnti" in plan
+        assert not broadcast_subtrees(df_bloom)
+        assert sorted(r.id for r in df_bloom.collect()) == expected
+        assert sorted(r.id for r in df_shuffle.collect()) == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
