@@ -28,7 +28,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.cms import cms_build, cms_merge
+from ..operators.cms import cms_build, cms_estimate, cms_merge
 from .merge_sink import _POINTER, current_snapshot_dir
 
 _CELL_SCHEMA = "i int, col bigint, c bigint"
@@ -100,3 +100,201 @@ def start_cms_maintenance(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- Streaming sketch dashboard: per-window HLL + heavy hitters --------------
+
+_DICT_SCHEMA = "window_start timestamp, item string"
+_HLL_SCHEMA = "window_start timestamp, bucket bigint, reg int"
+
+
+def _dashboard_key(window_col: str, item_col: str):
+    """Composite CMS item key: the window is folded into the hashed key
+    (cms cells are group-less by design), so one O(depth x width) grid
+    serves every window; estimates just use the same composite key."""
+    from pyspark.sql import functions as F
+
+    return F.concat_ws(
+        "\x01", F.col(window_col).cast("string"), F.col(item_col)
+    )
+
+
+def read_dashboard(spark, sink_root: str) -> dict[str, DataFrame]:
+    """The committed dashboard state: 'hll' (per-window distinct-user
+    registers), 'cms' (heavy-hitter counts over window-composited keys),
+    'dict' (the exact candidate dictionary the top-k extraction scans).
+    Empty, well-typed frames before the first commit."""
+    cur = current_snapshot_dir(sink_root)
+    if cur is None:
+        return {
+            "hll": spark.createDataFrame([], _HLL_SCHEMA),
+            "cms": spark.createDataFrame([], _CELL_SCHEMA),
+            "dict": spark.createDataFrame([], _DICT_SCHEMA),
+        }
+    return {
+        "hll": spark.read.schema(_HLL_SCHEMA).parquet(f"{cur}/hll"),
+        "cms": spark.read.schema(_CELL_SCHEMA).parquet(f"{cur}/cms"),
+        "dict": spark.read.schema(_DICT_SCHEMA).parquet(f"{cur}/dict"),
+    }
+
+
+def dashboard_batch_state(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    item_col: str = "event_type",
+    depth: int = 4,
+    width: int = 1024,
+) -> dict[str, DataFrame]:
+    """The BATCH definition of the dashboard state over a static frame --
+    the stream==batch parity anchor (the maintained state must equal
+    this, bit for bit, after the last micro-batch)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.hll import hll_registers
+
+    win = events.withColumn(
+        "window_start", F.date_trunc("hour", F.col(ts_col))
+    )
+    hll = hll_registers(
+        win.select("window_start", F.col(user_col).cast("string").alias("_u")),
+        "_u",
+        group_cols=["window_start"],
+    )
+    keyed = win.select(
+        "window_start",
+        F.col(item_col).alias("item"),
+        _dashboard_key("window_start", item_col).alias("_k"),
+    )
+    cms = cms_build(keyed, "_k", depth=depth, width=width)
+    dct = keyed.select("window_start", "item").distinct()
+    return {"hll": hll, "cms": cms, "dict": dct}
+
+
+def apply_dashboard_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    sink_root: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    item_col: str = "event_type",
+    depth: int = 4,
+    width: int = 1024,
+) -> None:
+    """One micro-batch: merge the batch's per-window HLL registers
+    (element-wise max -- idempotent, but still behind the guard so the
+    three tables stay mutually consistent), CMS cells (ADDITIVE -- the
+    replay guard is what makes redelivery safe), and dictionary rows
+    (set union) into the current snapshot; write all three under one new
+    snapshot dir; swap the single pointer atomically so readers always
+    see a consistent triple."""
+    os.makedirs(sink_root, exist_ok=True)
+    cur = current_snapshot_dir(sink_root)
+    if cur is not None:
+        last_id = int(os.path.basename(cur).removeprefix("snap_"))
+        if batch_id <= last_id:
+            return
+    from ..operators.hll import hll_merge
+
+    state = read_dashboard(spark, sink_root)
+    inc = dashboard_batch_state(
+        batch_df, ts_col, user_col, item_col, depth, width
+    )
+    new_hll = hll_merge(
+        state["hll"], inc["hll"], group_cols=["window_start"]
+    )
+    new_cms = cms_merge(state["cms"], inc["cms"])
+    new_dict = state["dict"].unionByName(inc["dict"]).distinct()
+    new_dir = os.path.join(sink_root, f"snap_{batch_id}")
+    new_hll.write.mode("overwrite").parquet(f"{new_dir}/hll")
+    new_cms.write.mode("overwrite").parquet(f"{new_dir}/cms")
+    new_dict.write.mode("overwrite").parquet(f"{new_dir}/dict")
+    tmp = os.path.join(sink_root, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(f"snap_{batch_id}")
+    os.replace(tmp, os.path.join(sink_root, _POINTER))
+
+
+def start_dashboard_maintenance(
+    events_stream: DataFrame,
+    sink_root: str,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    item_col: str = "event_type",
+    depth: int = 4,
+    width: int = 1024,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain the per-window distinct-user (HLL) + heavy-hitter (CMS)
+    dashboard over a stream: the sketch family's streaming-twin
+    composition. Read the live state via read_dashboard / dashboard_topk."""
+    spark = events_stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_dashboard_batch(
+            spark,
+            batch_df,
+            batch_id,
+            sink_root,
+            ts_col,
+            user_col,
+            item_col,
+            depth,
+            width,
+        )
+
+    writer = events_stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def dashboard_topk(
+    spark,
+    sink_root: str,
+    k: int = 3,
+    m: int = 256,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """The dashboard VIEW: per window, the HLL distinct-user estimate and
+    the top-k heavy-hitter items by CMS estimate (deterministic (count
+    DESC, item) order). Pure composition over the committed snapshot --
+    runs identically on stream-maintained or batch-built state."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ..operators.hll import hll_estimate
+
+    state = read_dashboard(spark, sink_root)
+    est = hll_estimate(state["hll"], group_cols=["window_start"], m=m)
+    cand = state["dict"].select(
+        "window_start",
+        "item",
+        _dashboard_key("window_start", "item").alias("_k"),
+    )
+    counts = cms_estimate(
+        state["cms"], cand, "_k", depth=depth, width=width
+    )  # carries (window_start, item, _k, cms_est)
+    ranked = (
+        counts.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("window_start").orderBy(
+                    F.col("cms_est").desc(), F.col("item")
+                )
+            ),
+        )
+        .where(F.col("rank") <= k)
+        .select(
+            "window_start", "item", "rank",
+            F.col("cms_est").alias("est_count"),
+        )
+    )
+    return ranked.join(est, "window_start").select(
+        "window_start", "hll_estimate", "item", "rank", "est_count"
+    )

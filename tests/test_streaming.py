@@ -907,3 +907,54 @@ def test_stream_static_enrichment_matches_batch(spark, replay_dir, tmp_path):
     }
     assert got == want
     assert any(seg is None for _, _, seg in got)  # absent-key facts kept
+
+
+def test_streaming_dashboard_equals_batch_state(spark, replay_dir, tmp_path):
+    """The streaming sketch dashboard (per-window HLL distinct users +
+    CMS heavy hitters + candidate dictionary, one snapshot pointer):
+    after the replayed stream drains, all three maintained tables AND
+    the derived top-k view equal a one-shot batch build over the whole
+    fixture, bit for bit; a replayed batch id is a no-op for the whole
+    triple."""
+    from gmail_bigquery_etl_spark.streaming.sketches import (
+        apply_dashboard_batch,
+        dashboard_batch_state,
+        dashboard_topk,
+        read_dashboard,
+        start_dashboard_maintenance,
+    )
+
+    stream = replay_events_stream(spark, replay_dir).select(
+        "ts", "user_id", "event_type"
+    )
+    sink = str(tmp_path / "dash_sink")
+    q = start_dashboard_maintenance(
+        stream, sink, str(tmp_path / "dash_ckpt")
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    events = load_table(spark, SMOKE_SF, "events")
+    want = dashboard_batch_state(events)
+    got = read_dashboard(spark, sink)
+
+    def keyset(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    for name in ("hll", "cms", "dict"):
+        assert keyset(got[name]) == keyset(want[name]), name
+    assert keyset(got["hll"])  # non-vacuous
+
+    # batch-built sink (one apply over the whole fixture) serves the
+    # identical top-k view
+    bsink = str(tmp_path / "dash_batch_sink")
+    apply_dashboard_batch(spark, events, 0, bsink)
+    assert keyset(dashboard_topk(spark, sink)) == keyset(
+        dashboard_topk(spark, bsink)
+    )
+
+    # replayed (stale) batch id: whole-triple no-op
+    before = {n: keyset(got[n]) for n in got}
+    apply_dashboard_batch(spark, events.limit(5), 0, sink)
+    after = read_dashboard(spark, sink)
+    assert {n: keyset(after[n]) for n in after} == before
