@@ -139,6 +139,73 @@ def _rotate(front: list[str]) -> None:
         d.update(ordered)
 
 
-_rotate(_ROUND5_FRONT)
+# Round-6 rotation, same policy as round 5: with the driver sampling the
+# first ~50 registrations and the r01..r05 union already covering all 175
+# prior queries, priority is (a) queries NEW in round 6, (b) queries whose
+# code paths changed in round 6 (ADVICE fixes: PSI width guard, ER length
+# guard, BFS bound alignment, WAV truncation guard), then (c) backfill by
+# OLDEST driver-green row (the 29 round-2 holders, then round-3 holders
+# alphabetically) so every query's driver evidence stays fresh.
+_ROUND6_FRONT = [
+    # (a) new in round 6
+    "agg_quantile_sketch",
+    "warehouse_time_travel_diff",
+    "ann_recall_scoreboard",
+    "curation_contamination_check",
+    "layout_compaction_plan",
+    # (b) code path changed in round 6
+    "events_psi_drift",
+    "er_fuzzy_match_master",
+    "graph_bfs_hops",
+    "multimodal_wav_decode",
+    "multimodal_audio_energy",
+    # (c) backfill: round-2 holders (oldest driver rows)
+    "ann_ivf_cells",
+    "ann_lsh_buckets",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "embedding_centroids",
+    "embedding_near_dup",
+    "events_asof_join_op",
+    "events_asof_last_purchase",
+    "events_daily_from_hourly",
+    "events_json_extract",
+    "events_range_join_daily",
+    "events_sessionization",
+    "events_sliding_6h_3h",
+    "events_tumbling_hourly",
+    "header_extraction",
+    "ingest_parse_errors",
+    "join_bucketed_colocated",
+    "join_right_outer_agg",
+    "join_salted_skew",
+    "knn_bruteforce_cosine",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_metadata_stats",
+    "q1_pricing_summary",
+    "scan_partition_pruned",
+    "skew_salted_user_counts",
+    "text_tfidf_top_terms",
+    # (c) backfill continues: round-3 holders, alphabetically
+    "agg_approx_tolerance",
+    "agg_cube",
+    "agg_distinct_multi",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "conditional_funcs",
+    "dedup_clusters",
+    "dedup_exact_groups",
+    "dedup_exact_survivors_count",
+    "dedup_simhash_pairs_wide",
+    "dedup_survivor_stats",
+    "docs_balanced_sample",
+    "docs_stratified_split",
+    "docs_token_shards",
+]
+
+_rotate(_ROUND6_FRONT)
 
 __all__ = ["ALL_QUERIES", "ALL_ORACLES"]

@@ -677,3 +677,93 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(cells, heavy, "b", depth=4, width=1024).select(
         F.col("b").alias("bigram"), "exact_n", "cms_est"
     )
+
+
+@query(
+    "curation_contamination_check",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' near dup', lang, source, n_chars
+  FROM documents WHERE doc_id % 25 = 0
+),
+eval_set AS (
+  SELECT doc_id, text FROM corpus
+  WHERE doc_id < 100000 AND doc_id % 10 = 0
+),
+train AS (
+  SELECT doc_id, text FROM corpus
+  WHERE NOT (doc_id < 100000 AND doc_id % 10 = 0)
+),
+eval_grams AS (
+  SELECT DISTINCT unnest(list_distinct({{g_eval}})) AS gram FROM eval_set
+),
+train_grams AS (
+  SELECT doc_id, unnest(list_distinct({{g_train}})) AS gram FROM train
+),
+counts AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_grams,
+         COUNT(e.gram) AS n_hits
+  FROM train_grams t LEFT JOIN eval_grams e ON e.gram = t.gram
+  GROUP BY 1
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / n_grams, 6) AS contamination
+FROM counts WHERE n_hits > 0
+""".format(
+        g_eval=_SQL_GRAMS5.format(c="text"),
+        g_train=_SQL_GRAMS5.format(c="text"),
+    ),
+)
+def curation_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: the fraction of each training
+    document's distinct word 5-grams that appear ANYWHERE in the held-out
+    eval set -- the standard n-gram-overlap decontamination pass every
+    serious LLM training corpus runs against its benchmarks (GPT-3
+    appendix-C style, 13-grams there; 5-grams here to suit the fixture's
+    short documents). Eval set = the base docs with doc_id % 10 == 0;
+    training corpus = the augmented corpus minus those, which by
+    construction contains their verbatim copies (+100000) and near
+    copies (+200000) -- exactly the leak this pass exists to catch
+    (expected contamination 1.0 on the copies). Plan: explode both sides
+    to distinct grams, ONE equi-join of train grams against the distinct
+    eval gram index (each train gram matches at most one index row -- no
+    fan-out), one per-doc rollup. At 100 TB the eval index is tiny
+    (benchmarks are small) and broadcastable; the train-side explode is
+    the same posting shape as the dedup family."""
+    from ..operators.dedup import grams_stage
+    from .text import _augmented_corpus
+
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    is_eval = (F.col("doc_id") < 100000) & (F.col("doc_id") % 10 == 0)
+    eval_grams = (
+        grams_stage(corpus.where(is_eval), "text", "doc_id", 5)
+        .select(F.explode("_grams").alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train_grams = grams_stage(
+        corpus.where(~is_eval), "text", "doc_id", 5
+    ).select("doc_id", F.explode("_grams").alias("gram"))
+    counts = (
+        train_grams.join(eval_grams, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.count("_hit").cast("bigint").alias("n_hits"),
+        )
+    )
+    return counts.where(F.col("n_hits") > 0).select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.col("n_grams"), 6).alias(
+            "contamination"
+        ),
+    )

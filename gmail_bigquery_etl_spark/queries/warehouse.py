@@ -1150,3 +1150,76 @@ def warehouse_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(~F.col("bal_v1").eqNullSafe(F.col("bal_v2")))
         .select(F.col("k").alias("c_custkey"), "bal_v1", "bal_v2")
     )
+
+
+@query(
+    "layout_compaction_plan",
+    oracle="""
+WITH files AS (
+  SELECT event_type, CAST(ts AS DATE) AS file_day,
+         CAST(SUM(strlen(props) + 64) AS BIGINT) AS file_bytes
+  FROM events GROUP BY 1, 2
+),
+binned AS (
+  SELECT event_type, file_day, file_bytes,
+         CAST(COALESCE(SUM(file_bytes) OVER (
+             PARTITION BY event_type ORDER BY file_day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS prior_bytes
+  FROM files
+),
+grouped AS (
+  SELECT event_type, file_day, file_bytes,
+         CAST(prior_bytes // 32768 AS BIGINT) AS group_id
+  FROM binned
+)
+SELECT event_type, group_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(file_bytes) AS BIGINT) AS group_bytes,
+       MIN(file_day) AS first_day, MAX(file_day) AS last_day
+FROM grouped GROUP BY 1, 2
+""",
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner, completing the physical-layout
+    family beside the sort-key advisor and Z-order bucketing: given a
+    per-partition file manifest (here simulated as one file per
+    (event_type, day) with a bytes proxy of payload size + row
+    overhead), assign files to ~32 KiB output groups (sized so the fixture
+    exercises bin boundaries; the target is the one knob) by a streaming
+    first-fit over the day order -- the exclusive prefix-sum bin rule
+    (group = floor(bytes_before / target)), which keeps every compaction
+    group a CONTIGUOUS day range (time locality survives the rewrite,
+    like Delta OPTIMIZE with an ordering column). One window cumsum per
+    partition + one rollup; the plan costs O(files), never touches row
+    data, and each group row is directly actionable as one rewrite
+    task. Exact integer arithmetic on both engines (octet_length /
+    truncating integer division)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    files = ev.groupBy(
+        "event_type", F.to_date("ts").alias("file_day")
+    ).agg(
+        F.sum(F.octet_length("props") + F.lit(64))
+        .cast("bigint")
+        .alias("file_bytes")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("file_day")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    binned = files.withColumn(
+        "prior_bytes",
+        F.coalesce(F.sum("file_bytes").over(w), F.lit(0)).cast("bigint"),
+    )
+    grouped = binned.withColumn(
+        "group_id", F.expr("prior_bytes div 32768").cast("bigint")
+    )
+    return grouped.groupBy("event_type", "group_id").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("file_bytes").cast("bigint").alias("group_bytes"),
+        F.min("file_day").alias("first_day"),
+        F.max("file_day").alias("last_day"),
+    )
