@@ -298,3 +298,79 @@ def dashboard_topk(
     return ranked.join(est, "window_start").select(
         "window_start", "hll_estimate", "item", "rank", "est_count"
     )
+
+
+# --- Streaming quantile-sketch maintenance -----------------------------------
+
+_QCELL_SCHEMA = "e int, m bigint, cnt bigint"
+
+
+def read_qsketch(spark, sink_root: str) -> DataFrame:
+    """The current committed quantile-sketch cell table (empty,
+    well-typed, before the first commit)."""
+    cur = current_snapshot_dir(sink_root)
+    if cur is None:
+        return spark.createDataFrame([], _QCELL_SCHEMA)
+    return spark.read.schema(_QCELL_SCHEMA).parquet(cur)
+
+
+def apply_qsketch_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    value_col: str,
+    sink_root: str,
+    sub_bits: int = 8,
+    scale: int = 100,
+) -> None:
+    """One micro-batch merge for the quantile sketch. Cell counts are
+    ADDITIVE (exactly like CMS), so redelivered batch ids no-op behind
+    the same pointer-id replay guard."""
+    from ..operators.quantile import qsketch_build, qsketch_merge
+
+    os.makedirs(sink_root, exist_ok=True)
+    cur = current_snapshot_dir(sink_root)
+    if cur is not None:
+        last_id = int(os.path.basename(cur).removeprefix("snap_"))
+        if batch_id <= last_id:
+            return
+    batch_cells = qsketch_build(
+        batch_df, value_col, sub_bits=sub_bits, scale=scale
+    )
+    merged = qsketch_merge(read_qsketch(spark, sink_root), batch_cells)
+    new_dir = os.path.join(sink_root, f"snap_{batch_id}")
+    merged.write.mode("overwrite").parquet(new_dir)
+    tmp = os.path.join(sink_root, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(f"snap_{batch_id}")
+    os.replace(tmp, os.path.join(sink_root, _POINTER))
+
+
+def start_qsketch_maintenance(
+    values_stream: DataFrame,
+    value_col: str,
+    sink_root: str,
+    checkpoint_path: str,
+    sub_bits: int = 8,
+    scale: int = 100,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain running quantiles over a stream: the quantile rung's
+    streaming twin, completing the sketch family's streaming column
+    (HLL + CMS live in the dashboard; Bloom's streaming use is the
+    ingest prefilter). Read live percentiles via read_qsketch +
+    operators/quantile.qsketch_quantiles."""
+    spark = values_stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_qsketch_batch(
+            spark, batch_df, batch_id, value_col, sink_root,
+            sub_bits=sub_bits, scale=scale,
+        )
+
+    writer = values_stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -958,3 +958,52 @@ def test_streaming_dashboard_equals_batch_state(spark, replay_dir, tmp_path):
     apply_dashboard_batch(spark, events.limit(5), 0, sink)
     after = read_dashboard(spark, sink)
     assert {n: keyset(after[n]) for n in after} == before
+
+
+def test_streaming_qsketch_equals_batch_build(spark, replay_dir, tmp_path):
+    """Quantile-sketch maintenance over the replayed stream: the
+    maintained cell table equals a one-shot batch build over the whole
+    fixture bit for bit, the derived quantiles agree, and a replayed
+    batch id is a no-op (additive cells behind the pointer-id guard)."""
+    from gmail_bigquery_etl_spark.operators.quantile import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+    from gmail_bigquery_etl_spark.streaming.sketches import (
+        apply_qsketch_batch,
+        read_qsketch,
+        start_qsketch_maintenance,
+    )
+
+    stream = replay_events_stream(spark, replay_dir).select("value")
+    sink = str(tmp_path / "q_sink")
+    q = start_qsketch_maintenance(
+        stream, "value", sink, str(tmp_path / "q_ckpt")
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    def cells(df):
+        return {(r.e, r.m): r.cnt for r in df.collect()}
+
+    got = read_qsketch(spark, sink)
+    want = qsketch_build(
+        load_table(spark, SMOKE_SF, "events").select("value"), "value"
+    )
+    assert cells(got) == cells(want) and cells(want)
+
+    gq = {(r.q_permille): (r.est_lo, r.est_hi)
+          for r in qsketch_quantiles(got, [500, 990]).collect()}
+    wq = {(r.q_permille): (r.est_lo, r.est_hi)
+          for r in qsketch_quantiles(want, [500, 990]).collect()}
+    assert gq == wq and gq
+
+    before = cells(read_qsketch(spark, sink))
+    apply_qsketch_batch(
+        spark,
+        load_table(spark, SMOKE_SF, "events").select("value").limit(10),
+        0,
+        "value",
+        sink,
+    )
+    assert cells(read_qsketch(spark, sink)) == before
