@@ -99,3 +99,40 @@ def test_grouped_sketch_walks_per_group(spark):
     lo_b, hi_b = got[("b", 500)]
     assert lo_a <= 50 * 100 <= hi_a
     assert lo_b <= 5000 * 100 <= hi_b
+
+
+def test_bucket_function_is_monotone_pure_math():
+    """The rank walk is only correct if (e, m) ordering == value
+    ordering. Property-check the pure-integer bucket formula (bit length
+    + top-bits shift, the exact arithmetic both engines run) over
+    adversarial pairs: v1 <= v2 implies (e1, m1) <= (e2, m2), and every
+    value lies within its own bucket's [lo, hi] bounds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    B = 8
+
+    def bucket(v: int) -> tuple[int, int]:
+        e = v.bit_length()
+        m = v >> max(e - B, 0)
+        return e, m
+
+    def bounds(e: int, m: int) -> tuple[int, int]:
+        shift = max(e - B, 0)
+        return m << shift, ((m + 1) << shift) - 1
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=2**62),
+        st.integers(min_value=1, max_value=2**62),
+    )
+    def check(a, b):
+        lo_v, hi_v = sorted((a, b))
+        assert bucket(lo_v) <= bucket(hi_v)
+        for v in (a, b):
+            lo, hi = bounds(*bucket(v))
+            assert lo <= v <= hi
+            # relative-error contract: bucket width <= lo * 2^-(B-1)
+            assert (hi - lo) <= max(1, lo >> (B - 1))
+
+    check()
