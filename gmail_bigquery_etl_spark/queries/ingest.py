@@ -300,7 +300,13 @@ def ingest_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactness (no dropped new rows, no leaked sink rows) and the split
     itself are checked. 100 TB posture: the filter is a <= 8192-row
     broadcast; the exact join's probe side shrinks from |incoming| to
-    |true positives| + the false-positive sliver."""
+    |true positives| + the false-positive sliver. Bench note: as a GATE
+    query this rebuilds the bit table and runs BOTH the pruned and
+    residual paths every time so the oracle can prove equivalence; a
+    production ingest loop persists the filter beside the sink and
+    re-merges only the appended ids' bits (bloom_bits is a distinct-set
+    union, incrementally maintainable), so the per-cycle cost is the
+    pruned join alone."""
     from ..operators.bloom import bloom_prefiltered_anti_join
     from ..operators.incremental import extract_email_records
     from ..functions.headers import label_predicate

@@ -1176,7 +1176,8 @@ grouped AS (
 SELECT event_type, group_id,
        CAST(COUNT(*) AS BIGINT) AS n_files,
        CAST(SUM(file_bytes) AS BIGINT) AS group_bytes,
-       MIN(file_day) AS first_day, MAX(file_day) AS last_day
+       CAST(MIN(file_day) AS VARCHAR) AS first_day,
+       CAST(MAX(file_day) AS VARCHAR) AS last_day
 FROM grouped GROUP BY 1, 2
 """,
 )
@@ -1220,6 +1221,8 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.groupBy("event_type", "group_id").agg(
         F.count("*").cast("bigint").alias("n_files"),
         F.sum("file_bytes").cast("bigint").alias("group_bytes"),
-        F.min("file_day").alias("first_day"),
-        F.max("file_day").alias("last_day"),
+        # ISO strings, not DATE: date cells survive every fetch path
+        # identically (a pandas fetch upcasts DATE to datetime)
+        F.min("file_day").cast("string").alias("first_day"),
+        F.max("file_day").cast("string").alias("last_day"),
     )
