@@ -858,6 +858,10 @@ def ann_recall_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     test. Reuses the registered query callables on the Spark side and
     their registered oracle SQL on the DuckDB side -- the scoreboard
     cannot drift from the methods it scores."""
+    # The exact leg has two consumers (hit join + denominator count);
+    # measured: leaving both in ONE lazy DAG (10.9 s) beats pinning with
+    # localCheckpoint (12.2 s) -- the materialization barrier costs more
+    # than re-deriving the 50-row exact top-k inside the fused plan.
     exact = knn_bruteforce_cosine(spark, sf_dir).select(
         "query_id", "match_id"
     )
