@@ -153,6 +153,7 @@ _ROUND6_FRONT = [
     "ann_recall_scoreboard",
     "curation_contamination_check",
     "layout_compaction_plan",
+    "er_quality_eval",
     # (b) code path changed in round 6
     "events_psi_drift",
     "er_fuzzy_match_master",

@@ -127,3 +127,74 @@ def er_fuzzy_match_master(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+def _er_eval_oracle() -> str:
+    """Composes the registered er_fuzzy_match_master oracle as a CTE (the
+    same reuse pattern as the ANN recall scoreboard), so the evaluated
+    matcher is definitionally the gated one."""
+    from .registry import ALL_ORACLES
+
+    return f"""
+WITH matched AS ({ALL_ORACLES['er_fuzzy_match_master']}),
+truth AS (
+  SELECT p_partkey AS dirty_id, p_name AS true_name FROM part
+),
+joined AS (
+  SELECT t.dirty_id, m.master_name,
+         CASE WHEN m.master_name = t.true_name THEN 1 ELSE 0 END AS correct
+  FROM truth t LEFT JOIN matched m ON m.dirty_id = t.dirty_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_dirty,
+       CAST(COUNT(master_name) AS BIGINT) AS n_matched,
+       CAST(SUM(correct) AS BIGINT) AS n_correct,
+       ROUND(CAST(SUM(correct) AS DOUBLE)
+             / NULLIF(COUNT(master_name), 0), 6) AS precision,
+       ROUND(CAST(SUM(correct) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM joined
+"""
+
+
+@query("er_quality_eval", oracle=_er_eval_oracle())
+def er_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution quality harness: because the dirty names are
+    SYNTHESIZED from the master (one deterministic character deletion),
+    ground truth is known exactly -- every dirty record's true master is
+    its source name's group. This scores the gated matcher against that
+    truth: n_matched (coverage), n_correct (the argmin survivor landed
+    on the true master), precision over matches, recall over all dirty
+    records -- the eval-harness sibling of text_langid_eval, and the
+    number a blocking/threshold change must not silently regress. The
+    blocking lemma guarantees the true candidate is always generated;
+    imperfection comes only from verify-threshold collisions (a
+    different master within levenshtein 2 winning the argmin) -- so this
+    also measures collision density of the name space. Composes the
+    registered query on the Spark side and its registered oracle SQL on
+    the DuckDB side (the ANN-scoreboard reuse pattern)."""
+    part = load_table(spark, sf_dir, "part")
+    truth = part.select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.col("p_name").alias("true_name"),
+    )
+    matched = er_fuzzy_match_master(spark, sf_dir).select(
+        "dirty_id", "master_name"
+    )
+    joined = truth.join(matched, "dirty_id", "left").select(
+        "master_name",
+        F.when(F.col("master_name") == F.col("true_name"), 1)
+        .otherwise(0)
+        .alias("correct"),
+    )
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_dirty"),
+        F.count("master_name").cast("bigint").alias("n_matched"),
+        F.sum("correct").cast("bigint").alias("n_correct"),
+        F.round(
+            F.sum("correct").cast("double")
+            / F.nullif(F.count("master_name"), F.lit(0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.sum("correct").cast("double") / F.count("*"), 6
+        ).alias("recall"),
+    )
