@@ -154,6 +154,7 @@ _ROUND6_FRONT = [
     "curation_contamination_check",
     "layout_compaction_plan",
     "er_quality_eval",
+    "profile_skew_advisor",
     # (b) code path changed in round 6
     "events_psi_drift",
     "er_fuzzy_match_master",

@@ -1226,3 +1226,86 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("file_day").cast("string").alias("first_day"),
         F.max("file_day").cast("string").alias("last_day"),
     )
+
+
+@query(
+    "profile_skew_advisor",
+    oracle="""
+WITH keys AS (
+  SELECT 'events.user_id' AS join_key, CAST(user_id AS VARCHAR) AS k
+  FROM events
+  UNION ALL
+  SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'lineitem.l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+),
+hist AS (
+  SELECT join_key, k, COUNT(*) AS key_rows
+  FROM keys GROUP BY 1, 2
+),
+prof AS (
+  SELECT join_key,
+         CAST(SUM(key_rows) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(key_rows) AS BIGINT) AS max_key_rows
+  FROM hist GROUP BY 1
+)
+SELECT join_key, n_rows, n_keys, max_key_rows,
+       ROUND(CAST(max_key_rows AS DOUBLE) * n_keys / n_rows, 6)
+         AS skew_ratio,
+       CAST((max_key_rows * 32 + n_rows - 1) // n_rows AS BIGINT)
+         AS recommended_salts
+FROM prof
+""",
+)
+def profile_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew advisor, completing the physical-design advisor family
+    (sort-key, Z-order, compaction): for each candidate shuffle key, the
+    exact key histogram's hot-key profile and a concrete salt
+    recommendation. skew_ratio = max_key_rows / mean_key_rows (1.0 =
+    uniform; >> 1 = a straggler partition at shuffle time);
+    recommended_salts = ceil(max_key_rows / (n_rows / 32)) -- the salt
+    count that spreads the hottest key across enough of the 32 shuffle
+    partitions to match the average partition's load (1 = no salting
+    needed; feeds operators/skew.py's salted join/agg directly). Two
+    hash aggregates per key (key histogram -> 1-row profile), exact
+    integers + one 6dp ratio; cost is one scan per profiled table
+    however large the fact tables get."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.lit("events.user_id").alias("join_key"),
+        F.col("user_id").cast("string").alias("k"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.lit("orders.o_custkey").alias("join_key"),
+        F.col("o_custkey").cast("string").alias("k"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem.l_suppkey").alias("join_key"),
+        F.col("l_suppkey").cast("string").alias("k"),
+    )
+    hist = (
+        ev.unionByName(orders)
+        .unionByName(li)
+        .groupBy("join_key", "k")
+        .agg(F.count("*").alias("key_rows"))
+    )
+    prof = hist.groupBy("join_key").agg(
+        F.sum("key_rows").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("key_rows").cast("bigint").alias("max_key_rows"),
+    )
+    return prof.select(
+        "join_key",
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.round(
+            F.col("max_key_rows").cast("double")
+            * F.col("n_keys")
+            / F.col("n_rows"),
+            6,
+        ).alias("skew_ratio"),
+        F.expr("(max_key_rows * 32 + n_rows - 1) div n_rows")
+        .cast("bigint")
+        .alias("recommended_salts"),
+    )
