@@ -155,6 +155,7 @@ _ROUND6_FRONT = [
     "layout_compaction_plan",
     "er_quality_eval",
     "profile_skew_advisor",
+    "ingest_auto_anti_join",
     # (b) code path changed in round 6
     "events_psi_drift",
     "er_fuzzy_match_master",

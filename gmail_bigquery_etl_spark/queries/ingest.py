@@ -319,3 +319,37 @@ def ingest_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.select("id", "bloom_checked").distinct(), "id"
     )
     return recs.dropDuplicates(["id"])
+
+
+@query(
+    "ingest_auto_anti_join",
+    oracle=_MSG_CTE
+    + """
+SELECT id, threadId, subject, sender, recipient, "timestamp", combined_labels
+FROM msgs
+WHERE event_type IN ('signup', 'purchase', 'click')
+  AND event_id % 3 <> 0
+""",
+)
+def ingest_auto_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The self-tuning J1 path (operators/incremental.
+    incremental_anti_join_auto): the physical anti-join strategy --
+    broadcast / Bloom-prefilter / shuffle -- is chosen from Catalyst's
+    plan-time size estimate of the sink id projection instead of a
+    caller flag. Same oracle as ingest_incremental / ingest_shuffle_
+    anti_join / ingest_bloom_prefilter: whatever regime the estimate
+    picks (broadcast at these SFs), the ANSWER must be the plain
+    anti-join result -- auto-mode is a plan decision, never a semantics
+    decision. Regime thresholds + per-regime plan shapes are pinned in
+    tests/test_plans.py::test_auto_anti_join_regimes."""
+    from ..functions.headers import label_predicate
+    from ..operators.incremental import (
+        extract_email_records,
+        incremental_anti_join_auto,
+    )
+
+    msgs = gmail_messages_from_events(spark, sf_dir)
+    existing = existing_sink_ids(spark, sf_dir)
+    fresh = msgs.filter(label_predicate("labelIds"))
+    kept = incremental_anti_join_auto(fresh, existing, "id")
+    return extract_email_records(kept).dropDuplicates(["id"])
