@@ -103,7 +103,14 @@ def qsketch_quantiles(
     contains the exact rank-selected element, so est_lo <= exact
     quantile <= est_hi with relative error 2^-(sub_bits-1). All-integer
     walk: rank target via truncating-division ceil trick, cumulative
-    window over (e, m)."""
+    window over (e, m).
+
+    Plan note: with no group columns the cumulative window is a single
+    global partition -- deliberately fine, because it runs on the
+    SKETCH'S CELL TABLE (a few thousand rows bounded by sub_bits and
+    the value range, regardless of corpus size), never on the data.
+    The data-proportional work is only the build's partial+final hash
+    aggregate."""
     group_cols = group_cols or []
     spark = cells.sparkSession
     qdim = spark.createDataFrame(
