@@ -156,6 +156,7 @@ _ROUND6_FRONT = [
     "er_quality_eval",
     "profile_skew_advisor",
     "ingest_auto_anti_join",
+    "events_dashboard_topk",
     # (b) code path changed in round 6
     "events_psi_drift",
     "er_fuzzy_match_master",

@@ -1752,3 +1752,102 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q", F.col("delta_sec").cast("long").alias("delta_sec"))
     )
+
+
+@query(
+    "events_dashboard_topk",
+    oracle="""
+WITH ev AS (
+  SELECT date_trunc('hour', ts) AS w,
+         CAST(user_id AS VARCHAR) AS u,
+         event_type AS item
+  FROM events
+),
+h AS (
+  SELECT w,
+         CAST('0x' || substring(md5(u), 1, 8) AS BIGINT) % 256 AS bucket,
+         CAST('0x' || substring(md5(u), 9, 15) AS BIGINT) AS h60
+  FROM ev WHERE u IS NOT NULL
+),
+regs AS (
+  SELECT w, bucket,
+         MAX(CASE WHEN h60 = 0 THEN 61
+                  ELSE 61 - length(bin(h60)) END) AS reg
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT w,
+         CAST(SUM(CAST(1 AS BIGINT) << (61 - reg)) AS DECIMAL(38,0))
+           AS sum_nonempty,
+         COUNT(*) AS n_buckets
+  FROM regs GROUP BY 1
+),
+est0 AS (
+  SELECT w,
+         (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+           * 2305843009213693952.0
+           / CAST(sum_nonempty
+                  + CAST(256 - n_buckets AS DECIMAL(38,0))
+                    * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE)
+           AS raw,
+         256 - n_buckets AS zeros
+  FROM agg
+),
+hll AS (
+  SELECT w,
+         ROUND(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+                    THEN 256.0 * ln(256.0 / zeros)
+                    ELSE raw END, 6) AS hll_estimate
+  FROM est0
+),
+keyed AS (
+  SELECT w, item, CAST(w AS VARCHAR) || chr(1) || item AS ck FROM ev
+),
+dim AS (SELECT i FROM generate_series(0, 3) g(i)),
+cells AS (
+  SELECT d.i,
+         CAST('0x' || substring(md5(ck), d.i * 8 + 1, 8) AS BIGINT) % 1024
+           AS col,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM keyed CROSS JOIN dim d GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT w, item, ck FROM keyed),
+estc AS (
+  SELECT cand.w, cand.item, CAST(MIN(c.c) AS BIGINT) AS est_count
+  FROM cand CROSS JOIN dim d
+  JOIN cells c
+    ON c.i = d.i
+   AND c.col = CAST('0x' || substring(md5(cand.ck), d.i * 8 + 1, 8)
+                    AS BIGINT) % 1024
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT w, item, est_count,
+         ROW_NUMBER() OVER (PARTITION BY w ORDER BY est_count DESC, item)
+           AS rank
+  FROM estc
+)
+SELECT r.w AS window_start, h.hll_estimate, r.item,
+       CAST(r.rank AS INT) AS rank, r.est_count
+FROM ranked r JOIN hll h ON h.w = r.w
+WHERE r.rank <= 3
+""",
+)
+def events_dashboard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming sketch dashboard's VIEW, gated as a batch query:
+    per hour window, the hand-built-HLL distinct-user estimate next to
+    the top-3 heavy-hitter event types by CMS estimate -- the live-ops
+    panel the streaming sink maintains (streaming/sketches.py), computed
+    here from an inline batch build of the identical state triple
+    through the identical dashboard_view composition (the pytest parity
+    test proves stream-maintained state produces this same view). The
+    oracle REBUILDS both sketches relationally per window -- portable
+    md5-slice hashes on both engines -- so the composed dashboard is
+    bit-exact gated, not just its parts. Plan: two hash aggregates to
+    bounded sketch tables (720 windows x 256 registers; 4 x 1024 cells)
+    + an O(windows x items) estimate join; fact-table cost is two scans
+    however large events gets."""
+    from ..streaming.sketches import dashboard_batch_state, dashboard_view
+
+    ev = load_table(spark, sf_dir, "events")
+    return dashboard_view(dashboard_batch_state(ev), k=3)

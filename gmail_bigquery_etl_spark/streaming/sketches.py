@@ -261,16 +261,29 @@ def dashboard_topk(
     depth: int = 4,
     width: int = 1024,
 ) -> DataFrame:
-    """The dashboard VIEW: per window, the HLL distinct-user estimate and
-    the top-k heavy-hitter items by CMS estimate (deterministic (count
-    DESC, item) order). Pure composition over the committed snapshot --
-    runs identically on stream-maintained or batch-built state."""
+    """The dashboard VIEW over the committed snapshot -- runs identically
+    on stream-maintained or batch-built state."""
+    return dashboard_view(
+        read_dashboard(spark, sink_root), k=k, m=m, depth=depth, width=width
+    )
+
+
+def dashboard_view(
+    state: dict[str, DataFrame],
+    k: int = 3,
+    m: int = 256,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Per window: the HLL distinct-user estimate and the top-k
+    heavy-hitter items by CMS estimate (deterministic (count DESC, item)
+    order). Pure composition over a state triple -- the same function
+    serves the streaming sink's snapshot and an inline batch build
+    (which is how the events_dashboard_topk gate query runs it)."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     from ..operators.hll import hll_estimate
-
-    state = read_dashboard(spark, sink_root)
     est = hll_estimate(state["hll"], group_cols=["window_start"], m=m)
     cand = state["dict"].select(
         "window_start",
