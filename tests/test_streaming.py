@@ -1007,3 +1007,57 @@ def test_streaming_qsketch_equals_batch_build(spark, replay_dir, tmp_path):
         sink,
     )
     assert cells(read_qsketch(spark, sink)) == before
+
+
+def test_dashboard_survives_checkpoint_restart(spark, tmp_path):
+    """Dashboard maintenance across a STOP/RESTART: drain half the
+    corpus, stop, land the second half, restart a new query on the SAME
+    checkpoint and sink. The final triple equals the whole-fixture batch
+    build -- possible only if the restarted query resumed source offsets
+    (no re-merge of committed files through the additive CMS) and
+    continued batch ids past the pointer's high-water mark (the replay
+    guard must not swallow the genuinely new batches)."""
+    from gmail_bigquery_etl_spark.streaming.sketches import (
+        dashboard_batch_state,
+        read_dashboard,
+        start_dashboard_maintenance,
+    )
+
+    ev = load_table(spark, SMOKE_SF, "events").select(
+        "ts", "user_id", "event_type"
+    )
+    cutoff = ev.agg(F.expr("percentile(cast(ts as double), 0.5)")).first()[0]
+    live = str(tmp_path / "live")
+    sink = str(tmp_path / "dash2_sink")
+    ckpt = str(tmp_path / "dash2_ckpt")
+
+    first = ev.where(F.col("ts").cast("double") <= cutoff)
+    second = ev.where(F.col("ts").cast("double") > cutoff)
+    first.coalesce(2).write.mode("overwrite").parquet(live)
+
+    def run():
+        schema = spark.read.parquet(live).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+        q = start_dashboard_maintenance(stream, sink, ckpt)
+        q.awaitTermination(300)
+        assert not q.isActive
+
+    run()
+    mid = read_dashboard(spark, sink)
+    assert mid["dict"].count() > 0
+
+    second.coalesce(2).write.mode("append").parquet(live)
+    run()
+
+    want = dashboard_batch_state(ev)
+    got = read_dashboard(spark, sink)
+
+    def keyset(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    for name in ("hll", "cms", "dict"):
+        assert keyset(got[name]) == keyset(want[name]), name
