@@ -35,13 +35,21 @@ OPS = [
 def _time(spark, name: str, sf_dir: str) -> tuple[float, int]:
     """Best-of-2: the second run reuses warmed code paths/file cache, so the
     min isolates the operator cost from cold-plan + GC noise (which at this
-    toy scale can exceed the operator itself)."""
+    toy scale can exceed the operator itself).
+
+    Timing materializes via the NOOP WRITER, not count(): count() over a
+    global (no-grouping) aggregate lets Catalyst rewrite the whole child
+    away (a global agg always has exactly one row), which benched
+    er_quality_eval at 0.4 s while the real computation costs ~7 s at 10x.
+    The row count is taken untimed afterwards."""
     best = None
     for _ in range(2):
         t0 = time.time()
-        n = ALL_QUERIES[name](spark, sf_dir).count()
+        df = ALL_QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
+    n = ALL_QUERIES[name](spark, sf_dir).count()
     return best, n
 
 

@@ -171,6 +171,36 @@ def replicate_lineitem(spark, src: str, dst: str, mult: int) -> int:
     return out.count()
 
 
+def replicate_part(spark, src: str, dst: str, mult: int) -> int:
+    """Replica k shifts p_partkey by k*STRIDE and prefixes every name
+    token with a per-replica tag -- names are DISJOINT across replicas,
+    so the ER master grows mult-fold (mult-x distinct names) and the
+    blocking joins see mult-x keys rather than mult-x-deep collision
+    buckets: the realistic way a master dimension scales."""
+    part = spark.read.parquet(os.path.join(src, "part.parquet"))
+    others = [c for c in part.columns if c not in ("p_partkey", "p_name")]
+    parts = []
+    for k in range(mult):
+        if k == 0:
+            parts.append(part)
+            continue
+        prefix = f"r{k}x"
+        parts.append(
+            part.select(
+                (F.col("p_partkey") + k * ID_STRIDE).alias("p_partkey"),
+                F.concat(F.lit(prefix), F.col("p_name")).alias("p_name"),
+                *others,
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionAll(p_)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst, "part.parquet")
+    )
+    return out.count()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
@@ -178,7 +208,7 @@ def main() -> None:
     ap.add_argument("--dst", default="scratch/sf1")
     ap.add_argument(
         "--tables",
-        default="documents,embeddings,events,orders,lineitem",
+        default="documents,embeddings,events,orders,lineitem,part",
         help="comma list of tables to replicate",
     )
     args = ap.parse_args()
@@ -196,6 +226,8 @@ def main() -> None:
         counts["lineitem"] = replicate_lineitem(spark, args.src, args.dst, args.mult)
     if "orders" in tables:
         counts["orders"] = replicate_orders(spark, args.src, args.dst, args.mult)
+    if "part" in tables:
+        counts["part"] = replicate_part(spark, args.src, args.dst, args.mult)
     print(f"wrote {args.dst}: " + " ".join(f"{k}={v}" for k, v in counts.items()))
 
 
