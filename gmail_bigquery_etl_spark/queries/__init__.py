@@ -157,6 +157,7 @@ _ROUND6_FRONT = [
     "profile_skew_advisor",
     "ingest_auto_anti_join",
     "events_dashboard_topk",
+    "warehouse_snapshot_history",
     # (b) code path changed in round 6
     "events_psi_drift",
     "er_fuzzy_match_master",

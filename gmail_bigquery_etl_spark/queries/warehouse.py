@@ -1054,6 +1054,51 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qsketch_quantiles(qsketch_merge(a, b), [500, 900, 950, 990])
 
 
+def _time_travel_generations(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the three deterministic CDC generations (shared by
+    warehouse_time_travel_diff and warehouse_snapshot_history) through
+    the real snapshot-pointer machinery; returns the sink root."""
+    import tempfile
+
+    from ..streaming.merge_sink import apply_merge_batch
+
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    c1, c2 = "1997-01-01", "1999-01-01"
+    sums = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.when(F.col("o_orderdate") < c1, dec))
+        .cast("decimal(28,4)")
+        .alias("s0"),
+        F.sum(F.when(F.col("o_orderdate") < c2, dec))
+        .cast("decimal(28,4)")
+        .alias("s1"),
+        F.sum(dec).cast("decimal(28,4)").alias("s2"),
+        F.count(F.when(F.col("o_orderdate") < c1, 1)).alias("n0"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") >= c1) & (F.col("o_orderdate") < c2), 1
+            )
+        ).alias("n1"),
+        F.count(F.when(F.col("o_orderdate") >= c2, 1)).alias("n2"),
+    )
+    b0 = sums.where(F.col("n0") > 0).select(
+        "k", F.col("s0").alias("bal"), F.lit(False).alias("is_delete")
+    )
+    b1 = sums.where(F.col("n1") > 0).select(
+        "k",
+        F.col("s1").alias("bal"),
+        (F.col("k") % 10 == 0).alias("is_delete"),
+    )
+    b2 = sums.where(F.col("n2") > 0).select(
+        "k", F.col("s2").alias("bal"), F.lit(False).alias("is_delete")
+    )
+    root = tempfile.mkdtemp(prefix="time_travel_sink_")
+    for i, b in enumerate([b0, b1, b2]):
+        apply_merge_batch(spark, b, i, root, ["k"])
+    return root
+
+
+
 @query(
     "warehouse_time_travel_diff",
     oracle="""
@@ -1106,43 +1151,9 @@ def warehouse_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     'state after batch k'. The sink write is per-call temp storage
     (O(customer) rows x 3 generations); retention/vacuum semantics are
     pytest-gated in tests/test_merge.py."""
-    import tempfile
+    from ..streaming.merge_sink import read_as_of
 
-    from ..streaming.merge_sink import apply_merge_batch, read_as_of
-
-    orders = load_table(spark, sf_dir, "orders")
-    dec = F.col("o_totalprice").cast("decimal(18,4)")
-    c1, c2 = "1997-01-01", "1999-01-01"
-    sums = orders.groupBy(F.col("o_custkey").alias("k")).agg(
-        F.sum(F.when(F.col("o_orderdate") < c1, dec))
-        .cast("decimal(28,4)")
-        .alias("s0"),
-        F.sum(F.when(F.col("o_orderdate") < c2, dec))
-        .cast("decimal(28,4)")
-        .alias("s1"),
-        F.sum(dec).cast("decimal(28,4)").alias("s2"),
-        F.count(F.when(F.col("o_orderdate") < c1, 1)).alias("n0"),
-        F.count(
-            F.when(
-                (F.col("o_orderdate") >= c1) & (F.col("o_orderdate") < c2), 1
-            )
-        ).alias("n1"),
-        F.count(F.when(F.col("o_orderdate") >= c2, 1)).alias("n2"),
-    )
-    b0 = sums.where(F.col("n0") > 0).select(
-        "k", F.col("s0").alias("bal"), F.lit(False).alias("is_delete")
-    )
-    b1 = sums.where(F.col("n1") > 0).select(
-        "k",
-        F.col("s1").alias("bal"),
-        (F.col("k") % 10 == 0).alias("is_delete"),
-    )
-    b2 = sums.where(F.col("n2") > 0).select(
-        "k", F.col("s2").alias("bal"), F.lit(False).alias("is_delete")
-    )
-    root = tempfile.mkdtemp(prefix="time_travel_sink_")
-    for i, b in enumerate([b0, b1, b2]):
-        apply_merge_batch(spark, b, i, root, ["k"])
+    root = _time_travel_generations(spark, sf_dir)
     v1 = read_as_of(spark, root, 1).select("k", F.col("bal").alias("bal_v1"))
     v2 = read_as_of(spark, root, 2).select("k", F.col("bal").alias("bal_v2"))
     return (
@@ -1309,3 +1320,63 @@ def profile_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recommended_salts"),
     )
+
+
+@query(
+    "warehouse_snapshot_history",
+    oracle="""
+WITH sums AS (
+  SELECT o_custkey AS k,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s0,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s1,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS s2,
+    COUNT(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 END) AS n0,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1999-01-01' THEN 1 END) AS n1,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 END) AS n2
+  FROM orders GROUP BY 1
+),
+v0 AS (SELECT k, s0 AS bal FROM sums WHERE n0 > 0),
+v1 AS (
+  SELECT k, CASE WHEN n1 > 0 THEN s1 ELSE s0 END AS bal
+  FROM sums
+  WHERE (n0 > 0 OR n1 > 0) AND NOT (n1 > 0 AND k % 10 = 0)
+),
+v2 AS (
+  SELECT k, CASE WHEN n2 > 0 THEN s2 WHEN n1 > 0 THEN s1 ELSE s0 END AS bal
+  FROM sums
+  WHERE NOT (n2 = 0 AND n1 > 0 AND k % 10 = 0)
+    AND (n0 > 0 OR n1 > 0 OR n2 > 0)
+)
+SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(bal) AS DECIMAL(38,4)) AS total_bal FROM v0
+UNION ALL
+SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(bal) AS DECIMAL(38,4)) FROM v1
+UNION ALL
+SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(bal) AS DECIMAL(38,4)) FROM v2
+""",
+)
+def warehouse_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for the snapshot sink: one row per retained
+    version with its row count and total balance, read through
+    ``read_as_of`` against every version ``list_versions`` reports --
+    the commit-log audit a table format surfaces as metadata, here
+    derived by actually opening each retained snapshot. The oracle
+    recomputes every historical state relationally, so the gate proves
+    the ENTIRE retained history (not just the two versions the diff
+    query reads) equals the set-theoretic state-after-batch-k."""
+    from ..streaming.merge_sink import list_versions, read_as_of
+
+    root = _time_travel_generations(spark, sf_dir)
+    parts = None
+    for v in list_versions(root):
+        snap = read_as_of(spark, root, v).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("bal").cast("decimal(38,4)").alias("total_bal"),
+        ).select(F.lit(v).alias("version"), "n_rows", "total_bal")
+        parts = snap if parts is None else parts.unionByName(snap)
+    return parts
