@@ -158,6 +158,7 @@ _ROUND6_FRONT = [
     "ingest_auto_anti_join",
     "events_dashboard_topk",
     "warehouse_snapshot_history",
+    "agg_quantile_bins",
     # (b) code path changed in round 6
     "events_psi_drift",
     "er_fuzzy_match_master",

@@ -1380,3 +1380,91 @@ def warehouse_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(v).alias("version"), "n_rows", "total_bal")
         parts = snap if parts is None else parts.unionByName(snap)
     return parts
+
+
+@query(
+    "agg_quantile_bins",
+    oracle="""
+WITH pos AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0
+),
+cells AS (
+  SELECT length(bin(v)) AS e,
+         v >> greatest(length(bin(v)) - 8, 0) AS m,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pos GROUP BY 1, 2
+),
+cum AS (
+  SELECT e, m, CAST(SUM(cnt) OVER (ORDER BY e, m) AS BIGINT) AS cum
+  FROM cells
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cells),
+qdim AS (SELECT * FROM (VALUES (100),(200),(300),(400),(500),(600),(700),
+                               (800),(900)) q(q_permille)),
+hits AS (
+  SELECT q.q_permille, (c.m << greatest(c.e - 8, 0)) AS boundary,
+         ROW_NUMBER() OVER (PARTITION BY q.q_permille ORDER BY c.e, c.m)
+           AS rn
+  FROM cum c CROSS JOIN tot t
+  JOIN qdim q ON c.cum * 1000 >= q.q_permille * t.total
+),
+bounds AS (SELECT q_permille, boundary FROM hits WHERE rn = 1),
+assigned AS (
+  SELECT p.v,
+         CAST((SELECT COUNT(*) FROM bounds b WHERE b.boundary <= p.v)
+              AS BIGINT) AS bucket
+  FROM pos p
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(v) AS BIGINT) AS lo_cents, CAST(MAX(v) AS BIGINT) AS hi_cents
+FROM assigned GROUP BY 1
+""",
+)
+def agg_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning THROUGH the sketch -- the composition a feature
+    pipeline runs at 100 TB (equal-frequency bucketize without a global
+    sort): build the base-2 quantile sketch once, walk out the nine
+    decile boundaries (each a bucket lower bound, exact integers), then
+    assign every order its decile as the count of boundaries <= its
+    cents value (a 9-row broadcast compare, map-side). Bucket
+    populations are approximately equal within the sketch's relative-
+    error contract -- visible in the gated n_orders column -- and the
+    assignment is bit-deterministic on both engines. Plan: one
+    partial+final agg (build) + O(cells) walk + one broadcast
+    crossJoin/conditional-count over the facts; no sort, no repeated
+    scan per decile."""
+    from ..operators.quantile import (
+        _cents,
+        qsketch_build,
+        qsketch_quantiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    sk = qsketch_build(orders, "o_totalprice")
+    bounds = qsketch_quantiles(
+        sk, [100, 200, 300, 400, 500, 600, 700, 800, 900]
+    ).select(F.col("est_lo").alias("boundary"))
+    pos = orders.where(F.col("o_totalprice").isNotNull()).select(
+        _cents(F.col("o_totalprice"), 100).alias("v")
+    ).where(F.col("v") > 0)
+    # reduce to DISTINCT values first (v alone determines its bucket,
+    # and the multiplicity must not scale the boundary count), so the
+    # crossJoin touches distinct values x 9, not rows x 9
+    vals = pos.groupBy("v").agg(F.count("*").alias("_d"))
+    assigned = (
+        vals.crossJoin(F.broadcast(bounds))
+        .groupBy("v", "_d")
+        .agg(
+            F.count(F.when(F.col("boundary") <= F.col("v"), 1))
+            .cast("bigint")
+            .alias("bucket")
+        )
+    )
+    return assigned.groupBy("bucket").agg(
+        F.sum("_d").cast("bigint").alias("n_orders"),
+        F.min("v").cast("bigint").alias("lo_cents"),
+        F.max("v").cast("bigint").alias("hi_cents"),
+    )

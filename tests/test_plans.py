@@ -117,6 +117,9 @@ _ALLOWED_NLJ = {
     # unions the sq8/ivf_sq8/pq/pq_rerank legs (inheriting their bounded
     # query-block NLJs) + a 1-row exact-count crossJoin
     "ann_recall_scoreboard",
+    # quantile-sketch walk (as above) + broadcast crossJoin of the 9-row
+    # decile-boundary table against the distinct-values projection
+    "agg_quantile_bins",
     }
 
 # Build-side row bound for every allowlisted NLJ: the biggest legitimate
