@@ -120,6 +120,9 @@ _ALLOWED_NLJ = {
     # quantile-sketch walk (as above) + broadcast crossJoin of the 9-row
     # decile-boundary table against the distinct-values projection
     "agg_quantile_bins",
+    # dashboard view: the CMS 4-row depth-dim crossJoins (build + the
+    # candidate estimate probe), same class as text_cms_heavy_hitters
+    "events_dashboard_topk",
     }
 
 # Build-side row bound for every allowlisted NLJ: the biggest legitimate
