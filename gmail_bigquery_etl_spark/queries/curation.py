@@ -727,7 +727,12 @@ def curation_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval set -- the standard n-gram-overlap decontamination pass every
     serious LLM training corpus runs against its benchmarks (GPT-3
     appendix-C style, 13-grams there; 5-grams here to suit the fixture's
-    short documents). Eval set = the base docs with doc_id % 10 == 0;
+    short documents). Complements docs_contamination_check (above):
+    that one is the split-level SUMMARY over a hash train/test split of
+    the raw corpus; this one emits PER-DOCUMENT rates over the
+    augmented corpus, whose planted verbatim (+100000) and near
+    (+200000) copies of eval docs are exactly the leak the pass must
+    flag at rate ~1.0 -- a positive-control gate, not just a count. Eval set = the base docs with doc_id % 10 == 0;
     training corpus = the augmented corpus minus those, which by
     construction contains their verbatim copies (+100000) and near
     copies (+200000) -- exactly the leak this pass exists to catch
