@@ -1061,3 +1061,51 @@ def test_dashboard_survives_checkpoint_restart(spark, tmp_path):
 
     for name in ("hll", "cms", "dict"):
         assert keyset(got[name]) == keyset(want[name]), name
+
+
+def test_vacuum_applies_to_sketch_sinks(spark, tmp_path):
+    """The retention knob is one mechanism for every snapshot-pointer
+    sink: vacuuming a dashboard sink (whose snapshots are DIRECTORIES of
+    three tables) and a quantile sink drops old generations, keeps the
+    pointer target readable, and the replay guard still works off the
+    surviving pointer."""
+    from gmail_bigquery_etl_spark.streaming.merge_sink import (
+        list_versions,
+        vacuum,
+    )
+    from gmail_bigquery_etl_spark.streaming.sketches import (
+        apply_dashboard_batch,
+        apply_qsketch_batch,
+        read_dashboard,
+        read_qsketch,
+    )
+
+    ev = load_table(spark, SMOKE_SF, "events").select(
+        "ts", "user_id", "event_type", "value"
+    )
+    dsink = str(tmp_path / "v_dash")
+    qsink = str(tmp_path / "v_q")
+    for i in range(3):
+        chunk = ev.where(F.col("event_id") % 3 == i) if "event_id" in ev.columns else ev.limit(100 * (i + 1))
+        apply_dashboard_batch(spark, chunk, i, dsink)
+        apply_qsketch_batch(spark, chunk.select("value"), i, "value", qsink)
+
+    for sink, reader in ((dsink, read_dashboard), (qsink, read_qsketch)):
+        assert vacuum(sink, keep_last=1) == [0, 1]
+        assert list_versions(sink) == [2]
+        state = reader(spark, sink)
+        n = (
+            sum(df.count() for df in state.values())
+            if isinstance(state, dict)
+            else state.count()
+        )
+        assert n > 0
+    # replay guard still keyed off the surviving pointer
+    before = {
+        (r.e, r.m): r.cnt for r in read_qsketch(spark, qsink).collect()
+    }
+    apply_qsketch_batch(spark, ev.select("value").limit(5), 1, "value", qsink)
+    after = {
+        (r.e, r.m): r.cnt for r in read_qsketch(spark, qsink).collect()
+    }
+    assert after == before
