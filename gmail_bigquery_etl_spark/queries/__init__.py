@@ -159,6 +159,7 @@ _ROUND6_FRONT = [
     "events_dashboard_topk",
     "warehouse_snapshot_history",
     "agg_quantile_bins",
+    "agg_quantile_sketch_grouped",
     # (b) code path changed in round 6
     "events_psi_drift",
     "er_fuzzy_match_master",

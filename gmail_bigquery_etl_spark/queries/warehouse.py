@@ -1468,3 +1468,57 @@ def agg_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").cast("bigint").alias("lo_cents"),
         F.max("v").cast("bigint").alias("hi_cents"),
     )
+
+
+@query(
+    "agg_quantile_sketch_grouped",
+    oracle="""
+WITH pos AS (
+  SELECT o_orderstatus AS g, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0
+),
+cells AS (
+  SELECT g, length(bin(v)) AS e,
+         v >> greatest(length(bin(v)) - 8, 0) AS m,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pos GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT g, e, m,
+         CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY e, m) AS BIGINT) AS cum
+  FROM cells
+),
+tot AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS total FROM cells GROUP BY 1),
+qdim AS (SELECT * FROM (VALUES (500),(950)) q(q_permille)),
+hits AS (
+  SELECT c.g, q.q_permille,
+         (c.m << greatest(c.e - 8, 0)) AS est_lo,
+         (((c.m + 1) << greatest(c.e - 8, 0)) - 1) AS est_hi,
+         ROW_NUMBER() OVER (PARTITION BY c.g, q.q_permille
+                            ORDER BY c.e, c.m) AS rn
+  FROM cum c JOIN tot t ON t.g = c.g
+  JOIN qdim q ON c.cum * 1000 >= q.q_permille * t.total
+)
+SELECT g AS o_orderstatus, q_permille, est_lo, est_hi
+FROM hits WHERE rn = 1
+""",
+)
+def agg_quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch's GROUPED path as a gate row (the global path
+    and the merge identity are gated by agg_quantile_sketch): p50/p95
+    bucket bounds of o_totalprice per order status, each group walking
+    only its own cells. This is the 100 TB profiling shape -- one
+    partial+final hash aggregate to per-group cell tables, then an
+    O(groups x cells) window walk; high-cardinality grouping stays one
+    shuffle because the cell table is bounded PER GROUP."""
+    from ..operators.quantile import qsketch_build, qsketch_quantiles
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderstatus", "g"
+    )
+    sk = qsketch_build(orders, "o_totalprice", group_cols=["g"])
+    return qsketch_quantiles(sk, [500, 950], group_cols=["g"]).select(
+        F.col("g").alias("o_orderstatus"), "q_permille", "est_lo", "est_hi"
+    )

@@ -123,6 +123,8 @@ _ALLOWED_NLJ = {
     # dashboard view: the CMS 4-row depth-dim crossJoins (build + the
     # candidate estimate probe), same class as text_cms_heavy_hitters
     "events_dashboard_topk",
+    # grouped quantile walk: same 2-row q_permille broadcast NLJ
+    "agg_quantile_sketch_grouped",
     }
 
 # Build-side row bound for every allowlisted NLJ: the biggest legitimate
