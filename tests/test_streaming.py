@@ -1109,3 +1109,65 @@ def test_vacuum_applies_to_sketch_sinks(spark, tmp_path):
         (r.e, r.m): r.cnt for r in read_qsketch(spark, qsink).collect()
     }
     assert after == before
+
+
+def test_streaming_ivf_index_matches_batch_assignment(spark, tmp_path):
+    """Incremental ANN index maintenance (frozen quantizer + streamed
+    assignments): after draining a replayed embeddings stream, the
+    maintained (vec_id, cell) table equals a one-shot batch assignment
+    of the whole fixture with the SAME persisted quantizer; a second
+    run over extra vectors with the same checkpoint extends the index
+    without reprocessing; a stale batch id no-ops."""
+    from gmail_bigquery_etl_spark.operators.similarity import ivf_assign
+    from gmail_bigquery_etl_spark.streaming.ann_index import (
+        apply_index_batch,
+        load_quantizer,
+        read_index,
+        start_index_maintenance,
+        train_quantizer,
+    )
+
+    emb = load_table(spark, SMOKE_SF, "embeddings")
+    sink = str(tmp_path / "ivf_sink")
+    ckpt = str(tmp_path / "ivf_ckpt")
+    live = str(tmp_path / "ivf_live")
+    train_quantizer(emb, sink)
+    cents = load_quantizer(sink)
+
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    half.coalesce(3).write.mode("overwrite").parquet(live)
+
+    def run():
+        schema = spark.read.parquet(live).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+        q = start_index_maintenance(stream, sink, ckpt)
+        q.awaitTermination(300)
+        assert not q.isActive
+
+    run()
+    got_half = {
+        r.vec_id: r.cell for r in read_index(spark, sink).collect()
+    }
+    assert len(got_half) == half.count()
+
+    rest.coalesce(3).write.mode("append").parquet(live)
+    run()  # restart on the same checkpoint: only the new files process
+
+    got = {r.vec_id: r.cell for r in read_index(spark, sink).collect()}
+    want = {
+        r.vec_id: r.cell
+        for r in emb.select(
+            "vec_id", ivf_assign("embedding", cents).cast("int").alias("cell")
+        ).collect()
+    }
+    assert got == want and len(got) == emb.count()
+
+    apply_index_batch(spark, emb.limit(3), 0, sink)  # stale id: no-op
+    assert {
+        r.vec_id: r.cell for r in read_index(spark, sink).collect()
+    } == got
