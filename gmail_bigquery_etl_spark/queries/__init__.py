@@ -160,6 +160,7 @@ _ROUND6_FRONT = [
     "warehouse_snapshot_history",
     "agg_quantile_bins",
     "agg_quantile_sketch_grouped",
+    "ann_incremental_index_stats",
     # (b) code path changed in round 6
     "events_psi_drift",
     "er_fuzzy_match_master",

@@ -901,3 +901,42 @@ def ann_recall_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("recall"),
     )
+
+
+def _incremental_index_oracle() -> str:
+    """Same per-cell occupancy spec as ann_ivf_cells -- the maintained
+    index must agree with the direct relational assignment."""
+    from .registry import ALL_ORACLES
+
+    return ALL_ORACLES["ann_ivf_cells"]
+
+
+@query("ann_incremental_index_stats", oracle=_incremental_index_oracle())
+def ann_incremental_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTALLY-MAINTAINED IVF index, gated against the direct
+    assignment spec: the quantizer is trained and frozen (persisted
+    beside the sink), the corpus arrives as two micro-batches through
+    the real snapshot-pointer index sink (streaming/ann_index.
+    apply_index_batch -- the exact code path the streaming maintenance
+    runs), and the final index's per-cell occupancy must equal
+    ann_ivf_cells' one-shot relational assignment. Proves the
+    production index-growth path (new vectors never re-scan old ones)
+    computes the same index a from-scratch build would."""
+    import tempfile
+
+    from ..streaming.ann_index import (
+        apply_index_batch,
+        read_index,
+        train_quantizer,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ivf_index_sink_")
+    train_quantizer(emb, root)
+    apply_index_batch(spark, emb.where(F.col("vec_id") % 2 == 0), 0, root)
+    apply_index_batch(spark, emb.where(F.col("vec_id") % 2 == 1), 1, root)
+    return (
+        read_index(spark, root)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+    )
