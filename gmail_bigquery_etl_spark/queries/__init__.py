@@ -161,6 +161,7 @@ _ROUND6_FRONT = [
     "agg_quantile_bins",
     "agg_quantile_sketch_grouped",
     "ann_incremental_index_stats",
+    "hybrid_retrieval_rrf",
     # (b) code path changed in round 6
     "events_psi_drift",
     "er_fuzzy_match_master",

@@ -169,3 +169,99 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def _hybrid_oracle() -> str:
+    """Text leg = the registered BM25 oracle as a CTE; vector leg =
+    knn-style exact cosine with the SAME query block (doc/vec ids share
+    one id space in the fixtures); fusion = RRF, the ann_rrf_fusion
+    formula."""
+    from .registry import ALL_ORACLES
+    from .similarity import _SQL_COSINE
+
+    return f"""
+WITH text_top AS ({ALL_ORACLES['text_bm25_topk']}),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+vscored AS (
+  SELECT q.query_id, c.vec_id AS match_id,
+         {_SQL_COSINE.format(a='q.q_vec', b='c.embedding')} AS score
+  FROM embeddings c, q
+  WHERE c.vec_id <> q.query_id
+),
+v_ranked AS (
+  SELECT query_id, match_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC,
+                            match_id) AS rnk
+  FROM vscored
+),
+vec_top AS (SELECT query_id, match_id, rnk FROM v_ranked WHERE rnk <= 10),
+fused AS (
+  SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+         COALESCE(t.doc_id, v.match_id) AS match_id,
+         COALESCE(1.0 / (60 + t.rnk), 0.0)
+           + COALESCE(1.0 / (60 + v.rnk), 0.0) AS rrf
+  FROM text_top t
+  FULL JOIN vec_top v
+    ON v.query_id = t.query_id AND v.match_id = t.doc_id
+),
+ranked AS (
+  SELECT query_id, match_id, rrf,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC,
+                            match_id) AS rank
+  FROM fused
+)
+SELECT query_id, match_id, CAST(rank AS INT) AS rank,
+       ROUND(rrf, 6) AS rrf
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("hybrid_retrieval_rrf", oracle=_hybrid_oracle())
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL hybrid retrieval -- the shape every modern RAG stack
+    runs: the lexical ranker (BM25 over the distributed inverted index)
+    and the dense ranker (exact embedding cosine) score the SAME query
+    block (documents and embeddings share one id space in the
+    fixtures; queries are every 100th id, matching the BM25 gate), and
+    reciprocal-rank fusion merges the two top-10 lists score-free
+    (RRF = sum 1/(60+rank), robust to the incomparable scales). Reuses
+    the registered BM25 query on the Spark side and its registered
+    oracle as a CTE on the DuckDB side (the scoreboard pattern), so the
+    text leg cannot drift from its own gate; fusion is one full-outer
+    join + re-rank window, exact small-rational doubles."""
+    from ..operators.similarity import brute_force_topk
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    text_top = text_bm25_topk(spark, sf_dir).select(
+        "query_id",
+        F.col("doc_id").alias("match_id"),
+        F.col("rnk").alias("t_rnk"),
+    )
+    vec_top = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=10
+    ).select("query_id", "match_id", F.col("rank").alias("v_rnk"))
+    fused = text_top.join(
+        vec_top, ["query_id", "match_id"], "full_outer"
+    ).select(
+        "query_id",
+        "match_id",
+        (
+            F.coalesce(1.0 / (60 + F.col("t_rnk")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("v_rnk")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("match_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "match_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("rrf", 6).alias("rrf"),
+        )
+    )

@@ -125,6 +125,9 @@ _ALLOWED_NLJ = {
     "events_dashboard_topk",
     # grouped quantile walk: same 2-row q_permille broadcast NLJ
     "agg_quantile_sketch_grouped",
+    # dense leg inherits knn's bounded-query-block NLJ; text leg is the
+    # BM25 1-row corpus-stats crossJoin
+    "hybrid_retrieval_rrf",
     }
 
 # Build-side row bound for every allowlisted NLJ: the biggest legitimate
