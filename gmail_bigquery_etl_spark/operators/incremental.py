@@ -241,6 +241,7 @@ def choose_anti_join_strategy(
     existing: DataFrame,
     broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
     bloom_max_bytes: int = BLOOM_MAX_BYTES,
+    key: str | None = None,
 ) -> str:
     """'broadcast' | 'bloom' | 'shuffle' from the build side's estimated
     bytes. Rungs: a small id set ships whole (one broadcast, zero
@@ -248,8 +249,16 @@ def choose_anti_join_strategy(
     <= m-row Bloom bit table still broadcasts, pruning
     definitely-absent probes before the residual shuffle join; a huge
     set saturates any bounded-m filter (all bits set => no pruning, pure
-    overhead), so it goes straight to the shuffle anti-join."""
-    est = estimate_plan_bytes(existing)
+    overhead), so it goes straight to the shuffle anti-join.
+
+    When ``key`` is given, the estimate is taken on the KEY PROJECTION
+    (what the anti-join actually ships as its build side), not the full
+    relation -- a wide sink table must not push auto-mode off the
+    broadcast rung when its id column alone broadcasts comfortably.
+    Catalyst's Project stats scale sizeInBytes by the output/input row
+    width ratio, so this stays a free plan-time estimate."""
+    build = existing.select(key) if key is not None else existing
+    est = estimate_plan_bytes(build)
     if est <= broadcast_max_bytes:
         return "broadcast"
     if est <= bloom_max_bytes:
@@ -277,7 +286,7 @@ def incremental_anti_join_auto(
     plan-test-pinned in tests/test_plans.py."""
     if mode == "auto":
         mode = choose_anti_join_strategy(
-            existing, broadcast_max_bytes, bloom_max_bytes
+            existing, broadcast_max_bytes, bloom_max_bytes, key=key
         )
     if mode == "broadcast":
         return incremental_anti_join(incoming, existing, key, True)

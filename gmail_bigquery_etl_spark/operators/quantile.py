@@ -110,26 +110,28 @@ def qsketch_quantiles(
     SKETCH'S CELL TABLE (a few thousand rows bounded by sub_bits and
     the value range, regardless of corpus size), never on the data.
     The data-proportional work is only the build's partial+final hash
-    aggregate."""
+    aggregate. The per-group total is an UNBOUNDED window over the same
+    cell frame, not a separate aggregate+join: a second reference to
+    ``cells`` would duplicate its whole build subtree in the plan --
+    including the data scan -- turning every N-column profiling pass
+    into 2N scans (plan-asserted single-scan in tests/test_plans.py)."""
     group_cols = group_cols or []
     spark = cells.sparkSession
     qdim = spark.createDataFrame(
         [(q,) for q in permille], "q_permille int"
     )
     w = Window.partitionBy(*group_cols).orderBy("e", "m")
+    wt = Window.partitionBy(*group_cols)
     cum = cells.select(
         *group_cols,
         "e",
         "m",
         "cnt",
         F.sum("cnt").over(w).alias("cum"),
-    )
-    tot = cum.groupBy(*group_cols).agg(F.sum("cnt").alias("total"))
-    picked = (
-        cum.join(tot, group_cols) if group_cols else cum.crossJoin(tot)
+        F.sum("cnt").over(wt).alias("total"),
     )
     picked = (
-        picked.join(
+        cum.join(
             F.broadcast(qdim),
             # first cell whose cumulative count reaches the rank target
             # ceil(q * total / 1000): for integers, cum >= ceil(x/1000)

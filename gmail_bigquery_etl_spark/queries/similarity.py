@@ -922,6 +922,9 @@ def ann_incremental_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf_cells' one-shot relational assignment. Proves the
     production index-growth path (new vectors never re-scan old ones)
     computes the same index a from-scratch build would."""
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from ..streaming.ann_index import (
@@ -931,7 +934,16 @@ def ann_incremental_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    root = tempfile.mkdtemp(prefix="ivf_index_sink_")
+    # deterministic per-(pid, sf_dir) root rebuilt in place: repeated
+    # bench/gate runs reuse ONE dir instead of leaking mkdtemp trees
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sinks_{os.getpid()}",
+        f"ivf_index_{tag}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
     train_quantizer(emb, root)
     apply_index_batch(spark, emb.where(F.col("vec_id") % 2 == 0), 0, root)
     apply_index_batch(spark, emb.where(F.col("vec_id") % 2 == 1), 1, root)

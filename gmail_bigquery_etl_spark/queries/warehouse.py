@@ -15,6 +15,8 @@ exact integer arithmetic so both engines build bit-identical inputs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1056,8 +1058,14 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _time_travel_generations(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the three deterministic CDC generations (shared by
-    warehouse_time_travel_diff and warehouse_snapshot_history) through
-    the real snapshot-pointer machinery; returns the sink root."""
+    the time-travel queries) through the real snapshot-pointer
+    machinery; returns the sink root. The root is a deterministic
+    per-(pid, sf_dir) path rebuilt in place on every call -- repeated
+    bench/gate invocations reuse ONE directory tree instead of leaking
+    a fresh mkdtemp per run. Commit timestamps are fixed (1000/2000/
+    3000) so timestamp-based time travel is gateable."""
+    import hashlib
+    import shutil
     import tempfile
 
     from ..streaming.merge_sink import apply_merge_batch
@@ -1092,9 +1100,17 @@ def _time_travel_generations(spark: SparkSession, sf_dir: str) -> str:
     b2 = sums.where(F.col("n2") > 0).select(
         "k", F.col("s2").alias("bal"), F.lit(False).alias("is_delete")
     )
-    root = tempfile.mkdtemp(prefix="time_travel_sink_")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sinks_{os.getpid()}",
+        f"time_travel_{tag}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
     for i, b in enumerate([b0, b1, b2]):
-        apply_merge_batch(spark, b, i, root, ["k"])
+        apply_merge_batch(
+            spark, b, i, root, ["k"], commit_ts=1000.0 * (i + 1)
+        )
     return root
 
 
@@ -1133,7 +1149,10 @@ diff AS (
   FROM v1f a FULL JOIN v2f b ON a.k = b.k
   WHERE a.bal IS DISTINCT FROM b.bal
 )
-SELECT * FROM diff
+SELECT c_custkey,
+       CAST(bal_v1 AS VARCHAR) AS bal_v1,
+       CAST(bal_v2 AS VARCHAR) AS bal_v2
+FROM diff
 """,
 )
 def warehouse_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1159,7 +1178,15 @@ def warehouse_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         v1.join(v2, "k", "full_outer")
         .where(~F.col("bal_v1").eqNullSafe(F.col("bal_v2")))
-        .select(F.col("k").alias("c_custkey"), "bal_v1", "bal_v2")
+        .select(
+            F.col("k").alias("c_custkey"),
+            # canonical fixed-scale strings, not DecimalType: decimal cells
+            # are fetch-path-coercion-prone (same class as the DATE upcast
+            # fixed in layout_compaction_plan); arithmetic stays decimal,
+            # only the OUTPUT is rendered ('68975.1200' on both engines)
+            F.col("bal_v1").cast("string").alias("bal_v1"),
+            F.col("bal_v2").cast("string").alias("bal_v2"),
+        )
     )
 
 
@@ -1353,11 +1380,13 @@ v2 AS (
     AND (n0 > 0 OR n1 > 0 OR n2 > 0)
 )
 SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(bal) AS DECIMAL(38,4)) AS total_bal FROM v0
+       CAST(CAST(SUM(bal) AS DECIMAL(38,4)) AS VARCHAR) AS total_bal FROM v0
 UNION ALL
-SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(bal) AS DECIMAL(38,4)) FROM v1
+SELECT 1, CAST(COUNT(*) AS BIGINT),
+       CAST(CAST(SUM(bal) AS DECIMAL(38,4)) AS VARCHAR) FROM v1
 UNION ALL
-SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(bal) AS DECIMAL(38,4)) FROM v2
+SELECT 2, CAST(COUNT(*) AS BIGINT),
+       CAST(CAST(SUM(bal) AS DECIMAL(38,4)) AS VARCHAR) FROM v2
 """,
 )
 def warehouse_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1376,7 +1405,11 @@ def warehouse_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     for v in list_versions(root):
         snap = read_as_of(spark, root, v).agg(
             F.count("*").cast("bigint").alias("n_rows"),
-            F.sum("bal").cast("decimal(38,4)").alias("total_bal"),
+            # canonical fixed-scale string output (see time_travel_diff)
+            F.sum("bal")
+            .cast("decimal(38,4)")
+            .cast("string")
+            .alias("total_bal"),
         ).select(F.lit(v).alias("version"), "n_rows", "total_bal")
         parts = snap if parts is None else parts.unionByName(snap)
     return parts
@@ -1522,3 +1555,198 @@ def agg_quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qsketch_quantiles(sk, [500, 950], group_cols=["g"]).select(
         F.col("g").alias("o_orderstatus"), "q_permille", "est_lo", "est_hi"
     )
+
+
+@query(
+    "warehouse_time_travel_ts",
+    oracle="""
+WITH sums AS (
+  SELECT o_custkey AS k,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s0,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s1,
+    COUNT(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 END) AS n0,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1999-01-01' THEN 1 END) AS n1
+  FROM orders GROUP BY 1
+),
+v1 AS (
+  SELECT k, CASE WHEN n1 > 0 THEN s1 ELSE s0 END AS bal
+  FROM sums
+  WHERE (n0 > 0 OR n1 > 0) AND NOT (n1 > 0 AND k % 10 = 0)
+)
+SELECT k AS c_custkey, CAST(bal AS VARCHAR) AS bal FROM v1
+""",
+)
+def warehouse_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP-based time travel (Delta's timestampAsOf, the form a
+    human operator actually types): the sink records a commit-time
+    sidecar per snapshot generation; ``read_as_of(ts=2500)`` must
+    resolve to the newest snapshot committed at or before that instant
+    -- here version 1 (commit_ts 1000/2000/3000 are fixed by the
+    fixture so the resolution is deterministic and gateable). The
+    oracle recomputes version 1's full per-customer state relationally,
+    so the gate proves timestamp resolution lands on EXACTLY the right
+    snapshot, not merely some snapshot. Balances render as canonical
+    fixed-scale strings (decimal internals, string boundary -- the
+    output-type lint's contract). Vacuum interaction (resolving into
+    vacuumed history raises) is pytest-gated in tests/test_merge.py."""
+    from ..streaming.merge_sink import read_as_of
+
+    root = _time_travel_generations(spark, sf_dir)
+    return read_as_of(spark, root, ts=2500.0).select(
+        F.col("k").alias("c_custkey"),
+        F.col("bal").cast("string").alias("bal"),
+    )
+
+
+@query(
+    "profile_quantile_columns",
+    oracle="""
+WITH pos AS (
+  SELECT col_name, CAST(ROUND(val * 100) AS BIGINT) AS v
+  FROM (
+    SELECT 'l_quantity' AS col_name, l_quantity AS val FROM lineitem
+    UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+    UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+  )
+  WHERE val IS NOT NULL AND CAST(ROUND(val * 100) AS BIGINT) > 0
+),
+cells AS (
+  SELECT col_name, length(bin(v)) AS e,
+         v >> greatest(length(bin(v)) - 8, 0) AS m,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pos GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT col_name, e, m,
+         CAST(SUM(cnt) OVER (PARTITION BY col_name ORDER BY e, m)
+              AS BIGINT) AS cum
+  FROM cells
+),
+tot AS (
+  SELECT col_name, CAST(SUM(cnt) AS BIGINT) AS total
+  FROM cells GROUP BY 1
+),
+qdim AS (SELECT * FROM (VALUES (500),(950),(990)) q(q_permille)),
+hits AS (
+  SELECT c.col_name, q.q_permille,
+         (c.m << greatest(c.e - 8, 0)) AS est_lo,
+         (((c.m + 1) << greatest(c.e - 8, 0)) - 1) AS est_hi,
+         ROW_NUMBER() OVER (PARTITION BY c.col_name, q.q_permille
+                            ORDER BY c.e, c.m) AS rn
+  FROM cum c JOIN tot t ON t.col_name = c.col_name
+  JOIN qdim q ON c.cum * 1000 >= q.q_permille * t.total
+)
+SELECT col_name, q_permille, est_lo, est_hi
+FROM hits WHERE rn = 1
+""",
+)
+def profile_quantile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-SCAN multi-column quantile profiling: p50/p95/p99 bucket
+    bounds (integer cents) for four lineitem measures in a single pass,
+    the approximate twin of profile_orders_columns' exact-stats shape.
+    ``stack`` unpivots the measures to (col_name, val) inside the scan
+    projection -- the plan reads lineitem ONCE (plan-asserted in
+    tests/test_plans.py), feeds the sketch's grouped build (one
+    partial+final hash aggregate keyed on col_name), and the quantile
+    walk runs on the bounded per-column cell tables. At 100 TB this is
+    the difference between N profiling scans and one: adding a column
+    to the profile costs plan width, not another pass over the data.
+    Out-of-domain rows (NULL or non-positive cents, e.g. 0.00 discount)
+    are excluded identically on both engines -- the sketch's documented
+    positive-integer domain."""
+    from ..operators.quantile import qsketch_build, qsketch_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    unp = li.select(
+        F.expr(
+            "stack(4, 'l_quantity', l_quantity, "
+            "'l_extendedprice', l_extendedprice, "
+            "'l_discount', l_discount, 'l_tax', l_tax) "
+            "AS (col_name, val)"
+        )
+    )
+    sk = qsketch_build(unp, "val", group_cols=["col_name"])
+    return qsketch_quantiles(sk, [500, 950, 990], group_cols=["col_name"])
+
+
+@query(
+    "warehouse_incremental_matview",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+WHERE NOT (o_orderdate < TIMESTAMP '1997-01-01' AND o_custkey % 7 = 0)
+GROUP BY 1, 2
+""",
+)
+def warehouse_incremental_matview(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incrementally-maintained aggregate view (the counting algorithm,
+    streaming/matview.py), gated against the from-scratch definition:
+    three delta generations -- inserts of the pre-1997 orders, then the
+    1997-98 inserts PLUS retractions (mult = -1) of every pre-1997
+    order from custkey % 7 == 0 (a correction feed), then the 1999+
+    inserts -- maintain ``COUNT(*), SUM(cents) GROUP BY (priority,
+    year)`` without ever re-scanning the base table. The oracle
+    recomputes the final view directly over orders with the retracted
+    rows excluded, so the gate proves insert+retract maintenance lands
+    exactly on the recompute-from-scratch answer. Exact bigint cents
+    throughout (floating-point maintenance would drift). Zero-count
+    group removal, replay guard, and stream==batch are pytest-gated in
+    tests/test_streaming.py."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..streaming.matview import apply_view_delta, read_view
+
+    group = ["o_orderpriority", "o_year"]
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("sum_cents"),
+        "o_orderdate",
+        "o_custkey",
+    )
+    c1, c2 = "1997-01-01", "1999-01-01"
+    cols = [*group, "sum_cents"]
+    g0 = base.where(F.col("o_orderdate") < c1).select(
+        *cols, F.lit(1).alias("mult")
+    )
+    g1 = (
+        base.where(
+            (F.col("o_orderdate") >= c1) & (F.col("o_orderdate") < c2)
+        )
+        .select(*cols, F.lit(1).alias("mult"))
+        .unionByName(
+            base.where(
+                (F.col("o_orderdate") < c1) & (F.col("o_custkey") % 7 == 0)
+            ).select(*cols, F.lit(-1).alias("mult"))
+        )
+    )
+    g2 = base.where(F.col("o_orderdate") >= c2).select(
+        *cols, F.lit(1).alias("mult")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sinks_{os.getpid()}",
+        f"matview_{tag}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    for i, d in enumerate([g0, g1, g2]):
+        apply_view_delta(spark, d, i, root, group, ["sum_cents"])
+    return read_view(spark, root)

@@ -18,11 +18,12 @@ shared by the CMS/quantile/dashboard sinks:
     EXACT floats the assignments were built with.
   * apply_index_batch -- assign the batch's vectors to their nearest
     cell (ivf_assign: one JVM-side transform over the broadcast-literal
-    centroid matrix, no Python per row), union with the current
-    snapshot, write snap_{batch_id}, swap the pointer. Set-union of
-    keyed assignments is idempotent for identical redelivery, but the
-    pointer-id replay guard is kept anyway so a replayed batch is a
-    clean no-op (uniform behavior across all sketch sinks).
+    centroid matrix, no Python per row), anti-join already-indexed
+    vec_ids away (data-level dedup -- a bag union would duplicate a
+    vector re-sent under a later batch id), union with the current
+    snapshot, write snap_{batch_id}, swap the pointer. The pointer-id
+    replay guard makes whole-batch redelivery a clean no-op (uniform
+    behavior across all sketch sinks).
   * search: read_index joins the maintained (vec_id, cell) table
     against the probe cells of a query -- the same equi-join shape
     ivf_topk plans, now against state that did NOT require touching the
@@ -98,7 +99,16 @@ def apply_index_batch(
     vec_col: str = "embedding",
 ) -> None:
     """One micro-batch of new vectors into the index. Replay guard as
-    in the other sketch sinks (pointer records the last applied id)."""
+    in the other sketch sinks (pointer records the last applied id).
+
+    Data-level dedup: the pointer guard only covers whole-batch
+    redelivery; a vec_id arriving again in a LATER batch id (source
+    overlap) would duplicate under a bag union, inflating per-cell
+    occupancy and search results. New assignments are therefore
+    anti-joined against the current index on vec_id -- first write
+    wins, which equals last-write-wins because corpus vectors are
+    immutable (an UPDATED vector is out of contract for an IVF index;
+    route updates through a delete+reinsert compaction instead)."""
     os.makedirs(sink_root, exist_ok=True)
     cur = current_snapshot_dir(sink_root)
     if cur is not None:
@@ -110,7 +120,14 @@ def apply_index_batch(
         F.col(id_col).cast("bigint").alias("vec_id"),
         ivf_assign(vec_col, cents).cast("int").alias("cell"),
     )
-    merged = read_index(spark, sink_root).unionByName(assigned)
+    existing = read_index(spark, sink_root)
+    # no broadcast hint: the build side is the FULL index key set, which
+    # grows with the corpus -- AQE picks broadcast while it is small and
+    # degrades to shuffle anti-join when it is not
+    fresh = assigned.join(
+        existing.select("vec_id"), on="vec_id", how="left_anti"
+    )
+    merged = existing.unionByName(fresh)
     new_dir = os.path.join(sink_root, f"snap_{batch_id}")
     merged.write.mode("overwrite").parquet(new_dir)
     tmp = os.path.join(sink_root, _POINTER + ".tmp")

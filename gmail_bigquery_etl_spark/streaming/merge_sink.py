@@ -24,13 +24,16 @@ sink is effectively-once.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.merge import merge_upsert
 
 _POINTER = "_CURRENT"
+_COMMIT_TS = "_commit_ts"  # leading underscore: ignored by parquet readers
 
 
 def current_snapshot_dir(sink_root: str) -> str | None:
@@ -58,12 +61,52 @@ def list_versions(sink_root: str) -> list[int]:
     return sorted(out)
 
 
-def read_as_of(spark, sink_root: str, version: int | None = None) -> DataFrame:
+def commit_ts_of(sink_root: str, version: int) -> float:
+    """Commit timestamp (epoch seconds) recorded in the snapshot's
+    sidecar at write time. Raises for a vacuumed/uncommitted version."""
+    p = os.path.join(sink_root, f"snap_{version}", _COMMIT_TS)
+    if not os.path.exists(p):
+        raise ValueError(
+            f"version {version} not retained in {sink_root} "
+            f"(have {list_versions(sink_root)})"
+        )
+    with open(p) as f:
+        return float(f.read().strip())
+
+
+def snapshot_timestamps(sink_root: str) -> dict[int, float]:
+    """version -> commit epoch seconds for every retained snapshot."""
+    return {v: commit_ts_of(sink_root, v) for v in list_versions(sink_root)}
+
+
+def read_as_of(
+    spark,
+    sink_root: str,
+    version: int | None = None,
+    ts: float | None = None,
+) -> DataFrame:
     """Time-travel read: the sink's state as of snapshot ``version``
-    (exact id, like Delta's versionAsOf); None reads the current
-    pointer. Raises ValueError for a version that was never committed
-    or has been vacuumed -- a silent fallback to a different version
-    would be a correctness bug in any downstream backfill."""
+    (exact id, like Delta's versionAsOf) or as of epoch-seconds ``ts``
+    (newest snapshot whose commit timestamp <= ts, like Delta's
+    timestampAsOf); None/None reads the current pointer. Raises
+    ValueError for a version that was never committed or has been
+    vacuumed, and for a ts older than the oldest retained commit -- a
+    silent fallback to a different version would be a correctness bug
+    in any downstream backfill."""
+    if version is not None and ts is not None:
+        raise ValueError("pass version OR ts, not both")
+    if ts is not None:
+        eligible = [
+            v for v, cts in snapshot_timestamps(sink_root).items()
+            if cts <= ts
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no retained snapshot in {sink_root} committed at or "
+                f"before ts={ts} (history may have been vacuumed; "
+                f"retained: {snapshot_timestamps(sink_root)})"
+            )
+        version = max(eligible)
     if version is None:
         cur = current_snapshot_dir(sink_root)
         if cur is None:
@@ -108,26 +151,64 @@ def apply_merge_batch(
     sink_root: str,
     keys: list[str],
     delete_col: str = "is_delete",
+    commit_ts: float | None = None,
 ) -> None:
     """One CDC merge generation (module-level so batch callers and tests
     drive the exact code path the streaming sink runs): read the current
-    snapshot, merge the post-images, write ``snap_{batch_id}``, swap the
-    pointer atomically. Re-applying the same post-image batch is
-    idempotent (unlike the additive CMS sink, no replay guard needed):
-    the merge keyed on ``keys`` produces the same snapshot content."""
+    snapshot, merge the post-images, write ``snap_{batch_id}``, record
+    its commit timestamp sidecar, swap the pointer atomically.
+
+    Replay guard: foreachBatch re-delivers an uncommitted batch after a
+    crash; if the crash landed BETWEEN the pointer swap and the stream's
+    checkpoint commit, the redelivered batch_id equals the pointer's id
+    and re-running would overwrite the very snapshot dir the merged plan
+    lazily reads (Spark refuses, wedging recovery). Same pointer-id
+    guard as the additive sketch sinks: a batch id at or below the
+    committed pointer already took effect, so return early. Re-merging
+    identical post-images would be content-idempotent, but the WRITE
+    path is not -- the guard protects the write path.
+
+    Schema evolution (Delta-style mergeSchema): a batch may ADD columns;
+    history rows are backfilled with NULL for the new columns. A batch
+    that DROPS columns the snapshot has is rejected loudly -- silent
+    column loss in a CDC feed is an upstream contract break, not
+    evolution.
+
+    ``commit_ts`` defaults to wall-clock; pass an explicit value for
+    deterministic fixtures. Timestamps must be non-decreasing across
+    generations for ``read_as_of(ts=...)`` to be meaningful (true for
+    wall-clock under the sequential foreachBatch contract)."""
     data_cols = [c for c in batch_df.columns if c != delete_col]
     os.makedirs(sink_root, exist_ok=True)
     cur = current_snapshot_dir(sink_root)
     if cur is not None:
+        cur_id = int(os.path.basename(cur).removeprefix("snap_"))
+        if batch_id <= cur_id:
+            return
         base = spark.read.parquet(cur)
+        dropped = [c for c in base.columns if c not in data_cols]
+        if dropped:
+            raise ValueError(
+                f"batch {batch_id} drops snapshot columns {dropped}; "
+                "a CDC post-image feed may add columns (NULL-backfilled) "
+                "but never silently lose them"
+            )
+        for c in data_cols:
+            if c not in base.columns:
+                base = base.withColumn(
+                    c, F.lit(None).cast(batch_df.schema[c].dataType)
+                )
     else:
         base = spark.createDataFrame([], batch_df.select(*data_cols).schema)
     merged = merge_upsert(base, batch_df, keys, delete_col=delete_col)
     new_dir = os.path.join(sink_root, f"snap_{batch_id}")
     # The write both READS the current snapshot and writes the new one,
-    # so the new dir must differ from cur (it does: batch_id advances);
-    # the pointer swaps only after the write fully succeeds.
+    # so the new dir must differ from cur (guaranteed by the replay
+    # guard above); the pointer swaps only after the write + commit-ts
+    # sidecar fully succeed.
     merged.write.mode("overwrite").parquet(new_dir)
+    with open(os.path.join(new_dir, _COMMIT_TS), "w") as f:
+        f.write(repr(time.time() if commit_ts is None else commit_ts))
     tmp = os.path.join(sink_root, _POINTER + ".tmp")
     with open(tmp, "w") as f:
         f.write(f"snap_{batch_id}")

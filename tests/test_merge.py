@@ -110,6 +110,119 @@ def test_time_travel_reads_across_three_generations(spark, tmp_path):
         read_as_of(spark, root, 7)
 
 
+def test_replay_guard_makes_redelivery_a_noop(spark, tmp_path):
+    """foreachBatch redelivers an uncommitted batch after a crash; if the
+    crash fell between the pointer swap and the checkpoint commit the
+    redelivered batch_id EQUALS the committed pointer id. Without the
+    guard the rewrite would overwrite the snapshot dir the merged plan
+    is lazily reading (Spark refuses -> wedged recovery). The guard must
+    turn any batch_id <= pointer id into a clean no-op."""
+    from gmail_bigquery_etl_spark.streaming.merge_sink import (
+        apply_merge_batch,
+        list_versions,
+        read_as_of,
+    )
+
+    root = str(tmp_path / "replay_sink")
+    b0 = spark.createDataFrame(
+        [(1, "a", False), (2, "b", False)], "k int, v string, is_delete boolean"
+    )
+    b1 = spark.createDataFrame(
+        [(2, "b2", False), (3, "c", False)],
+        "k int, v string, is_delete boolean",
+    )
+    apply_merge_batch(spark, b0, 0, root, ["k"])
+    apply_merge_batch(spark, b1, 1, root, ["k"])
+    want = _state(read_as_of(spark, root))
+
+    # exact-id redelivery (the crash-window case) and a stale earlier id
+    mutated = spark.createDataFrame(
+        [(9, "SHOULD_NOT_LAND", False)], "k int, v string, is_delete boolean"
+    )
+    apply_merge_batch(spark, mutated, 1, root, ["k"])
+    apply_merge_batch(spark, mutated, 0, root, ["k"])
+    assert list_versions(root) == [0, 1]
+    assert _state(read_as_of(spark, root)) == want
+
+
+def test_schema_evolution_adds_columns_null_backfilled(spark, tmp_path):
+    """A batch may ADD columns (Delta mergeSchema): history rows read
+    back NULL for the new column at every version at or after the
+    evolution; pre-evolution snapshots keep their original schema. A
+    batch that DROPS a column is rejected loudly."""
+    import pytest
+
+    from gmail_bigquery_etl_spark.streaming.merge_sink import (
+        apply_merge_batch,
+        read_as_of,
+    )
+
+    root = str(tmp_path / "evo_sink")
+    b0 = spark.createDataFrame(
+        [(1, "a", False), (2, "b", False)], "k int, v string, is_delete boolean"
+    )
+    b1 = spark.createDataFrame(
+        [(2, "b2", 99, False), (3, "c", 7, False)],
+        "k int, v string, score int, is_delete boolean",
+    )
+    b2 = spark.createDataFrame(
+        [(1, "a3", 5, False)], "k int, v string, score int, is_delete boolean"
+    )
+    apply_merge_batch(spark, b0, 0, root, ["k"])
+    apply_merge_batch(spark, b1, 1, root, ["k"])
+    apply_merge_batch(spark, b2, 2, root, ["k"])
+
+    v0 = read_as_of(spark, root, 0)
+    assert v0.columns == ["k", "v"]  # pre-evolution snapshot untouched
+    v1 = {r.k: (r.v, r.score) for r in read_as_of(spark, root, 1).collect()}
+    # k=1 predates the score column -> NULL backfill; updated rows carry it
+    assert v1 == {1: ("a", None), 2: ("b2", 99), 3: ("c", 7)}
+    v2 = {r.k: (r.v, r.score) for r in read_as_of(spark, root, 2).collect()}
+    assert v2 == {1: ("a3", 5), 2: ("b2", 99), 3: ("c", 7)}
+
+    dropped = spark.createDataFrame(
+        [(4, False)], "k int, is_delete boolean"
+    )
+    with pytest.raises(ValueError, match="drops snapshot columns"):
+        apply_merge_batch(spark, dropped, 3, root, ["k"])
+
+
+def test_timestamp_as_of_resolves_and_respects_vacuum(spark, tmp_path):
+    """read_as_of(ts=...) is Delta's timestampAsOf: newest snapshot whose
+    recorded commit timestamp <= ts. Exact-boundary ts hits its own
+    version; a ts older than the oldest retained commit raises (silent
+    fallback would corrupt a backfill), including after vacuum removes
+    the history the ts points into."""
+    import pytest
+
+    from gmail_bigquery_etl_spark.streaming.merge_sink import (
+        apply_merge_batch,
+        read_as_of,
+        vacuum,
+    )
+
+    root = str(tmp_path / "ts_sink")
+    for i, ts in enumerate([100.0, 200.0, 300.0]):
+        b = spark.createDataFrame(
+            [(1, f"v{i}", False)], "k int, v string, is_delete boolean"
+        )
+        apply_merge_batch(spark, b, i, root, ["k"], commit_ts=ts)
+
+    assert _state(read_as_of(spark, root, ts=100.0)) == {1: "v0"}  # boundary
+    assert _state(read_as_of(spark, root, ts=250.0)) == {1: "v1"}
+    assert _state(read_as_of(spark, root, ts=1e9)) == {1: "v2"}
+    with pytest.raises(ValueError, match="at or before"):
+        read_as_of(spark, root, ts=99.9)
+    with pytest.raises(ValueError, match="not both"):
+        read_as_of(spark, root, version=1, ts=250.0)
+
+    vacuum(root, keep_last=1)
+    # ts=250 resolved to version 1 before; that history is gone -> raise
+    with pytest.raises(ValueError, match="at or before"):
+        read_as_of(spark, root, ts=250.0)
+    assert _state(read_as_of(spark, root, ts=300.0)) == {1: "v2"}
+
+
 def test_vacuum_retention_keeps_current_and_horizon(spark, tmp_path):
     """vacuum(keep_last=N) drops the oldest snapshots, never the current
     pointer target; time-travel past the horizon raises instead of

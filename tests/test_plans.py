@@ -128,6 +128,9 @@ _ALLOWED_NLJ = {
     # dense leg inherits knn's bounded-query-block NLJ; text leg is the
     # BM25 1-row corpus-stats crossJoin
     "hybrid_retrieval_rrf",
+    # multi-column quantile walk: same 3-row q_permille broadcast NLJ
+    # against the bounded per-column cell tables
+    "profile_quantile_columns",
     }
 
 # Build-side row bound for every allowlisted NLJ: the biggest legitimate
@@ -481,3 +484,57 @@ def test_auto_anti_join_regimes(spark):
         assert sorted(r.id for r in df_shuffle.collect()) == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_multi_column_quantile_profile_is_one_scan(spark):
+    """profile_quantile_columns promises N-column profiling in ONE pass:
+    the stack() unpivot must live inside a single lineitem scan, not
+    plan one scan per measure (which is what the UNION-ALL oracle
+    formulation would do, and what a naive per-column loop costs at
+    100 TB). Also pins that only the four profiled measures are read
+    (column pruning through the unpivot)."""
+    from gmail_bigquery_etl_spark.plans.inspect import (
+        plan_string,
+        scan_read_schema,
+    )
+    from gmail_bigquery_etl_spark.queries import ALL_QUERIES
+
+    df = ALL_QUERIES["profile_quantile_columns"](spark, SF)
+    plan = plan_string(df)
+    n_scans = plan.count("FileScan parquet")
+    assert n_scans == 1, plan[:1500]
+    schemas = scan_read_schema(df)
+    assert schemas == [
+        {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    ], schemas
+
+
+def test_auto_anti_join_sizes_key_projection_not_full_relation(spark):
+    """What the anti-join ships as its build side is the KEY PROJECTION,
+    so a wide sink relation (many fat payload columns) must not push
+    auto-mode off the broadcast rung when the id column alone broadcasts
+    comfortably: choose on the key projection stays 'broadcast' under a
+    threshold the full-relation estimate blows through."""
+    from gmail_bigquery_etl_spark.operators.incremental import (
+        choose_anti_join_strategy,
+        estimate_plan_bytes,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    wide = ev.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.repeat(F.col("props"), 50).alias("fat1"),
+        F.repeat(F.col("props"), 50).alias("fat2"),
+    )
+    est_full = estimate_plan_bytes(wide)
+    est_key = estimate_plan_bytes(wide.select("id"))
+    assert est_key < est_full  # Project stats scale by row width
+
+    # threshold between the two estimates: full-relation sizing would
+    # demote to bloom; key-aware sizing keeps the broadcast rung
+    thr = est_key + (est_full - est_key) // 2
+    assert choose_anti_join_strategy(wide, broadcast_max_bytes=thr) == "bloom"
+    assert (
+        choose_anti_join_strategy(wide, broadcast_max_bytes=thr, key="id")
+        == "broadcast"
+    )

@@ -1063,6 +1063,51 @@ def test_dashboard_survives_checkpoint_restart(spark, tmp_path):
         assert keyset(got[name]) == keyset(want[name]), name
 
 
+def test_dashboard_replay_guard_holds_at_every_kill_point(spark, tmp_path):
+    """EXHAUSTIVE kill-point sweep (the single-point restart test's
+    stronger sibling): for EVERY batch index k in a 4-batch feed,
+    simulate the crash window -- batches 0..k commit, then batch k is
+    REDELIVERED (foreachBatch re-runs an uncommitted-in-checkpoint
+    batch whose effects already hit the sink), then the feed continues
+    k+1..3. The redelivery carries MUTATED content (worst case: a
+    buggy upstream re-reads different rows under the same batch id) --
+    the guard must drop it on id alone. Final state must equal the
+    one-shot batch build bit-for-bit for every k; an additive CMS sink
+    without the pointer guard double-counts at exactly one k and fails
+    this sweep."""
+    from gmail_bigquery_etl_spark.streaming.sketches import (
+        apply_dashboard_batch,
+        dashboard_batch_state,
+        read_dashboard,
+    )
+
+    ev = load_table(spark, SMOKE_SF, "events").select(
+        "ts", "user_id", "event_type"
+    )
+    chunks = [ev.where(F.col("user_id") % 4 == i) for i in range(4)]
+    want = {
+        name: sorted(
+            tuple(str(v) for v in r) for r in df.collect()
+        )
+        for name, df in dashboard_batch_state(ev).items()
+    }
+    poison = ev.limit(37)  # arbitrary different rows for the redelivery
+
+    for k in range(4):
+        sink = str(tmp_path / f"kill_{k}")
+        for i in range(k + 1):
+            apply_dashboard_batch(spark, chunks[i], i, sink)
+        apply_dashboard_batch(spark, poison, k, sink)  # crash-window replay
+        for i in range(k + 1, 4):
+            apply_dashboard_batch(spark, chunks[i], i, sink)
+        got = read_dashboard(spark, sink)
+        for name in ("hll", "cms", "dict"):
+            rows = sorted(
+                tuple(str(v) for v in r) for r in got[name].collect()
+            )
+            assert rows == want[name], (k, name)
+
+
 def test_vacuum_applies_to_sketch_sinks(spark, tmp_path):
     """The retention knob is one mechanism for every snapshot-pointer
     sink: vacuuming a dashboard sink (whose snapshots are DIRECTORIES of
@@ -1171,3 +1216,191 @@ def test_streaming_ivf_index_matches_batch_assignment(spark, tmp_path):
     assert {
         r.vec_id: r.cell for r in read_index(spark, sink).collect()
     } == got
+
+
+def test_ivf_index_dedups_vec_ids_across_batches(spark, tmp_path):
+    """The pointer guard only covers whole-batch redelivery; a vec_id
+    re-sent under a LATER batch id (overlapping source reads) must not
+    duplicate index rows -- a bag union would inflate per-cell occupancy
+    and search results. The sink anti-joins already-indexed ids, so the
+    overlapping batch contributes only its genuinely-new vectors."""
+    from gmail_bigquery_etl_spark.streaming.ann_index import (
+        apply_index_batch,
+        read_index,
+        train_quantizer,
+    )
+
+    emb = load_table(spark, SMOKE_SF, "embeddings")
+    sink = str(tmp_path / "dedup_ivf_sink")
+    train_quantizer(emb, sink)
+
+    first = emb.where(F.col("vec_id") < 20)
+    overlap = emb.where(F.col("vec_id") < 30)  # re-sends ids 0..19
+    apply_index_batch(spark, first, 0, sink)
+    apply_index_batch(spark, overlap, 1, sink)
+
+    rows = read_index(spark, sink).collect()
+    ids = [r.vec_id for r in rows]
+    assert len(ids) == len(set(ids)) == emb.where(F.col("vec_id") < 30).count()
+
+
+def test_matview_stream_equals_batch_aggregate(spark, tmp_path):
+    """IVM parity: maintaining COUNT/SUM through the streaming wrapper
+    over a replayed insert-delta feed lands bit-for-bit on the direct
+    groupBy over the whole fixture; a second feed with RETRACTIONS of
+    half the rows lands on the direct groupBy of the surviving half --
+    i.e., insert+retract maintenance == recompute-from-scratch."""
+    from gmail_bigquery_etl_spark.streaming.matview import (
+        read_view,
+        start_view_maintenance,
+    )
+
+    ev = load_table(spark, SMOKE_SF, "events").select(
+        "event_type",
+        F.col("user_id").cast("bigint").alias("u"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    inserts = ev.select("event_type", "cents", F.lit(1).alias("mult"))
+    live = str(tmp_path / "mv_live")
+    sink = str(tmp_path / "mv_sink")
+    ckpt = str(tmp_path / "mv_ckpt")
+    inserts.coalesce(3).write.mode("overwrite").parquet(live)
+
+    def run():
+        schema = spark.read.parquet(live).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+        q = start_view_maintenance(
+            stream, sink, ckpt, ["event_type"], ["cents"]
+        )
+        q.awaitTermination(300)
+        assert not q.isActive
+
+    run()
+    want = {
+        r.event_type: (r.n, r.s)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s"),
+        )
+        .collect()
+    }
+    got = {
+        r.event_type: (r.n_rows, r.cents)
+        for r in read_view(spark, sink).collect()
+    }
+    assert got == want
+
+    # retract every odd-user row (restart on same checkpoint; only the
+    # new delta files process) -> view == direct agg of even-user rows
+    retracts = ev.where(F.col("u") % 2 == 1).select(
+        "event_type", "cents", F.lit(-1).alias("mult")
+    )
+    retracts.coalesce(3).write.mode("append").parquet(live)
+    run()
+    want2 = {
+        r.event_type: (r.n, r.s)
+        for r in ev.where(F.col("u") % 2 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s"),
+        )
+        .collect()
+    }
+    got2 = {
+        r.event_type: (r.n_rows, r.cents)
+        for r in read_view(spark, sink).collect()
+    }
+    assert got2 == want2
+
+
+def test_matview_zero_count_groups_leave_the_view(spark, tmp_path):
+    """The counting algorithm's termination rule: when a group's last
+    supporting row retracts, the group DISAPPEARS from the view (a
+    naive sum-merge would leave a zero ghost row that readers count as
+    a live group). Also pins the replay guard and that an under-zero
+    multiplicity (more retracts than inserts, a malformed feed) still
+    keeps the row out only at exactly zero."""
+    from gmail_bigquery_etl_spark.streaming.matview import (
+        apply_view_delta,
+        read_view,
+    )
+
+    sink = str(tmp_path / "zero_sink")
+    d0 = spark.createDataFrame(
+        [("a", 100, 1), ("a", 50, 1), ("b", 10, 1)],
+        "g string, cents bigint, mult int",
+    )
+    d1 = spark.createDataFrame(
+        [("a", 100, -1), ("a", 50, -1), ("b", 5, 1)],
+        "g string, cents bigint, mult int",
+    )
+    apply_view_delta(spark, d0, 0, sink, ["g"], ["cents"])
+    apply_view_delta(spark, d1, 1, sink, ["g"], ["cents"])
+    got = {r.g: (r.n_rows, r.cents) for r in read_view(spark, sink).collect()}
+    assert got == {"b": (2, 15)}  # group 'a' fully retracted -> gone
+
+    # replay guard: redelivered batch id with different content no-ops
+    poison = spark.createDataFrame(
+        [("z", 1, 1)], "g string, cents bigint, mult int"
+    )
+    apply_view_delta(spark, poison, 1, sink, ["g"], ["cents"])
+    assert {
+        r.g: (r.n_rows, r.cents) for r in read_view(spark, sink).collect()
+    } == {"b": (2, 15)}
+
+    # a group can come BACK after dying (new inserts re-create it)
+    d2 = spark.createDataFrame(
+        [("a", 7, 1)], "g string, cents bigint, mult int"
+    )
+    apply_view_delta(spark, d2, 2, sink, ["g"], ["cents"])
+    assert {
+        r.g: (r.n_rows, r.cents) for r in read_view(spark, sink).collect()
+    } == {"b": (2, 15), "a": (1, 7)}
+
+
+def test_matview_state_is_chunking_invariant(spark, tmp_path):
+    """Delta application is associative+commutative at the state level:
+    the same multiset of delta rows applied as 2 batches vs 5 batches
+    yields identical view state (the mergeability contract the sketch
+    family pins, here for the IVM sink)."""
+    from gmail_bigquery_etl_spark.streaming.matview import (
+        apply_view_delta,
+        read_view,
+    )
+
+    ev = load_table(spark, SMOKE_SF, "events").select(
+        "event_type",
+        F.col("event_id").cast("bigint").alias("i"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    deltas = ev.select(
+        "event_type",
+        "cents",
+        F.when(F.col("i") % 11 == 0, -1).otherwise(1).alias("mult"),
+        "i",
+    )
+    roots = [str(tmp_path / "chunk2"), str(tmp_path / "chunk5")]
+    for root, n in zip(roots, (2, 5)):
+        for b in range(n):
+            apply_view_delta(
+                spark,
+                deltas.where(F.col("i") % n == b).drop("i"),
+                b,
+                root,
+                ["event_type"],
+                ["cents"],
+            )
+    a, b = (
+        {
+            r.event_type: (r.n_rows, r.cents)
+            for r in read_view(spark, root).collect()
+        }
+        for root in roots
+    )
+    assert a == b and a
