@@ -1056,20 +1056,27 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qsketch_quantiles(qsketch_merge(a, b), [500, 900, 950, 990])
 
 
-def _time_travel_generations(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the three deterministic CDC generations (shared by
-    the time-travel queries) through the real snapshot-pointer
-    machinery; returns the sink root. The root is a deterministic
-    per-(pid, sf_dir) path rebuilt in place on every call -- repeated
-    bench/gate invocations reuse ONE directory tree instead of leaking
-    a fresh mkdtemp per run. Commit timestamps are fixed (1000/2000/
-    3000) so timestamp-based time travel is gateable."""
+def _sink_root(name: str, sf_dir: str) -> str:
+    """Deterministic per-(pid, sf_dir) sink path, rebuilt in place on
+    every call -- repeated bench/gate invocations reuse ONE directory
+    tree instead of leaking a fresh mkdtemp per run."""
     import hashlib
     import shutil
     import tempfile
 
-    from ..streaming.merge_sink import apply_merge_batch
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sinks_{os.getpid()}",
+        f"{name}_{tag}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return root
 
+
+def _time_travel_batches(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """The three deterministic CDC generations shared by every
+    time-travel query (flat and partition-scoped sinks)."""
     orders = load_table(spark, sf_dir, "orders")
     dec = F.col("o_totalprice").cast("decimal(18,4)")
     c1, c2 = "1997-01-01", "1999-01-01"
@@ -1100,14 +1107,18 @@ def _time_travel_generations(spark: SparkSession, sf_dir: str) -> str:
     b2 = sums.where(F.col("n2") > 0).select(
         "k", F.col("s2").alias("bal"), F.lit(False).alias("is_delete")
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_sinks_{os.getpid()}",
-        f"time_travel_{tag}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    for i, b in enumerate([b0, b1, b2]):
+    return [b0, b1, b2]
+
+
+def _time_travel_generations(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the three CDC generations through the real
+    snapshot-pointer machinery; returns the sink root. Commit
+    timestamps are fixed (1000/2000/3000) so timestamp-based time
+    travel is gateable."""
+    from ..streaming.merge_sink import apply_merge_batch
+
+    root = _sink_root("time_travel", sf_dir)
+    for i, b in enumerate(_time_travel_batches(spark, sf_dir)):
         apply_merge_batch(
             spark, b, i, root, ["k"], commit_ts=1000.0 * (i + 1)
         )
@@ -1704,10 +1715,6 @@ def warehouse_incremental_matview(
     throughout (floating-point maintenance would drift). Zero-count
     group removal, replay guard, and stream==batch are pytest-gated in
     tests/test_streaming.py."""
-    import hashlib
-    import shutil
-    import tempfile
-
     from ..streaming.matview import apply_view_delta, read_view
 
     group = ["o_orderpriority", "o_year"]
@@ -1740,13 +1747,88 @@ def warehouse_incremental_matview(
     g2 = base.where(F.col("o_orderdate") >= c2).select(
         *cols, F.lit(1).alias("mult")
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_sinks_{os.getpid()}",
-        f"matview_{tag}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = _sink_root("matview", sf_dir)
     for i, d in enumerate([g0, g1, g2]):
         apply_view_delta(spark, d, i, root, group, ["sum_cents"])
     return read_view(spark, root)
+
+
+@query(
+    "warehouse_time_travel_bucketed",
+    oracle="""
+WITH sums AS (
+  SELECT o_custkey AS k,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s0,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s1,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS s2,
+    COUNT(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 END) AS n0,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1999-01-01' THEN 1 END) AS n1,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 END) AS n2
+  FROM orders GROUP BY 1
+),
+v1f AS (
+  SELECT k, CASE WHEN n1 > 0 THEN s1 ELSE s0 END AS bal
+  FROM sums
+  WHERE (n0 > 0 OR n1 > 0)
+    AND NOT (n1 > 0 AND k % 10 = 0)
+),
+v2f AS (
+  SELECT k, CASE WHEN n2 > 0 THEN s2 WHEN n1 > 0 THEN s1 ELSE s0 END AS bal
+  FROM sums
+  WHERE NOT (n2 = 0 AND n1 > 0 AND k % 10 = 0)
+),
+diff AS (
+  SELECT COALESCE(a.k, b.k) AS c_custkey, a.bal AS bal_v1, b.bal AS bal_v2
+  FROM v1f a FULL JOIN v2f b ON a.k = b.k
+  WHERE a.bal IS DISTINCT FROM b.bal
+)
+SELECT c_custkey,
+       CAST(bal_v1 AS VARCHAR) AS bal_v1,
+       CAST(bal_v2 AS VARCHAR) AS bal_v2
+FROM diff
+""",
+)
+def warehouse_time_travel_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME v1-vs-v2 time-travel diff as warehouse_time_travel_diff,
+    driven through the PARTITION-SCOPED manifest sink
+    (streaming/merge_manifest.py) instead of the flat whole-rewrite
+    sink: each generation rewrites only the key-buckets its batch
+    touches and commits a manifest whose untouched buckets point at
+    earlier generations' files (Delta-style file reuse). Sharing the
+    flat sink's oracle makes the gate a cross-implementation proof:
+    manifest-resolved history == whole-rewrite history == relational
+    state-after-batch-k. The file-reuse/no-rewrite guarantee itself is
+    metadata-asserted in tests/test_merge_manifest.py."""
+    from ..streaming.merge_manifest import (
+        apply_merge_batch_bucketed,
+        read_manifest_as_of,
+    )
+
+    root = _sink_root("time_travel_bkt", sf_dir)
+    for i, b in enumerate(_time_travel_batches(spark, sf_dir)):
+        apply_merge_batch_bucketed(
+            spark, b, i, root, ["k"], n_buckets=16,
+            commit_ts=1000.0 * (i + 1),
+        )
+    v1 = read_manifest_as_of(spark, root, 1).select(
+        "k", F.col("bal").alias("bal_v1")
+    )
+    v2 = read_manifest_as_of(spark, root, 2).select(
+        "k", F.col("bal").alias("bal_v2")
+    )
+    return (
+        v1.join(v2, "k", "full_outer")
+        .where(~F.col("bal_v1").eqNullSafe(F.col("bal_v2")))
+        .select(
+            F.col("k").alias("c_custkey"),
+            F.col("bal_v1").cast("string").alias("bal_v1"),
+            F.col("bal_v2").cast("string").alias("bal_v2"),
+        )
+    )

@@ -1,0 +1,336 @@
+"""Partition-scoped CDC merge: a manifest-based snapshot sink that only
+rewrites the key-buckets a batch touches.
+
+merge_sink.py rewrites the WHOLE snapshot per micro-batch -- correct,
+and fine for a fixture, but its own docstring flags the 100 TB
+simplification: a real table format rewrites only the partitions the
+batch's keys touch and commits METADATA. This module closes that gap
+with the actual mechanism Delta/Iceberg use -- file reuse across
+versions through a manifest:
+
+  * Rows hash into ``n_buckets`` key-buckets (``pmod(xxhash64(keys))``,
+    the same co-location discipline as plans/bucketing.py).
+  * A snapshot is a MANIFEST (JSON sidecar): bucket id -> parquet dir,
+    where dirs may belong to ANY earlier generation. Committing a batch
+    rewrites only the touched buckets into ``gen_{batch_id}/`` and
+    copies the untouched buckets' dir POINTERS forward unchanged -- an
+    O(changed data) write and an O(n_buckets) metadata commit, however
+    large the table is.
+  * The ``_CURRENT`` pointer swaps to the new manifest atomically after
+    the data and manifest are fully written; the pointer-id replay
+    guard drops crash-window redeliveries exactly as in the flat sink.
+  * ``vacuum_manifests`` is REFERENCE-COUNTING retention: a data dir is
+    removable only when NO retained manifest references it -- the part
+    of VACUUM that makes file reuse safe (a bucket dir written in
+    generation 0 and still referenced by the current manifest must
+    survive any horizon).
+
+Contracts pinned by tests/test_merge_manifest.py: per-version state
+equality with the flat sink on identical batches; untouched buckets'
+dir pointers are IDENTICAL STRINGS across consecutive manifests (the
+no-rewrite guarantee, checked on metadata, not timing); fully-deleted
+buckets leave the manifest; replay no-ops; vacuum never breaks a
+retained version and always removes unreferenced generations.
+
+Scale posture: per batch the plan reads only touched buckets (<=
+min(n_buckets, distinct batch keys) dirs), merges against the batch via
+the same broadcast anti-join as merge_upsert, and writes one job
+partitioned by bucket. Time travel and retention never copy data --
+they move O(n_buckets) strings. At a real deployment n_buckets becomes
+a date/hash composite partition spec and the manifest a transaction
+log; the algebra here is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.merge import merge_upsert
+
+_POINTER = "_CURRENT"
+# no leading underscore: partitionBy writes dirs named "<col>=<v>", and
+# Spark's file index skips underscore-prefixed paths in listings
+_BUCKET = "mbucket"
+
+
+def _manifest_path(sink_root: str, batch_id: int) -> str:
+    return os.path.join(sink_root, f"manifest_{batch_id}.json")
+
+
+def current_manifest(sink_root: str) -> dict | None:
+    ptr = os.path.join(sink_root, _POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        name = f.read().strip()
+    with open(os.path.join(sink_root, name)) as f:
+        return json.load(f)
+
+
+def list_manifest_versions(sink_root: str) -> list[int]:
+    if not os.path.isdir(sink_root):
+        return []
+    out = []
+    for name in os.listdir(sink_root):
+        if name.startswith("manifest_") and name.endswith(".json"):
+            out.append(int(name.removeprefix("manifest_").removesuffix(".json")))
+    return sorted(out)
+
+
+def _load_manifest(sink_root: str, version: int) -> dict:
+    p = _manifest_path(sink_root, version)
+    if not os.path.exists(p):
+        raise ValueError(
+            f"version {version} not retained in {sink_root} "
+            f"(have {list_manifest_versions(sink_root)})"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def read_manifest_as_of(
+    spark,
+    sink_root: str,
+    version: int | None = None,
+    ts: float | None = None,
+) -> DataFrame:
+    """Union-read of every bucket dir the resolved manifest references
+    (per-dir reads, no cross-path partition inference). Resolution
+    semantics match merge_sink.read_as_of: exact version, or newest
+    commit_ts <= ts, or the current pointer; never a silent fallback."""
+    if version is not None and ts is not None:
+        raise ValueError("pass version OR ts, not both")
+    if ts is not None:
+        eligible = [
+            v
+            for v in list_manifest_versions(sink_root)
+            if _load_manifest(sink_root, v)["commit_ts"] <= ts
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no retained manifest in {sink_root} committed at or "
+                f"before ts={ts}"
+            )
+        version = max(eligible)
+    if version is None:
+        m = current_manifest(sink_root)
+        if m is None:
+            raise ValueError(f"no committed manifest in {sink_root}")
+    else:
+        m = _load_manifest(sink_root, version)
+    dirs = list(m["buckets"].values())
+    if not dirs:
+        raise ValueError(
+            f"manifest {m['batch_id']} in {sink_root} is empty"
+        )
+    parts = [
+        df.drop(_BUCKET)
+        for df in _read_bucket_dirs(spark, sink_root, dirs)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _read_bucket_dirs(spark, sink_root: str, dirs: list[str]):
+    """One scan PER GENERATION, not per bucket dir: all of a
+    generation's referenced bucket dirs share the layout
+    ``gen_k/mbucket=i``, so a single multi-path read with basePath =
+    the generation dir recovers the bucket id as a partition column.
+    Keeps manifest reads O(live generations) scans instead of
+    O(n_buckets) -- the per-scan planning overhead is what dominates a
+    many-small-files read."""
+    from collections import defaultdict
+
+    by_gen: dict[str, list[str]] = defaultdict(list)
+    for d in dirs:
+        by_gen[d.split("/", 1)[0]].append(d)
+    out = []
+    for gen in sorted(by_gen):
+        df = (
+            spark.read.option("basePath", os.path.join(sink_root, gen))
+            .parquet(*[os.path.join(sink_root, d) for d in by_gen[gen]])
+        )
+        out.append(df.withColumn(_BUCKET, F.col(_BUCKET).cast("int")))
+    return out
+
+
+def apply_merge_batch_bucketed(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    sink_root: str,
+    keys: list[str],
+    delete_col: str = "is_delete",
+    n_buckets: int = 16,
+    commit_ts: float | None = None,
+) -> None:
+    """One partition-scoped merge generation. Reads ONLY the buckets the
+    batch's keys hash into, merges, writes them under
+    ``gen_{batch_id}``, and commits a manifest that points untouched
+    buckets at their existing dirs. ``n_buckets`` is fixed at sink
+    creation (the first commit records it; later calls must agree --
+    changing the bucket function would orphan every existing
+    assignment)."""
+    os.makedirs(sink_root, exist_ok=True)
+    cur = current_manifest(sink_root)
+    if cur is not None:
+        if batch_id <= cur["batch_id"]:
+            return
+        if cur["n_buckets"] != n_buckets:
+            raise ValueError(
+                f"sink was created with n_buckets={cur['n_buckets']}, "
+                f"got {n_buckets}"
+            )
+    if _BUCKET in batch_df.columns:
+        raise ValueError(
+            f"batch column name {_BUCKET!r} collides with the sink's "
+            "internal bucket column"
+        )
+    bucket_expr = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+    # pin the batch: it is consumed twice (touched-bucket collect, then
+    # the merge write), and a batch arriving as an expensive derived plan
+    # would otherwise recompute per consumption; under foreachBatch the
+    # micro-batch is small by contract, so the checkpoint is O(batch)
+    batch = batch_df.withColumn(_BUCKET, bucket_expr).localCheckpoint()
+    touched = sorted(
+        r[0] for r in batch.select(_BUCKET).distinct().collect()
+    )  # O(n_buckets) driver values
+    data_cols = [c for c in batch_df.columns if c != delete_col]
+
+    base_parts = []
+    if cur is not None:
+        touched_dirs = [
+            d
+            for b in touched
+            if (d := cur["buckets"].get(str(b))) is not None
+        ]
+        base_parts = _read_bucket_dirs(spark, sink_root, touched_dirs)
+    if base_parts:
+        base = base_parts[0]
+        for p in base_parts[1:]:
+            base = base.unionByName(p)
+        base = base.select(*data_cols, _BUCKET)
+    else:
+        base = spark.createDataFrame(
+            [], batch.select(*data_cols, _BUCKET).schema
+        )
+    # keys determine the bucket, so one global merge over the touched
+    # union is exactly the per-bucket merge
+    merged = merge_upsert(base, batch, keys, delete_col=delete_col)
+    gen = f"gen_{batch_id}"
+    (
+        # one shuffle partition per touched bucket: every writer task owns
+        # whole buckets, so each bucket dir gets O(1) files instead of
+        # every one of spark.sql.shuffle.partitions tasks spraying a tiny
+        # file into every dir (at real scale, raise toward cores and let
+        # multiple tasks share big buckets via a (bucket, salt) key)
+        merged.repartition(max(len(touched), 1), F.col(_BUCKET))
+        .write.mode("overwrite")
+        .partitionBy(_BUCKET)
+        .parquet(os.path.join(sink_root, gen))
+    )
+    # a touched bucket whose merged content is empty writes no dir and
+    # must leave the manifest (all its rows were deleted)
+    written = {
+        int(name.split("=", 1)[1]): f"{gen}/{name}"
+        for name in os.listdir(os.path.join(sink_root, gen))
+        if name.startswith(f"{_BUCKET}=")
+    }
+    buckets = dict(cur["buckets"]) if cur is not None else {}
+    for b in touched:
+        buckets.pop(str(b), None)
+    for b, d in written.items():
+        buckets[str(b)] = d
+    manifest = {
+        "batch_id": batch_id,
+        "commit_ts": time.time() if commit_ts is None else commit_ts,
+        "n_buckets": n_buckets,
+        "buckets": buckets,
+    }
+    tmp = _manifest_path(sink_root, batch_id) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(sink_root, batch_id))
+    tmp = os.path.join(sink_root, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(f"manifest_{batch_id}.json")
+    os.replace(tmp, os.path.join(sink_root, _POINTER))
+
+
+def vacuum_manifests(sink_root: str, keep_last: int = 2) -> dict:
+    """Reference-counting retention: drop manifests older than the
+    newest ``keep_last`` (the current pointer target always survives),
+    then remove every ``gen_*`` bucket dir NO retained manifest
+    references. Returns {"manifests": [...], "dirs": [...]} removed.
+    A dir written generations ago but still referenced by the current
+    manifest is untouchable -- file reuse makes retention a refcount,
+    not an age check."""
+    keep_last = max(1, keep_last)
+    versions = list_manifest_versions(sink_root)
+    cur = current_manifest(sink_root)
+    cur_id = cur["batch_id"] if cur else None
+    drop = [
+        v for v in versions[:-keep_last] if v != cur_id
+    ]
+    keep = [v for v in versions if v not in drop]
+    referenced = set()
+    for v in keep:
+        referenced.update(_load_manifest(sink_root, v)["buckets"].values())
+    removed_dirs = []
+    for gen in sorted(os.listdir(sink_root)):
+        gd = os.path.join(sink_root, gen)
+        if not (gen.startswith("gen_") and os.path.isdir(gd)):
+            continue
+        for name in sorted(os.listdir(gd)):
+            rel = f"{gen}/{name}"
+            if name.startswith(f"{_BUCKET}=") and rel not in referenced:
+                shutil.rmtree(os.path.join(gd, name))
+                removed_dirs.append(rel)
+        # only marker files (_SUCCESS) left -> the generation is dead
+        if not any(
+            n.startswith(f"{_BUCKET}=") for n in os.listdir(gd)
+        ):
+            shutil.rmtree(gd)
+    for v in drop:
+        os.remove(_manifest_path(sink_root, v))
+    return {"manifests": drop, "dirs": removed_dirs}
+
+
+def start_bucketed_merge_apply(
+    changes_stream: DataFrame,
+    sink_root: str,
+    checkpoint_path: str,
+    keys: list[str],
+    delete_col: str = "is_delete",
+    n_buckets: int = 16,
+    available_now: bool = True,
+):
+    """Streaming wrapper: apply a CDC post-image stream through the
+    partition-scoped merge, one manifest commit per micro-batch."""
+    spark = changes_stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_merge_batch_bucketed(
+            spark,
+            batch_df,
+            batch_id,
+            sink_root,
+            keys,
+            delete_col=delete_col,
+            n_buckets=n_buckets,
+        )
+
+    writer = changes_stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,185 @@
+"""Partition-scoped manifest merge sink (streaming/merge_manifest.py):
+state parity with the flat sink, the file-reuse (no-rewrite) guarantee,
+refcounting vacuum, replay guard, bucket death, timestamp travel."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+    apply_merge_batch_bucketed,
+    current_manifest,
+    list_manifest_versions,
+    read_manifest_as_of,
+    vacuum_manifests,
+)
+from gmail_bigquery_etl_spark.streaming.merge_sink import (
+    apply_merge_batch,
+    read_as_of,
+)
+
+BATCHES = [
+    [(1, "a", False), (2, "b", False), (3, "c", False), (18, "r", False)],
+    [(2, "b2", False), (3, None, True), (4, "d", False)],
+    [(3, "c3", False), (1, None, True), (18, "r2", False)],
+]
+SCHEMA = "k int, v string, is_delete boolean"
+
+
+def _state(df):
+    return {r.k: r.v for r in df.collect()}
+
+
+@pytest.fixture()
+def twin_sinks(spark, tmp_path):
+    """The same 3 CDC generations through BOTH sinks."""
+    flat = str(tmp_path / "flat")
+    man = str(tmp_path / "man")
+    for i, rows in enumerate(BATCHES):
+        b = spark.createDataFrame(rows, SCHEMA)
+        apply_merge_batch(spark, b, i, flat, ["k"], commit_ts=100.0 * (i + 1))
+        apply_merge_batch_bucketed(
+            spark, b, i, man, ["k"], n_buckets=8, commit_ts=100.0 * (i + 1)
+        )
+    return flat, man
+
+
+def test_manifest_sink_matches_flat_sink_every_version(spark, twin_sinks):
+    """Per-version state equality with the flat whole-rewrite sink on
+    identical batches -- the partition-scoped write is pure physical
+    layout, never semantics."""
+    flat, man = twin_sinks
+    assert list_manifest_versions(man) == [0, 1, 2]
+    for v in (0, 1, 2):
+        assert _state(read_manifest_as_of(spark, man, v)) == _state(
+            read_as_of(spark, flat, v)
+        ), v
+    assert _state(read_manifest_as_of(spark, man)) == _state(
+        read_as_of(spark, flat)
+    )
+    # timestampAsOf resolution parity
+    assert _state(read_manifest_as_of(spark, man, ts=250.0)) == _state(
+        read_as_of(spark, flat, ts=250.0)
+    )
+    with pytest.raises(ValueError, match="at or before"):
+        read_manifest_as_of(spark, man, ts=50.0)
+
+
+def test_untouched_buckets_are_reused_not_rewritten(spark, tmp_path):
+    """The no-rewrite guarantee, checked on METADATA: a batch touching
+    one key must carry every other bucket's dir pointer forward as an
+    IDENTICAL STRING (same generation dir), and the new generation's
+    directory must contain only the touched buckets."""
+    sink = str(tmp_path / "reuse")
+    wide = spark.createDataFrame(
+        [(i, f"v{i}", False) for i in range(50)], SCHEMA
+    )
+    one = spark.createDataFrame([(7, "NEW", False)], SCHEMA)
+    apply_merge_batch_bucketed(spark, wide, 0, sink, ["k"], n_buckets=8)
+    m0 = current_manifest(sink)
+    apply_merge_batch_bucketed(spark, one, 1, sink, ["k"], n_buckets=8)
+    m1 = current_manifest(sink)
+
+    touched = {
+        b for b, d in m1["buckets"].items() if d.startswith("gen_1/")
+    }
+    assert len(touched) == 1  # one key -> one bucket rewritten
+    for b, d in m0["buckets"].items():
+        if b not in touched:
+            assert m1["buckets"][b] == d, b  # pointer reused verbatim
+    gen1 = os.path.join(sink, "gen_1")
+    assert (
+        sum(1 for n in os.listdir(gen1) if n.startswith("mbucket=")) == 1
+    )
+    got = _state(read_manifest_as_of(spark, sink))
+    assert got[7] == "NEW" and len(got) == 50
+
+
+def test_replay_guard_and_bucket_death(spark, tmp_path):
+    """Crash-window redelivery (same batch id, mutated content) no-ops;
+    deleting every row in a bucket removes that bucket from the
+    manifest entirely instead of leaving an empty dir pointer."""
+    sink = str(tmp_path / "death")
+    b0 = spark.createDataFrame([(1, "a", False), (2, "b", False)], SCHEMA)
+    apply_merge_batch_bucketed(spark, b0, 0, sink, ["k"], n_buckets=4)
+    n0 = len(current_manifest(sink)["buckets"])
+
+    poison = spark.createDataFrame([(9, "X", False)], SCHEMA)
+    apply_merge_batch_bucketed(spark, poison, 0, sink, ["k"], n_buckets=4)
+    assert _state(read_manifest_as_of(spark, sink)) == {1: "a", 2: "b"}
+
+    # delete key 1; if it lived alone in its bucket the bucket dies
+    kill = spark.createDataFrame([(1, None, True)], SCHEMA)
+    apply_merge_batch_bucketed(spark, kill, 1, sink, ["k"], n_buckets=4)
+    m = current_manifest(sink)
+    assert _state(read_manifest_as_of(spark, sink)) == {2: "b"}
+    assert len(m["buckets"]) <= n0
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        apply_merge_batch_bucketed(spark, b0, 2, sink, ["k"], n_buckets=16)
+
+
+def test_vacuum_refcounts_shared_dirs(spark, tmp_path):
+    """Retention is a refcount over retained manifests: generation-0
+    bucket dirs still referenced by the CURRENT manifest survive any
+    horizon (an age-based delete would corrupt the live table);
+    manifests past the horizon disappear (their versions raise); the
+    current version still reads correctly."""
+    man = str(tmp_path / "vac")
+    wide = spark.createDataFrame(
+        [(i, f"v{i}", False) for i in range(50)], SCHEMA
+    )
+    apply_merge_batch_bucketed(spark, wide, 0, man, ["k"], n_buckets=8)
+    for i, k in enumerate([7, 13], start=1):
+        one = spark.createDataFrame([(k, f"upd{i}", False)], SCHEMA)
+        apply_merge_batch_bucketed(spark, one, i, man, ["k"], n_buckets=8)
+    before = _state(read_manifest_as_of(spark, man))
+    removed = vacuum_manifests(man, keep_last=1)
+    assert removed["manifests"] == [0, 1]
+    assert list_manifest_versions(man) == [2]
+    # gen_0 dirs referenced by manifest 2 must have survived
+    cur = current_manifest(man)
+    assert any(d.startswith("gen_0/") for d in cur["buckets"].values())
+    for d in cur["buckets"].values():
+        assert os.path.isdir(os.path.join(man, d)), d
+    # removed dirs are exactly the unreferenced ones
+    for rel in removed["dirs"]:
+        assert not os.path.exists(os.path.join(man, rel))
+    assert _state(read_manifest_as_of(spark, man)) == before
+    with pytest.raises(ValueError, match="not retained"):
+        read_manifest_as_of(spark, man, 0)
+
+
+def test_streaming_bucketed_merge_matches_sequential_batch(spark, tmp_path):
+    """The foreachBatch wrapper drains a replayed CDC feed and the final
+    manifest state equals sequentially applying the same batches --
+    i.e., the streaming path is exactly the batch path."""
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        start_bucketed_merge_apply,
+    )
+
+    feed = str(tmp_path / "feed")
+    sink = str(tmp_path / "ssink")
+    ckpt = str(tmp_path / "sckpt")
+    ref = str(tmp_path / "ref")
+    rows = [(i, f"v{i % 7}", i % 13 == 0) for i in range(200)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.coalesce(4).write.mode("overwrite").parquet(feed)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = start_bucketed_merge_apply(stream, sink, ckpt, ["k"], n_buckets=8)
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    # reference: one-shot batch apply of the full feed (key-unique rows)
+    apply_merge_batch_bucketed(spark, df, 0, ref, ["k"], n_buckets=8)
+    assert _state(read_manifest_as_of(spark, sink)) == _state(
+        read_manifest_as_of(spark, ref)
+    )
