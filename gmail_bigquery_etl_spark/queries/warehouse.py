@@ -1832,3 +1832,70 @@ def warehouse_time_travel_bucketed(
             F.col("bal_v2").cast("string").alias("bal_v2"),
         )
     )
+
+
+@query(
+    "warehouse_change_data_feed",
+    oracle="""
+WITH sums AS (
+  SELECT o_custkey AS k,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s0,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s1,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS s2,
+    COUNT(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 END) AS n0,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1999-01-01' THEN 1 END) AS n1,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 END) AS n2
+  FROM orders GROUP BY 1
+),
+v0 AS (SELECT k, s0 AS bal FROM sums WHERE n0 > 0),
+v2 AS (
+  SELECT k, CASE WHEN n2 > 0 THEN s2 WHEN n1 > 0 THEN s1 ELSE s0 END AS bal
+  FROM sums
+  WHERE NOT (n2 = 0 AND n1 > 0 AND k % 10 = 0)
+),
+j AS (
+  SELECT COALESCE(a.k, b.k) AS k, a.bal AS pre, b.bal AS post,
+         a.k IS NOT NULL AS ina, b.k IS NOT NULL AS inb
+  FROM v0 a FULL JOIN v2 b ON a.k = b.k
+)
+SELECT k AS c_custkey, CAST(post AS VARCHAR) AS bal,
+       'insert' AS _change_type
+FROM j WHERE NOT ina
+UNION ALL
+SELECT k, CAST(pre AS VARCHAR), 'delete' FROM j WHERE NOT inb
+UNION ALL
+SELECT k, CAST(pre AS VARCHAR), 'update_preimage'
+FROM j WHERE ina AND inb AND pre IS DISTINCT FROM post
+UNION ALL
+SELECT k, CAST(post AS VARCHAR), 'update_postimage'
+FROM j WHERE ina AND inb AND pre IS DISTINCT FROM post
+""",
+)
+def warehouse_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed over the snapshot sink (Delta's readChangeFeed,
+    completing the table-format trio beside time travel and the
+    partition-scoped merge): every per-key change between version 0 and
+    version 2, classified insert / delete / update_preimage /
+    update_postimage -- updates emit BOTH images so a downstream
+    consumer can re-derive either side. Net-effect semantics: keys that
+    appear and disappear strictly between the endpoints emit nothing.
+    ONE full-outer join on the key, change rows exploded from a per-key
+    array so the join subtree is never duplicated. The oracle
+    recomputes both endpoint states relationally and classifies with
+    the same rules, so the gate proves the on-disk feed equals the
+    set-theoretic diff. Balances render as canonical fixed-scale
+    strings (output-type lint contract)."""
+    from ..streaming.merge_sink import read_changes
+
+    root = _time_travel_generations(spark, sf_dir)
+    ch = read_changes(spark, root, 0, 2, ["k"])
+    return ch.select(
+        F.col("k").alias("c_custkey"),
+        F.col("bal").cast("string").alias("bal"),
+        "_change_type",
+    )

@@ -253,3 +253,51 @@ def test_vacuum_retention_keeps_current_and_horizon(spark, tmp_path):
     # keep_last is floored at 1 and the current target always survives
     assert vacuum(root, keep_last=0) == [2]
     assert _state(read_as_of(spark, root)) == {1: "v3"}
+
+
+def test_change_data_feed_classifies_every_transition(spark, tmp_path):
+    """read_changes row-level semantics on hand-built generations:
+    insert / delete / update (both images) / unchanged (no row) /
+    net-effect (inserted AND deleted between endpoints -> no row);
+    evolution interplay (a column added mid-history NULL-backfills the
+    preimage); endpoint validation raises."""
+    import pytest
+
+    from gmail_bigquery_etl_spark.streaming.merge_sink import (
+        apply_merge_batch,
+        read_changes,
+    )
+
+    root = str(tmp_path / "cdf_sink")
+    b0 = spark.createDataFrame(
+        [(1, "keep", False), (2, "upd", False), (3, "gone", False)],
+        "k int, v string, is_delete boolean",
+    )
+    # transient key 9: lives only between the endpoints
+    b1 = spark.createDataFrame(
+        [(2, "upd2", 5, False), (9, "blip", 1, False)],
+        "k int, v string, score int, is_delete boolean",
+    )
+    b2 = spark.createDataFrame(
+        [(3, None, None, True), (9, None, None, True), (4, "new", 7, False)],
+        "k int, v string, score int, is_delete boolean",
+    )
+    for i, b in enumerate([b0, b1, b2]):
+        apply_merge_batch(spark, b, i, root, ["k"])
+
+    rows = {
+        (r.k, r._change_type): (r.v, r.score)
+        for r in read_changes(spark, root, 0, 2, ["k"]).collect()
+    }
+    assert rows == {
+        (2, "update_preimage"): ("upd", None),  # evolution: NULL backfill
+        (2, "update_postimage"): ("upd2", 5),
+        (3, "delete"): ("gone", None),
+        (4, "insert"): ("new", 7),
+        # key 1 unchanged -> no row; key 9 net-effect -> no row
+    }
+
+    with pytest.raises(ValueError, match="must precede"):
+        read_changes(spark, root, 2, 2, ["k"])
+    with pytest.raises(ValueError, match="not retained"):
+        read_changes(spark, root, 0, 7, ["k"])
