@@ -1899,3 +1899,71 @@ def warehouse_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bal").cast("string").alias("bal"),
         "_change_type",
     )
+
+
+@query(
+    "warehouse_incremental_minmax",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS max_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+WHERE NOT (o_orderdate < TIMESTAMP '1997-01-01' AND o_custkey % 7 = 0)
+GROUP BY 1, 2
+""",
+)
+def warehouse_incremental_minmax(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incrementally-maintained MIN/MAX, the aggregate family IVM's
+    counting algorithm canNOT self-maintain (retracting the current
+    minimum needs the runner-up): the textbook auxiliary structure is a
+    per-(group, value) SUPPORT HISTOGRAM -- here the same counting view
+    keyed on (priority, year, cents) -- from which read-time MIN/MAX
+    always sees every value with live support. The same three delta
+    generations as warehouse_incremental_matview, including the
+    correction feed that retracts pre-1997 custkey%7==0 orders --
+    which moves the extrema of 3 of the 35 (priority, year) groups at
+    BOTH gate scales (checked against the no-retraction answer), so
+    the gate genuinely exercises runner-up exposure, not just count
+    bookkeeping. Exact bigint cents; state is O(distinct (group,
+    cents)), not O(orders)."""
+    from ..streaming.matview import apply_view_delta, read_minmax_view
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        "o_orderdate",
+        "o_custkey",
+    )
+    c1, c2 = "1997-01-01", "1999-01-01"
+    cols = ["o_orderpriority", "o_year", "cents"]
+    g0 = base.where(F.col("o_orderdate") < c1).select(
+        *cols, F.lit(1).alias("mult")
+    )
+    g1 = (
+        base.where(
+            (F.col("o_orderdate") >= c1) & (F.col("o_orderdate") < c2)
+        )
+        .select(*cols, F.lit(1).alias("mult"))
+        .unionByName(
+            base.where(
+                (F.col("o_orderdate") < c1) & (F.col("o_custkey") % 7 == 0)
+            ).select(*cols, F.lit(-1).alias("mult"))
+        )
+    )
+    g2 = base.where(F.col("o_orderdate") >= c2).select(
+        *cols, F.lit(1).alias("mult")
+    )
+    root = _sink_root("minmax_hist", sf_dir)
+    for i, d in enumerate([g0, g1, g2]):
+        apply_view_delta(spark, d, i, root, cols, [])
+    return read_minmax_view(
+        spark, root, ["o_orderpriority", "o_year"], "cents"
+    )

@@ -16,10 +16,16 @@ retracts, which a naive sum-merge cannot know).
 
 COUNT and SUM are self-maintainable under insert+retract, so the view
 never touches base -- per batch the work is O(delta) + one merge
-against O(groups) state. (MIN/MAX are deliberately out: they are not
-self-maintainable under retraction without an auxiliary per-group
-structure; a caller needing them keeps the sketch family or a
-merge-sink detail table.)
+against O(groups) state. MIN/MAX are NOT self-maintainable (retracting
+the current minimum requires knowing the runner-up), so they get the
+textbook auxiliary structure instead: maintain the counting view keyed
+on (group, value) -- a per-group SUPPORT HISTOGRAM -- and take
+``read_minmax_view``'s MIN/MAX over the values still holding support
+at read time. State is O(distinct (group, value)) rather than
+O(groups); for a value domain too wide for that, quantize the value
+column first (the quantile sketch's cents/cell discipline) and accept
+bounded error -- exactness and bounded state are the two ends of the
+same knob.
 
 Measures are maintained in EXACT integer units (e.g. cents as bigint):
 additive maintenance in floating point would drift away from the
@@ -126,6 +132,26 @@ def apply_view_delta(
     with open(tmp, "w") as f:
         f.write(f"snap_{batch_id}")
     os.replace(tmp, os.path.join(sink_root, _POINTER))
+
+
+def read_minmax_view(
+    spark,
+    sink_root: str,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """MIN/MAX over a support-histogram view: the sink must have been
+    maintained with ``group_cols = [*groups, value_col]`` (one counting
+    row per distinct (group, value)). Retractions that kill the current
+    extremum automatically expose the runner-up, because the histogram
+    keeps every value with live support. One O(state) aggregate; no
+    base-table access."""
+    hist = read_view(spark, sink_root)
+    return hist.groupBy(*group_cols).agg(
+        F.min(value_col).alias(f"min_{value_col}"),
+        F.max(value_col).alias(f"max_{value_col}"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
 
 
 def start_view_maintenance(

