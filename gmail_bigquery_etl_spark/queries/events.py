@@ -667,32 +667,20 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id", "segment").agg(F.count("*").alias("n"))
 
 
-@query(
-    "scan_partition_pruned",
-    oracle="""
-SELECT user_id, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-FROM events
-WHERE event_type = 'purchase'
-GROUP BY user_id
-""",
-)
-def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hive-style partitioned layout + partition pruning: events re-laid-out
-    as .../event_type=X/ directories (once per session), then a predicate on
-    the partition column prunes entire directories at planning time -- the
-    scan never lists, opens, or decodes the other partitions' files. At
-    100 TB this (with date partitioning) is the first radix of every query;
-    the oracle is the same filter over the flat layout."""
+def _events_parted_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Hive-style events layout (.../event_type=X/), built once per
+    session and shared by the static- and dynamic-pruning queries;
+    returns the published dir."""
     import hashlib
     import os
     import shutil
-
     import uuid
 
     ev = load_table(spark, sf_dir, "events")
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    out = os.path.join(wh, f"ev_parted_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    out = os.path.join(
+        wh, f"ev_parted_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
     if not os.path.isdir(out):
         # session-unique tmp: two racing sessions must never share a
         # staging dir, or the winner could publish the loser's half-write
@@ -715,6 +703,27 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.isdir(out):
                 raise
+    return out
+
+
+@query(
+    "scan_partition_pruned",
+    oracle="""
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: events re-laid-out
+    as .../event_type=X/ directories (once per session), then a predicate on
+    the partition column prunes entire directories at planning time -- the
+    scan never lists, opens, or decodes the other partitions' files. At
+    100 TB this (with date partitioning) is the first radix of every query;
+    the oracle is the same filter over the flat layout."""
+    out = _events_parted_layout(spark, sf_dir)
     # explicit schema: an EMPTY source writes a partitioned dir with no
     # partition subdirs, and schema inference would fail the cold start
     parted = (
@@ -1851,3 +1860,58 @@ def events_dashboard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return dashboard_view(dashboard_batch_state(ev), k=3)
+
+
+@query(
+    "scan_dynamic_partition_pruned",
+    oracle="""
+WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+dim AS (
+  SELECT event_type
+  FROM (SELECT event_type, n, AVG(n) OVER () AS a FROM c)
+  WHERE n > a
+)
+SELECT e.event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY 1
+""",
+)
+def scan_dynamic_partition_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC partition pruning, static pruning's join-driven sibling:
+    the pruning predicate is not a literal but the RESULT of the dim
+    side of a join (event types with ABOVE-AVERAGE row count -- a
+    predicate no planner can fold statically, and a non-empty strict
+    subset whenever per-type counts differ at all), so Catalyst
+    injects a DynamicPruningExpression into the partitioned fact scan
+    and the fact side lists/decodes ONLY the directories the broadcast
+    dim actually produced at runtime (plan-asserted in
+    tests/test_plans.py). At 100 TB this is the star-join radix: fact
+    partitions prune on dim filters that change per run, with zero
+    manual predicate plumbing. Oracle runs the same join over the flat
+    layout."""
+    from pyspark.sql import Window as W
+
+    out = _events_parted_layout(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    # the global window runs on the O(event types) count frame, not data
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .withColumn("a", F.avg("n").over(W.partitionBy()))
+        .where(F.col("n") > F.col("a"))
+        .select("event_type")
+    )
+    parted = spark.read.schema(
+        "user_id bigint, value double, event_type string"
+    ).parquet(out)
+    return (
+        parted.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
+        )
+    )

@@ -538,3 +538,29 @@ def test_auto_anti_join_sizes_key_projection_not_full_relation(spark):
         choose_anti_join_strategy(wide, broadcast_max_bytes=thr, key="id")
         == "broadcast"
     )
+
+
+def test_dynamic_partition_pruning_fires_on_fact_scan(spark):
+    """scan_dynamic_partition_pruned's promise is that the partitioned
+    fact scan carries a runtime DynamicPruningExpression fed by the dim
+    side of the join -- not a full scan followed by a post-join filter.
+    Also executes the query and checks the result is non-vacuous: the
+    dim filter (odd row count) selects a strict, non-empty subset of
+    event types, so pruning has both something to keep and something to
+    drop."""
+    from gmail_bigquery_etl_spark.plans.inspect import plan_string
+    from gmail_bigquery_etl_spark.queries import ALL_QUERIES
+
+    df = ALL_QUERIES["scan_dynamic_partition_pruned"](spark, SF)
+    plan = plan_string(df)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    kept = {r.event_type for r in df.collect()}
+    all_types = {
+        r.event_type
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    assert kept and kept < all_types, (kept, all_types)
