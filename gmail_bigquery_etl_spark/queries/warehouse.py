@@ -1967,3 +1967,78 @@ def warehouse_incremental_minmax(
     return read_minmax_view(
         spark, root, ["o_orderpriority", "o_year"], "cents"
     )
+
+
+@query(
+    "profile_hll_columns",
+    oracle="""
+WITH unp AS (
+  SELECT 'o_custkey' AS col_name, CAST(o_custkey AS VARCHAR) AS val
+  FROM orders
+  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+  UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM orders
+),
+h AS (
+  SELECT col_name,
+         CAST('0x' || substring(md5(val), 1, 8) AS BIGINT) % 256 AS bucket,
+         CAST('0x' || substring(md5(val), 9, 15) AS BIGINT) AS h60
+  FROM unp WHERE val IS NOT NULL
+),
+regs AS (
+  SELECT col_name, bucket,
+         MAX(CASE WHEN h60 = 0 THEN 61
+                  ELSE 61 - length(bin(h60)) END) AS reg
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT col_name,
+         CAST(SUM(CAST(1 AS BIGINT) << (61 - reg)) AS DECIMAL(38,0))
+           AS sum_nonempty,
+         COUNT(*) AS n_buckets
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT col_name,
+         (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+           * 2305843009213693952.0
+           / CAST(sum_nonempty
+                  + CAST(256 - n_buckets AS DECIMAL(38,0))
+                    * CAST(2305843009213693952 AS DECIMAL(38,0)) AS DOUBLE)
+           AS raw,
+         256 - n_buckets AS zeros
+  FROM agg
+)
+SELECT col_name,
+       ROUND(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+                  THEN 256.0 * ln(256.0 / zeros)
+                  ELSE raw END, 6) AS hll_estimate
+FROM est
+""",
+)
+def profile_hll_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-SCAN multi-column CARDINALITY profile, completing the
+    profiling trio (exact moments, quantile sketch, now distinct
+    counts): HLL estimates for four orders columns in a single pass --
+    stack-unpivot inside the scan projection, one grouped register
+    build (state: 256 registers PER COLUMN regardless of row count),
+    one estimator rollup. The oracle rebuilds every column's sketch
+    relationally from the same portable md5-slice hashes, bit-for-bit
+    (the agg_hll_custom discipline, here per unpivoted column). This is
+    the first query a 100 TB profiling pass runs: adding a column costs
+    plan width, never another scan (plan-asserted single FileScan)."""
+    from ..operators.hll import hll_estimate, hll_registers
+
+    orders = load_table(spark, sf_dir, "orders")
+    unp = orders.select(
+        F.expr(
+            "stack(4, "
+            "'o_custkey', CAST(o_custkey AS STRING), "
+            "'o_orderstatus', o_orderstatus, "
+            "'o_orderpriority', o_orderpriority, "
+            "'o_orderkey', CAST(o_orderkey AS STRING)) "
+            "AS (col_name, val)"
+        )
+    )
+    regs = hll_registers(unp, "val", ["col_name"])
+    return hll_estimate(regs, ["col_name"])

@@ -322,6 +322,41 @@ def apply_merge_batch_bucketed(
     os.replace(tmp, os.path.join(sink_root, _POINTER))
 
 
+def compact_manifest(spark, sink_root: str) -> int:
+    """OPTIMIZE: rewrite the CURRENT state into one fresh generation and
+    commit a manifest whose every bucket points there. Data content is
+    unchanged (pytest-pinned); what changes is layout age -- after the
+    horizon passes, ``vacuum_manifests`` can reclaim EVERY older
+    generation, because nothing retained references them anymore. This
+    is the escape valve for a long-lived sink whose live manifest
+    otherwise pins a little of every historical generation forever
+    (file reuse cuts write amplification; compaction caps the read-side
+    generation spread it accumulates). Returns the new batch_id.
+
+    The rewrite re-buckets with the sink's own recorded key/bucket
+    function, so a compacted bucket equals the union of that bucket's
+    rows across the generations it previously spanned."""
+    cur = current_manifest(sink_root)
+    if cur is None:
+        raise ValueError(f"no committed manifest in {sink_root}")
+    state = read_manifest_as_of(spark, sink_root)
+    new_id = cur["batch_id"] + 1
+    # is_delete=False post-images of the full state: the standard apply
+    # path IS the rewrite (replay guard passes: new_id > cur id; every
+    # bucket is touched because every live key reappears)
+    full = state.withColumn("is_delete", F.lit(False))
+    apply_merge_batch_bucketed(
+        spark,
+        full,
+        new_id,
+        sink_root,
+        cur["keys"],
+        n_buckets=cur["n_buckets"],
+        commit_ts=cur["commit_ts"],
+    )
+    return new_id
+
+
 def vacuum_manifests(sink_root: str, keep_last: int = 2) -> dict:
     """Reference-counting retention: drop manifests older than the
     newest ``keep_last`` (the current pointer target always survives),

@@ -221,3 +221,67 @@ def test_point_lookup_reads_one_bucket_only(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="exactly the sink keys"):
         read_manifest_point_lookup(spark, sink, {"wrong": 1})
+
+
+def test_compact_rewrites_one_generation_and_unpins_history(spark, tmp_path):
+    """OPTIMIZE lifecycle: after many touch-one-key generations the live
+    manifest pins a dir in nearly every generation; compact_manifest
+    rewrites the identical state into ONE fresh generation, after which
+    vacuum(keep_last=1) reclaims EVERY older gen dir (the refcount
+    drops to zero) while the state stays bit-identical."""
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        compact_manifest,
+    )
+
+    sink = str(tmp_path / "opt")
+    wide = spark.createDataFrame(
+        [(i, f"v{i}", False) for i in range(40)], SCHEMA
+    )
+    apply_merge_batch_bucketed(spark, wide, 0, sink, ["k"], n_buckets=8)
+    for i, k in enumerate([3, 11, 19, 27], start=1):
+        one = spark.createDataFrame([(k, f"u{i}", False)], SCHEMA)
+        apply_merge_batch_bucketed(spark, one, i, sink, ["k"], n_buckets=8)
+    before = _state(read_manifest_as_of(spark, sink))
+    gens_before = {
+        d.split("/", 1)[0] for d in current_manifest(sink)["buckets"].values()
+    }
+    assert len(gens_before) > 1  # history is genuinely spread out
+
+    new_id = compact_manifest(spark, sink)
+    m = current_manifest(sink)
+    assert m["batch_id"] == new_id
+    assert {
+        d.split("/", 1)[0] for d in m["buckets"].values()
+    } == {f"gen_{new_id}"}
+    assert _state(read_manifest_as_of(spark, sink)) == before
+
+    removed = vacuum_manifests(sink, keep_last=1)
+    assert set(removed["manifests"]) == {0, 1, 2, 3, 4}
+    for g in gens_before:
+        assert not os.path.exists(os.path.join(sink, g)), g
+    assert _state(read_manifest_as_of(spark, sink)) == before
+
+
+def test_matview_sink_layout_is_vacuum_compatible(spark, tmp_path):
+    """The IVM sink intentionally shares the snap_/pointer layout, so
+    merge_sink's list_versions/vacuum work on it unchanged -- one
+    retention mechanism across every snapshot sink."""
+    from gmail_bigquery_etl_spark.streaming.matview import (
+        apply_view_delta,
+        read_view,
+    )
+    from gmail_bigquery_etl_spark.streaming.merge_sink import (
+        list_versions,
+        vacuum,
+    )
+
+    sink = str(tmp_path / "mv_vac")
+    for i in range(3):
+        d = spark.createDataFrame(
+            [("a", 10 * (i + 1), 1)], "g string, cents bigint, mult int"
+        )
+        apply_view_delta(spark, d, i, sink, ["g"], ["cents"])
+    assert list_versions(sink) == [0, 1, 2]
+    assert vacuum(sink, keep_last=1) == [0, 1]
+    got = {r.g: r.cents for r in read_view(spark, sink).collect()}
+    assert got == {"a": 60}

@@ -564,3 +564,21 @@ def test_dynamic_partition_pruning_fires_on_fact_scan(spark):
         .collect()
     }
     assert kept and kept < all_types, (kept, all_types)
+
+
+def test_multi_column_hll_profile_is_one_scan(spark):
+    """profile_hll_columns promises N-column cardinality profiling in
+    ONE pass: a single orders scan reading only the four profiled
+    columns (the UNION-ALL oracle formulation would plan one scan per
+    column)."""
+    from gmail_bigquery_etl_spark.plans.inspect import (
+        plan_string,
+        scan_read_schema,
+    )
+
+    df = ALL_QUERIES["profile_hll_columns"](spark, SF)
+    plan = plan_string(df)
+    assert plan.count("FileScan parquet") == 1, plan[:1500]
+    assert scan_read_schema(df) == [
+        {"o_custkey", "o_orderstatus", "o_orderpriority", "o_orderkey"}
+    ]
