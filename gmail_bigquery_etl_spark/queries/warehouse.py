@@ -2042,3 +2042,90 @@ def profile_hll_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     regs = hll_registers(unp, "val", ["col_name"])
     return hll_estimate(regs, ["col_name"])
+
+
+@query(
+    "warehouse_change_log",
+    oracle="""
+WITH sums AS (
+  SELECT o_custkey AS k,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s0,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s1,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS s2,
+    COUNT(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 END) AS n0,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1999-01-01' THEN 1 END) AS n1,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 END) AS n2
+  FROM orders GROUP BY 1
+),
+v0 AS (SELECT k, s0 AS bal FROM sums WHERE n0 > 0),
+v1 AS (
+  SELECT k, CASE WHEN n1 > 0 THEN s1 ELSE s0 END AS bal
+  FROM sums
+  WHERE (n0 > 0 OR n1 > 0) AND NOT (n1 > 0 AND k % 10 = 0)
+),
+v2 AS (
+  SELECT k, CASE WHEN n2 > 0 THEN s2 WHEN n1 > 0 THEN s1 ELSE s0 END AS bal
+  FROM sums
+  WHERE NOT (n2 = 0 AND n1 > 0 AND k % 10 = 0)
+),
+d01 AS (
+  SELECT COALESCE(a.k, b.k) AS k, a.bal AS pre, b.bal AS post,
+         a.k IS NOT NULL AS ina, b.k IS NOT NULL AS inb
+  FROM v0 a FULL JOIN v1 b ON a.k = b.k
+),
+d12 AS (
+  SELECT COALESCE(a.k, b.k) AS k, a.bal AS pre, b.bal AS post,
+         a.k IS NOT NULL AS ina, b.k IS NOT NULL AS inb
+  FROM v1 a FULL JOIN v2 b ON a.k = b.k
+)
+SELECT k AS c_custkey, CAST(bal AS VARCHAR) AS bal,
+       'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+FROM v0
+UNION ALL
+SELECT k, CAST(post AS VARCHAR), 'insert', 1 FROM d01 WHERE NOT ina
+UNION ALL
+SELECT k, CAST(pre AS VARCHAR), 'delete', 1 FROM d01 WHERE NOT inb
+UNION ALL
+SELECT k, CAST(pre AS VARCHAR), 'update_preimage', 1
+FROM d01 WHERE ina AND inb AND pre IS DISTINCT FROM post
+UNION ALL
+SELECT k, CAST(post AS VARCHAR), 'update_postimage', 1
+FROM d01 WHERE ina AND inb AND pre IS DISTINCT FROM post
+UNION ALL
+SELECT k, CAST(post AS VARCHAR), 'insert', 2 FROM d12 WHERE NOT ina
+UNION ALL
+SELECT k, CAST(pre AS VARCHAR), 'delete', 2 FROM d12 WHERE NOT inb
+UNION ALL
+SELECT k, CAST(pre AS VARCHAR), 'update_preimage', 2
+FROM d12 WHERE ina AND inb AND pre IS DISTINCT FROM post
+UNION ALL
+SELECT k, CAST(post AS VARCHAR), 'update_postimage', 2
+FROM d12 WHERE ina AND inb AND pre IS DISTINCT FROM post
+""",
+)
+def warehouse_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PER-COMMIT change log (Delta's table_changes), the endpoint
+    diff's replay-oriented sibling: every retained commit contributes
+    its own insert/delete/update slice stamped with _commit_version,
+    and -- unlike warehouse_change_data_feed's net-effect semantics --
+    TRANSIENTS SURVIVE: a customer deleted at v1 and re-inserted at v2
+    appears in both commits, which is exactly what a downstream
+    incremental consumer must replay to stay consistent. Bootstrap
+    semantics: the oldest retained state enters as version-0 inserts.
+    The oracle recomputes all three states and classifies both
+    consecutive pairs relationally."""
+    from ..streaming.merge_sink import read_changes_log
+
+    root = _time_travel_generations(spark, sf_dir)
+    log = read_changes_log(spark, root, ["k"])
+    return log.select(
+        F.col("k").alias("c_custkey"),
+        F.col("bal").cast("string").alias("bal"),
+        "_change_type",
+        F.col("_commit_version").cast("bigint").alias("_commit_version"),
+    )

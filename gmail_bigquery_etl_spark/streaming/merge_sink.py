@@ -193,6 +193,56 @@ def read_changes(
     )
 
 
+def read_changes_log(
+    spark,
+    sink_root: str,
+    keys: list[str],
+    from_version: int | None = None,
+    to_version: int | None = None,
+) -> DataFrame:
+    """The PER-COMMIT change log (Delta's ``table_changes``): one
+    ``read_changes`` slice per consecutive retained version pair,
+    unioned with a ``_commit_version`` column. Unlike the endpoint diff
+    this preserves transients -- a key inserted at v1 and deleted at v2
+    appears as an insert AND a delete, each stamped with its commit --
+    which is what a downstream incremental consumer replays. The first
+    retained version contributes its full state as inserts when it is
+    the log's start (version-0 bootstrap semantics).
+
+    Requires the requested range to be contiguous in the retained
+    history (vacuum holes raise, via read_as_of)."""
+    versions = list_versions(sink_root)
+    if not versions:
+        raise ValueError(f"no committed snapshot in {sink_root}")
+    lo = versions[0] if from_version is None else from_version
+    hi = versions[-1] if to_version is None else to_version
+    span = [v for v in versions if lo <= v <= hi]
+    if not span or span[0] != lo or span[-1] != hi:
+        raise ValueError(
+            f"range [{lo}, {hi}] not fully retained in {sink_root} "
+            f"(have {versions})"
+        )
+    parts = []
+    if from_version is None or lo == versions[0]:
+        # bootstrap: the oldest retained state enters the log as inserts
+        boot = read_as_of(spark, sink_root, lo).select(
+            "*",
+            F.lit("insert").alias("_change_type"),
+            F.lit(lo).alias("_commit_version"),
+        )
+        parts.append(boot)
+    for a, b in zip(span, span[1:]):
+        parts.append(
+            read_changes(spark, sink_root, a, b, keys).withColumn(
+                "_commit_version", F.lit(b)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def vacuum(sink_root: str, keep_last: int = 2) -> list[int]:
     """Retention: drop all but the newest ``keep_last`` snapshot
     directories (the CURRENT pointer target is always kept regardless).

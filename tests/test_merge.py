@@ -301,3 +301,58 @@ def test_change_data_feed_classifies_every_transition(spark, tmp_path):
         read_changes(spark, root, 2, 2, ["k"])
     with pytest.raises(ValueError, match="not retained"):
         read_changes(spark, root, 0, 7, ["k"])
+
+
+def test_change_log_preserves_transients_and_respects_vacuum(spark, tmp_path):
+    """read_changes_log vs read_changes: the log preserves transients
+    (insert at v1 + delete at v2 both appear, stamped per commit) where
+    the endpoint diff nets them out; bootstrap enters as version-0
+    inserts; a vacuum hole inside the requested range raises instead of
+    silently skipping commits."""
+    import pytest
+
+    from gmail_bigquery_etl_spark.streaming.merge_sink import (
+        apply_merge_batch,
+        read_changes,
+        read_changes_log,
+        vacuum,
+    )
+
+    root = str(tmp_path / "log_sink")
+    b0 = spark.createDataFrame(
+        [(1, "a", False)], "k int, v string, is_delete boolean"
+    )
+    b1 = spark.createDataFrame(
+        [(9, "blip", False), (1, "a2", False)],
+        "k int, v string, is_delete boolean",
+    )
+    b2 = spark.createDataFrame(
+        [(9, None, True)], "k int, v string, is_delete boolean"
+    )
+    for i, b in enumerate([b0, b1, b2]):
+        apply_merge_batch(spark, b, i, root, ["k"])
+
+    log = {
+        (r.k, r._commit_version, r._change_type): r.v
+        for r in read_changes_log(spark, root, ["k"]).collect()
+    }
+    assert log == {
+        (1, 0, "insert"): "a",  # bootstrap
+        (1, 1, "update_preimage"): "a",
+        (1, 1, "update_postimage"): "a2",
+        (9, 1, "insert"): "blip",  # transient: present in the log...
+        (9, 2, "delete"): "blip",  # ...on both sides of its short life
+    }
+    # ...but absent from the endpoint diff (net-effect)
+    net = {r.k for r in read_changes(spark, root, 0, 2, ["k"]).collect()}
+    assert 9 not in net and net == {1}
+
+    # explicit sub-range: only commit 2's slice
+    tail = read_changes_log(spark, root, ["k"], from_version=1, to_version=2)
+    assert {
+        (r.k, r._commit_version, r._change_type) for r in tail.collect()
+    } == {(9, 2, "delete")}
+
+    vacuum(root, keep_last=2)  # drops version 0
+    with pytest.raises(ValueError, match="not fully retained"):
+        read_changes_log(spark, root, ["k"], from_version=0)
