@@ -141,7 +141,7 @@ def read_manifest_point_lookup(
         )
     sample = next(iter(m["buckets"].values()), None)
     if sample is None:
-        raise ValueError(f"manifest {m['batch_id']} is empty")
+        return spark.createDataFrame([], m["schema"])
     schema = spark.read.parquet(os.path.join(sink_root, sample)).schema
     probes = [
         F.lit(key_values[k]).cast(schema[k].dataType) for k in m["keys"]
@@ -178,9 +178,9 @@ def read_manifest_as_of(
     m = _resolve_manifest(sink_root, version, ts)
     dirs = list(m["buckets"].values())
     if not dirs:
-        raise ValueError(
-            f"manifest {m['batch_id']} in {sink_root} is empty"
-        )
+        # an empty table is a legitimate committed state (cold start or
+        # full deletion) -- read it as an empty typed frame
+        return spark.createDataFrame([], m["schema"])
     parts = [
         df.drop(_BUCKET)
         for df in _read_bucket_dirs(spark, sink_root, dirs)
@@ -310,6 +310,9 @@ def apply_merge_batch_bucketed(
         "commit_ts": time.time() if commit_ts is None else commit_ts,
         "n_buckets": n_buckets,
         "keys": list(keys),  # bucket-function self-description
+        # recorded so a fully-empty table (cold start, or every row
+        # deleted) still reads as an empty, correctly-typed frame
+        "schema": batch.select(*data_cols).schema.simpleString(),
         "buckets": buckets,
     }
     tmp = _manifest_path(sink_root, batch_id) + ".tmp"

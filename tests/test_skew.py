@@ -79,3 +79,62 @@ def test_salted_join_rejects_right_and_full(spark):
     # supported modes still work
     assert salted_join(big, small, key="k", salt_from="d", how="left_semi").count() == 1
     assert salted_join(big, small, key="k", salt_from="d", how="left_anti").count() == 9
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The AUTOMATIC half of the skew story (manual salting is the
+    planned half): with AQE's skew-join thresholds lowered to fixture
+    scale, a sort-merge join against a 90%-hot key distribution must
+    plan SortMergeJoin(skew=true) with a skewed AQEShuffleRead -- the
+    runtime split that keeps one straggler task from serializing the
+    stage at 100 TB -- and return exactly the un-tuned join's rows.
+
+    Two fixture subtleties this test documents: (a) the hot rows carry
+    a HIGH-ENTROPY payload, because AQE sizes partitions from the
+    compressed map output and 180k identical 8-byte keys compress to
+    under any threshold (a real hot key drags real row bytes with it);
+    (b) forceOptimizeSkewedJoin, because a downstream same-key
+    aggregate makes AQE decline the split (it breaks the partitioning
+    guarantee) unless told the extra exchange is acceptable."""
+    from collections import Counter
+
+    df = spark.range(200_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(0))
+        .otherwise(F.col("id") % 100)
+        .cast("long")
+        .alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pay"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        # force the shuffle path: broadcast would bypass skew handling
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = df.join(dim, "k")  # pay survives the shuffle
+        got = Counter((r.k, r.w) for r in joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan, plan[:2000]  # the AQEShuffleRead side
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # row-identical to the un-tuned join (fresh QueryExecution,
+    # session-default AQE settings)
+    want = Counter((r.k, r.w) for r in df.join(dim, "k").collect())
+    assert got == want
