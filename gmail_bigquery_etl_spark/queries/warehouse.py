@@ -2129,3 +2129,39 @@ def warehouse_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_change_type",
         F.col("_commit_version").cast("bigint").alias("_commit_version"),
     )
+
+
+@query(
+    "agg_parquet_footer_stats",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(COUNT(o_custkey) AS BIGINT) AS n_custkeys
+FROM orders
+""",
+)
+def agg_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown INTO the parquet scan: COUNT/MIN/MAX answered
+    from row-group footer statistics, never decoding a single data
+    page -- at 100 TB the difference between a metadata read and a
+    full-table scan for the most common profiling probe there is. The
+    engine's v2 parquet source implements this
+    (spark.sql.parquet.aggregatePushdown); the v1 path the rest of the
+    corpus deliberately uses does not, so this query runs on a CLONED
+    session scoped to v2 + pushdown -- session-level physical-source
+    tuning stays per-query instead of leaking into every other plan.
+    The plan-asserted contract (tests/test_plans.py): the BatchScan's
+    OUTPUT COLUMNS are the aggregates themselves (PushedAggregation),
+    i.e. the scan returns per-row-group stats, not rows. Oracle
+    computes the same aggregates by actually scanning -- footer stats
+    must equal the data they summarize."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    return s2.read.parquet(f"{sf_dir}/orders.parquet").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count("o_custkey").cast("bigint").alias("n_custkeys"),
+    )

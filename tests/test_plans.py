@@ -582,3 +582,22 @@ def test_multi_column_hll_profile_is_one_scan(spark):
     assert scan_read_schema(df) == [
         {"o_custkey", "o_orderstatus", "o_orderpriority", "o_orderkey"}
     ]
+
+
+def test_parquet_aggregate_pushdown_reaches_scan(spark):
+    """agg_parquet_footer_stats must answer from row-group footer
+    statistics: the v2 BatchScan's pushed-aggregation output columns
+    ARE the aggregates (count/min/max), so no data pages decode. Also
+    pins that the per-query session clone leaves the CALLING session's
+    v1 source list untouched (the rest of the corpus's FileScan-based
+    plan tests depend on it)."""
+    from gmail_bigquery_etl_spark.queries import ALL_QUERIES
+
+    before = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    df = ALL_QUERIES["agg_parquet_footer_stats"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation: [COUNT(*)" in plan, plan[:1500]
+    assert "BatchScan" in plan
+    assert spark.conf.get("spark.sql.sources.useV1SourceList", None) == before
+    row = df.collect()[0]
+    assert row.n_rows > 0 and row.min_price <= row.max_price
