@@ -2165,3 +2165,74 @@ def agg_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("max_price"),
         F.count("o_custkey").cast("bigint").alias("n_custkeys"),
     )
+
+
+@query(
+    "warehouse_view_from_cdf",
+    oracle="""
+WITH sums AS (
+  SELECT o_custkey AS k,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s0,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s1,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS s2,
+    COUNT(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 END) AS n0,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1999-01-01' THEN 1 END) AS n1,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 END) AS n2
+  FROM orders GROUP BY 1
+),
+v2 AS (
+  SELECT k, CASE WHEN n2 > 0 THEN s2 WHEN n1 > 0 THEN s1 ELSE s0 END AS bal
+  FROM sums
+  WHERE NOT (n2 = 0 AND n1 > 0 AND k % 10 = 0)
+)
+SELECT CAST(k % 50 AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(bal * 10000 AS BIGINT)) AS BIGINT) AS bal_tenths
+FROM v2 GROUP BY 1
+""",
+)
+def warehouse_view_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical derived-table pipeline, composed END-TO-END from
+    three gated families: the CDC merge sink's PER-COMMIT CHANGE LOG
+    becomes the delta feed for an INCREMENTALLY-MAINTAINED aggregate
+    view (per-shard customer count + balance). Change types map to
+    counting-algorithm multiplicities exactly as IVM theory says a
+    change feed composes (insert/update_postimage -> +1,
+    delete/update_preimage -> -1 -- updates retract the old image and
+    assert the new one), each commit's slice applies as its own view
+    delta batch, and the final view must equal a direct aggregate over
+    the sink's FINAL state recomputed relationally -- proving the
+    maintained view never needs the base table OR the full snapshot,
+    only the feed. Balances maintained as exact integer ten-thousandths
+    (the decimal's own scale), so maintenance is drift-free."""
+    from ..streaming.matview import apply_view_delta, read_view
+    from ..streaming.merge_sink import read_changes_log
+
+    root = _time_travel_generations(spark, sf_dir)
+    log = read_changes_log(spark, root, ["k"])
+    deltas = log.select(
+        F.expr("k % 50").cast("bigint").alias("shard"),
+        (F.col("bal") * 10000).cast("bigint").alias("bal_tenths"),
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), 1
+        )
+        .otherwise(-1)
+        .alias("mult"),
+        "_commit_version",
+    )
+    vroot = _sink_root("view_from_cdf", sf_dir)
+    for v in [0, 1, 2]:
+        batch = deltas.where(F.col("_commit_version") == v).drop(
+            "_commit_version"
+        )
+        apply_view_delta(spark, batch, v, vroot, ["shard"], ["bal_tenths"])
+    return read_view(spark, vroot).select(
+        "shard",
+        "n_rows",
+        F.col("bal_tenths").cast("bigint").alias("bal_tenths"),
+    )
