@@ -1125,6 +1125,22 @@ def _time_travel_generations(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+def _time_travel_generations_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """The same three generations through the partition-scoped manifest
+    sink (shared by the bucketed time-travel and change-feed gates)."""
+    from ..streaming.merge_manifest import apply_merge_batch_bucketed
+
+    root = _sink_root("time_travel_bkt", sf_dir)
+    for i, b in enumerate(_time_travel_batches(spark, sf_dir)):
+        apply_merge_batch_bucketed(
+            spark, b, i, root, ["k"], n_buckets=16,
+            commit_ts=1000.0 * (i + 1),
+        )
+    return root
+
+
 
 @query(
     "warehouse_time_travel_diff",
@@ -1806,17 +1822,9 @@ def warehouse_time_travel_bucketed(
     manifest-resolved history == whole-rewrite history == relational
     state-after-batch-k. The file-reuse/no-rewrite guarantee itself is
     metadata-asserted in tests/test_merge_manifest.py."""
-    from ..streaming.merge_manifest import (
-        apply_merge_batch_bucketed,
-        read_manifest_as_of,
-    )
+    from ..streaming.merge_manifest import read_manifest_as_of
 
-    root = _sink_root("time_travel_bkt", sf_dir)
-    for i, b in enumerate(_time_travel_batches(spark, sf_dir)):
-        apply_merge_batch_bucketed(
-            spark, b, i, root, ["k"], n_buckets=16,
-            commit_ts=1000.0 * (i + 1),
-        )
+    root = _time_travel_generations_bucketed(spark, sf_dir)
     v1 = read_manifest_as_of(spark, root, 1).select(
         "k", F.col("bal").alias("bal_v1")
     )
@@ -2235,4 +2243,68 @@ def warehouse_view_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         "n_rows",
         F.col("bal_tenths").cast("bigint").alias("bal_tenths"),
+    )
+
+
+@query(
+    "warehouse_change_feed_bucketed",
+    oracle="""
+WITH sums AS (
+  SELECT o_custkey AS k,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s0,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s1,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS s2,
+    COUNT(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 END) AS n0,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1999-01-01' THEN 1 END) AS n1,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 END) AS n2
+  FROM orders GROUP BY 1
+),
+v0 AS (SELECT k, s0 AS bal FROM sums WHERE n0 > 0),
+v2 AS (
+  SELECT k, CASE WHEN n2 > 0 THEN s2 WHEN n1 > 0 THEN s1 ELSE s0 END AS bal
+  FROM sums
+  WHERE NOT (n2 = 0 AND n1 > 0 AND k % 10 = 0)
+),
+j AS (
+  SELECT COALESCE(a.k, b.k) AS k, a.bal AS pre, b.bal AS post,
+         a.k IS NOT NULL AS ina, b.k IS NOT NULL AS inb
+  FROM v0 a FULL JOIN v2 b ON a.k = b.k
+)
+SELECT k AS c_custkey, CAST(post AS VARCHAR) AS bal,
+       'insert' AS _change_type
+FROM j WHERE NOT ina
+UNION ALL
+SELECT k, CAST(pre AS VARCHAR), 'delete' FROM j WHERE NOT inb
+UNION ALL
+SELECT k, CAST(pre AS VARCHAR), 'update_preimage'
+FROM j WHERE ina AND inb AND pre IS DISTINCT FROM post
+UNION ALL
+SELECT k, CAST(post AS VARCHAR), 'update_postimage'
+FROM j WHERE ina AND inb AND pre IS DISTINCT FROM post
+""",
+)
+def warehouse_change_feed_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME v0->v2 change feed as warehouse_change_data_feed,
+    resolved through the PARTITION-SCOPED manifest sink (keys default
+    to the sink's own recorded key columns; classification is the
+    shared core): the third cross-implementation proof row after the
+    time-travel diff pair -- manifests' reused-file reads compose into
+    exactly the same change feed the flat whole-rewrite sink produces,
+    which is what lets a downstream consumer switch sink layouts
+    without re-deriving anything."""
+    from ..streaming.merge_manifest import read_manifest_changes
+
+    root = _time_travel_generations_bucketed(spark, sf_dir)
+    ch = read_manifest_changes(spark, root, 0, 2)
+    return ch.select(
+        F.col("k").alias("c_custkey"),
+        F.col("bal").cast("string").alias("bal"),
+        "_change_type",
     )

@@ -421,6 +421,31 @@ def manifest_files(spark, sink_root: str, version: int | None = None) -> DataFra
     )
 
 
+def read_manifest_changes(
+    spark,
+    sink_root: str,
+    from_version: int,
+    to_version: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Change Data Feed over the manifest sink: the same endpoint-diff
+    classification as merge_sink.read_changes (shared core), resolved
+    through manifests. Keys default to the sink's own recorded key
+    columns."""
+    from .merge_sink import classify_changes
+
+    if from_version >= to_version:
+        raise ValueError(
+            f"from_version {from_version} must precede to_version "
+            f"{to_version}"
+        )
+    if keys is None:
+        keys = _resolve_manifest(sink_root, to_version, None)["keys"]
+    a = read_manifest_as_of(spark, sink_root, from_version)
+    b = read_manifest_as_of(spark, sink_root, to_version)
+    return classify_changes(a, b, keys)
+
+
 def vacuum_manifests(sink_root: str, keep_last: int = 2) -> dict:
     """Reference-counting retention: drop manifests older than the
     newest ``keep_last`` (the current pointer target always survives),

@@ -149,11 +149,17 @@ def read_changes(
         )
     a = read_as_of(spark, sink_root, from_version)
     b = read_as_of(spark, sink_root, to_version)
+    return classify_changes(a, b, keys)
+
+
+def classify_changes(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """The snapshot-diff classification core shared by every sink
+    implementation (flat and manifest): state A vs state B on ``keys``
+    -> insert / delete / update_preimage / update_postimage rows."""
     dropped = [c for c in a.columns if c not in b.columns]
     if dropped:
         raise ValueError(
-            f"version {to_version} lost columns {dropped} vs "
-            f"{from_version}"
+            f"the later state lost columns {dropped} vs the earlier one"
         )
     for c in b.columns:
         if c not in a.columns:
