@@ -446,6 +446,67 @@ def read_manifest_changes(
     return classify_changes(a, b, keys)
 
 
+def forget_keys_bucketed(
+    spark,
+    sink_root: str,
+    key_rows: list[tuple],
+) -> dict:
+    """Partition-scoped right-to-be-forgotten: erase keys from every
+    retained manifest's history by rewriting ONLY the bucket dirs the
+    keys hash into -- O(generations x affected buckets) I/O however
+    large the table, where the flat sink's erasure rewrites everything.
+    Buckets not containing any forgotten key are untouched (their files
+    keep their bytes -- test-asserted). Returns {dir: rows_removed}.
+
+    Same non-atomic per-dir swap caveat as merge_sink.forget_keys:
+    quiesce writers first."""
+    import shutil
+
+    any_manifest = current_manifest(sink_root)
+    if any_manifest is None:
+        raise ValueError(f"no committed manifest in {sink_root}")
+    keys = any_manifest["keys"]
+    n_buckets = any_manifest["n_buckets"]
+    # cast probe keys to the STORED column types before hashing:
+    # xxhash64 is type-sensitive, so a bigint literal probing an int
+    # key column would hash into the wrong bucket and silently erase
+    # nothing (the point-lookup path guards the same way)
+    stored = spark.createDataFrame([], any_manifest["schema"]).schema
+    key_df = spark.createDataFrame(key_rows, schema=keys).select(
+        *[F.col(k).cast(stored[k].dataType) for k in keys]
+    )
+    target_buckets = {
+        r.b
+        for r in key_df.select(
+            F.pmod(F.xxhash64(*keys), F.lit(n_buckets))
+            .cast("int")
+            .alias("b")
+        ).collect()
+    }
+    # every generation dir any retained manifest references for a
+    # target bucket gets rewritten in place, once
+    dirs = set()
+    for v in list_manifest_versions(sink_root):
+        m = _load_manifest(sink_root, v)
+        for b, d in m["buckets"].items():
+            if int(b) in target_buckets:
+                dirs.add(d)
+    removed = {}
+    bkey = F.broadcast(key_df)
+    for rel in sorted(dirs):
+        full = os.path.join(sink_root, rel)
+        df = spark.read.parquet(full)
+        before = df.count()
+        kept = df.join(bkey, on=keys, how="left_anti")
+        tmp = full + ".forget_tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        after = spark.read.parquet(tmp).count()
+        shutil.rmtree(full)
+        os.replace(tmp, full)
+        removed[rel] = before - after
+    return removed
+
+
 def vacuum_manifests(sink_root: str, keep_last: int = 2) -> dict:
     """Reference-counting retention: drop manifests older than the
     newest ``keep_last`` (the current pointer target always survives),

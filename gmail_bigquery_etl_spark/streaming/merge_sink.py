@@ -249,6 +249,51 @@ def read_changes_log(
     return out
 
 
+def forget_keys(
+    spark,
+    sink_root: str,
+    keys: list[str],
+    key_rows: list[tuple],
+) -> dict:
+    """Right-to-be-forgotten: erase the given keys from EVERY retained
+    snapshot -- unlike a CDC delete (which ends a key's life at one
+    version and leaves its history readable), compliance erasure must
+    remove the rows RETROACTIVELY from time travel, change feeds, and
+    logs. Every retained snapshot dir is rewritten without the keys
+    (commit-ts sidecars preserved, version ids unchanged); returns
+    {version: rows_removed}.
+
+    The per-dir swap is write-tmp + replace, not an atomic metadata
+    commit -- the honest raw-parquet analog of Delta's
+    copy-on-write + VACUUM sequence for the same operation; run it
+    with writers quiesced (compliance rewrites are maintenance
+    windows everywhere)."""
+    import shutil
+
+    key_df = F.broadcast(spark.createDataFrame(key_rows, schema=keys))
+    removed = {}
+    for v in list_versions(sink_root):
+        d = os.path.join(sink_root, f"snap_{v}")
+        df = spark.read.parquet(d)
+        before = df.count()
+        kept = df.join(key_df, on=keys, how="left_anti")
+        tmp = d + ".forget_tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        after = spark.read.parquet(tmp).count()
+        ts_path = os.path.join(d, _COMMIT_TS)
+        ts = None
+        if os.path.exists(ts_path):
+            with open(ts_path) as f:
+                ts = f.read()
+        shutil.rmtree(d)
+        os.replace(tmp, d)
+        if ts is not None:
+            with open(os.path.join(d, _COMMIT_TS), "w") as f:
+                f.write(ts)
+        removed[v] = before - after
+    return removed
+
+
 def vacuum(sink_root: str, keep_last: int = 2) -> list[int]:
     """Retention: drop all but the newest ``keep_last`` snapshot
     directories (the CURRENT pointer target is always kept regardless).

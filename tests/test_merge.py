@@ -356,3 +356,47 @@ def test_change_log_preserves_transients_and_respects_vacuum(spark, tmp_path):
     vacuum(root, keep_last=2)  # drops version 0
     with pytest.raises(ValueError, match="not fully retained"):
         read_changes_log(spark, root, ["k"], from_version=0)
+
+
+def test_forget_keys_erases_retroactively_across_history(spark, tmp_path):
+    """Right-to-be-forgotten vs CDC delete: after forget_keys the key
+    is gone from EVERY retained version (time travel), from the
+    endpoint change feed, and from the per-commit log; all other rows'
+    per-version states are bit-identical; commit-ts sidecars survive
+    so timestamp travel still resolves."""
+    from gmail_bigquery_etl_spark.streaming.merge_sink import (
+        apply_merge_batch,
+        forget_keys,
+        read_as_of,
+        read_changes,
+        read_changes_log,
+    )
+
+    root = str(tmp_path / "forget_sink")
+    batches = [
+        [(1, "a", False), (2, "b", False), (7, "secret", False)],
+        [(7, "secret2", False), (3, "c", False)],
+        [(2, "b2", False)],
+    ]
+    for i, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, "k int, v string, is_delete boolean")
+        apply_merge_batch(spark, b, i, root, ["k"], commit_ts=100.0 * (i + 1))
+
+    want = {
+        v: {r.k: r.v for r in read_as_of(spark, root, v).collect() if r.k != 7}
+        for v in (0, 1, 2)
+    }
+    removed = forget_keys(spark, root, ["k"], [(7,)])
+    assert removed == {0: 1, 1: 1, 2: 1}
+    for v in (0, 1, 2):
+        assert {
+            r.k: r.v for r in read_as_of(spark, root, v).collect()
+        } == want[v], v
+    assert 7 not in {
+        r.k for r in read_changes(spark, root, 0, 2, ["k"]).collect()
+    }
+    assert 7 not in {
+        r.k for r in read_changes_log(spark, root, ["k"]).collect()
+    }
+    # timestamp travel still resolves through preserved sidecars
+    assert {r.k for r in read_as_of(spark, root, ts=150.0).collect()} == {1, 2}

@@ -328,3 +328,67 @@ def test_describe_history_and_files_metadata_tables(spark, tmp_path):
     compact_manifest(spark, sink)
     hist2 = {r.version: r for r in describe_history(spark, sink).collect()}
     assert hist2[2].n_buckets_reused == 0  # compaction rewrote everything
+
+
+def test_forget_keys_bucketed_rewrites_only_target_buckets(spark, tmp_path):
+    """Partition-scoped erasure: the forgotten key disappears from
+    every retained version AND from the manifest change feed, other
+    rows' states are bit-identical, and -- the scale claim -- bucket
+    dirs NOT containing the key keep their exact file bytes (no
+    rewrite happened there)."""
+    import hashlib
+
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        forget_keys_bucketed,
+        read_manifest_changes,
+    )
+
+    sink = str(tmp_path / "forget_bkt")
+    wide = spark.createDataFrame(
+        [(i, f"v{i}", False) for i in range(40)], SCHEMA
+    )
+    upd = spark.createDataFrame(
+        [(7, "secret2", False), (41, "new", False)], SCHEMA
+    )
+    apply_merge_batch_bucketed(spark, wide, 0, sink, ["k"], n_buckets=8)
+    apply_merge_batch_bucketed(spark, upd, 1, sink, ["k"], n_buckets=8)
+
+    def file_hashes():
+        out = {}
+        for gen in sorted(os.listdir(sink)):
+            gd = os.path.join(sink, gen)
+            if not (gen.startswith("gen_") and os.path.isdir(gd)):
+                continue
+            for b in sorted(os.listdir(gd)):
+                bd = os.path.join(gd, b)
+                if not b.startswith("mbucket="):
+                    continue
+                h = hashlib.md5()
+                for f in sorted(os.listdir(bd)):
+                    if f.endswith(".parquet"):
+                        h.update(open(os.path.join(bd, f), "rb").read())
+                out[f"{gen}/{b}"] = h.hexdigest()
+        return out
+
+    before_hashes = file_hashes()
+    want = {
+        v: {r.k: r.v for r in read_manifest_as_of(spark, sink, v).collect() if r.k != 7}
+        for v in (0, 1)
+    }
+    removed = forget_keys_bucketed(spark, sink, [(7,)])
+    assert sum(removed.values()) >= 2  # key 7 in both generations
+    for v in (0, 1):
+        assert {
+            r.k: r.v for r in read_manifest_as_of(spark, sink, v).collect()
+        } == want[v], v
+    assert 7 not in {
+        r.k for r in read_manifest_changes(spark, sink, 0, 1).collect()
+    }
+    after_hashes = file_hashes()
+    untouched = [
+        d for d in before_hashes
+        if d not in removed and before_hashes[d] == after_hashes.get(d)
+    ]
+    rewritten = set(removed)
+    # every non-target bucket kept its exact bytes
+    assert set(before_hashes) - rewritten == set(untouched)
