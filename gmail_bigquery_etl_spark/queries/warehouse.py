@@ -2308,3 +2308,111 @@ def warehouse_change_feed_bucketed(
         F.col("bal").cast("string").alias("bal"),
         "_change_type",
     )
+
+
+@query(
+    "warehouse_pseudonymize",
+    oracle="""
+SELECT substring(md5('cust|' || CAST(c_custkey AS VARCHAR)), 1, 16)
+         AS surrogate_key,
+       CONCAT(substring(c_name, 1, 9), repeat('*', strlen(c_name) - 9))
+         AS name_masked,
+       c_mktsegment,
+       CAST(CASE WHEN c_acctbal < 0 THEN -1
+                 ELSE CAST(floor(c_acctbal / 1000) AS BIGINT) END AS BIGINT)
+         AS acctbal_band
+FROM customer
+""",
+)
+def warehouse_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization view, completing the privacy family beside
+    PII redaction, k-anonymity, and right-to-be-forgotten: direct
+    identifiers become salted-hash SURROGATE KEYS (deterministic, so
+    joins/dedup on the pseudonym still line up across tables and
+    runs -- the property plain suppression destroys), quasi-identifiers
+    are masked (name keeps its 'Customer#' prefix, digits starred) or
+    generalized into bands (account balance to $1000 bands, negatives
+    collapsed -- the k-anonymity generalization reused as a write-path
+    transform). Pure per-row projection: at 100 TB this runs at scan
+    speed with zero shuffles, and the identical md5 arithmetic on both
+    engines makes the pseudonyms bit-reproducible."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        F.substring(
+            F.md5(F.concat(F.lit("cust|"), F.col("c_custkey").cast("string"))),
+            1,
+            16,
+        ).alias("surrogate_key"),
+        F.concat(
+            F.substring(F.col("c_name"), 1, 9),
+            F.expr("repeat('*', length(c_name) - 9)"),
+        ).alias("name_masked"),
+        "c_mktsegment",
+        # explicit floor: a bare double->bigint CAST truncates in
+        # Spark but rounds in DuckDB -- the exact cross-engine trap the
+        # oracle gate exists to catch
+        F.when(F.col("c_acctbal") < 0, F.lit(-1))
+        .otherwise(F.floor(F.col("c_acctbal") / 1000))
+        .cast("bigint")
+        .alias("acctbal_band"),
+    )
+
+
+def _scd2_from_cdf_oracle() -> str:
+    """Wraps the change-log oracle: SCD2 intervals are a LEAD window
+    over the log's post-image/delete events per key."""
+    from .registry import ALL_ORACLES
+
+    return f"""
+WITH log AS ({ALL_ORACLES["warehouse_change_log"]}),
+ev AS (
+  SELECT c_custkey, bal, _change_type, _commit_version
+  FROM log
+  WHERE _change_type IN ('insert', 'update_postimage', 'delete')
+),
+chain AS (
+  SELECT *,
+         LEAD(_commit_version) OVER (
+           PARTITION BY c_custkey ORDER BY _commit_version
+         ) AS eff_to
+  FROM ev
+)
+SELECT c_custkey, bal,
+       CAST(_commit_version AS BIGINT) AS eff_from,
+       CAST(eff_to AS BIGINT) AS eff_to,
+       eff_to IS NULL AS is_current
+FROM chain
+WHERE _change_type <> 'delete'
+"""
+
+
+@query("warehouse_scd2_from_cdf", oracle=_scd2_from_cdf_oracle())
+def warehouse_scd2_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history DERIVED FROM THE CHANGE FEED -- the
+    second derived-table composition beside warehouse_view_from_cdf:
+    the per-commit change log's post-images and deletes are exactly an
+    SCD2 change stream, so the registered scd2_from_events operator
+    (LEAD-window interval chaining) applied to the log yields each
+    customer's balance-version intervals [eff_from, eff_to) in commit
+    coordinates, current-version flagged where no later event exists
+    (a delete CLOSES the last interval without opening one). The
+    oracle wraps the change-log oracle verbatim and windows over it,
+    so the gate proves log -> SCD2 composes identically on both
+    engines. This is how a warehouse builds dimension history off a
+    CDC feed without ever seeing the source table."""
+    from ..operators.merge import scd2_from_events
+    from ..streaming.merge_sink import read_changes_log
+
+    root = _time_travel_generations(spark, sf_dir)
+    log = read_changes_log(spark, root, ["k"])
+    ev = log.where(
+        F.col("_change_type").isin("insert", "update_postimage", "delete")
+    )
+    chained = scd2_from_events(ev, ["k"], "_commit_version")
+    return chained.where(F.col("_change_type") != "delete").select(
+        F.col("k").alias("c_custkey"),
+        F.col("bal").cast("string").alias("bal"),
+        F.col("effective_from").cast("bigint").alias("eff_from"),
+        F.col("effective_to").cast("bigint").alias("eff_to"),
+        "is_current",
+    )
