@@ -28,6 +28,7 @@ from . import entity as _entity  # noqa: E402,F401  (fuzzy entity resolution)
 from . import graph as _graph  # noqa: E402,F401  (BFS/k-core over dup pairs)
 from . import retrieval as _retrieval  # noqa: E402,F401  (BM25 ranked search)
 from . import quality as _quality  # noqa: E402,F401  (write-path contracts)
+from . import sampling as _sampling  # noqa: E402,F401  (KMV sketch/sampling)
 
 # Round-5 rotation: the driver samples the first ~50 registrations, and
 # the union r01..r04 covers 133/147 with only two non-green rows ever.
