@@ -79,6 +79,19 @@ def learn_bpe_merges(
     """Learn ``num_merges`` BPE merges; returns (merge_idx, left, right,
     pair_count) in learning order. Ties break lexicographically on
     (left, right) so the learned sequence is deterministic."""
+    merges_df, _ = learn_bpe(docs, text_col, num_merges)
+    return merges_df
+
+
+def learn_bpe(
+    docs: DataFrame, text_col: str = "text", num_merges: int = 6
+) -> tuple[DataFrame, DataFrame]:
+    """The training loop, returning BOTH artifacts it produces: the
+    merge table (merge_idx, left, right, pair_count) AND the final
+    ENCODED vocabulary (w, f, syms) -- the word table after every
+    learned merge has been applied. Training necessarily computes the
+    encoded vocab as it goes (each round rewrites it), so exposing it
+    costs nothing; re-deriving it would re-run the whole loop."""
     spark = docs.sparkSession
     wf = word_symbol_table(docs, text_col).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
@@ -114,6 +127,20 @@ def learn_bpe_merges(
             "syms", _apply_merge(F.col("syms"), top.a, top.b)
         ).localCheckpoint()
         old.unpersist()
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges, "merge_idx int, left string, right string, pair_count bigint"
+    )
+    return merges_df, wf
+
+
+def encode_tokens(encoded_vocab: DataFrame) -> DataFrame:
+    """Corpus token statistics from the encoded vocabulary: explode each
+    word's final symbol sequence weighted by word frequency. Runs over
+    the VOCABULARY (distinct words), never the corpus -- the same
+    size-class trick the training loop uses. Output: (token, n) with n
+    the corpus-weighted occurrence count."""
+    return (
+        encoded_vocab.select(F.explode("syms").alias("token"), "f")
+        .groupBy("token")
+        .agg(F.sum("f").cast("bigint").alias("n"))
     )

@@ -474,8 +474,11 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_learn_oracle(num_merges: int = 6) -> str:
+def _bpe_learn_oracle(num_merges: int = 6, _final_vocab: bool = False) -> str:
     """Unrolled-CTE DuckDB twin of the k-round BPE training loop.
+    With ``_final_vocab`` the chain applies the LAST merge too and the
+    tail emits encoded-corpus token stats instead of the merge table
+    (the text_bpe_encode_stats oracle).
 
     BPE's greedy merge rounds are deterministic, so k small rounds unroll
     as chained CTEs: each round extracts adjacent symbol pairs, argmaxes
@@ -510,13 +513,22 @@ t{r} AS MATERIALIZED (
     FROM p{r} GROUP BY 1, 2
   ) ORDER BY n DESC, a, b LIMIT 1
 )""")
-        if r + 1 < num_merges:
+        if r + 1 < num_merges or _final_vocab:
             parts.append(f""",
 s{r + 1} AS MATERIALIZED (
   SELECT f, replace(enc, chr(1)||t.a||chr(2)||chr(1)||t.b||chr(2),
                     chr(1)||t.a||t.b||chr(2)) AS enc
   FROM s{r}, t{r} t
 )""")
+    if _final_vocab:
+        parts.append(f""",
+toks AS (
+  SELECT unnest(syms) AS token, f
+  FROM (SELECT f, {sym} AS syms FROM s{num_merges})
+)
+SELECT token, CAST(SUM(f) AS BIGINT) AS n
+FROM toks GROUP BY token ORDER BY n DESC, token LIMIT 15""")
+        return "".join(parts)
     union = "\nUNION ALL\n".join(
         f"SELECT CAST(merge_idx AS INT) AS merge_idx, a AS left, b AS right,"
         f" n AS pair_count FROM t{r}"
@@ -540,6 +552,33 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents")).select("text")
     return learn_bpe_merges(docs, num_merges=6)
+
+
+@query(
+    "text_bpe_encode_stats",
+    oracle=_bpe_learn_oracle(6, _final_vocab=True),
+)
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE: the learned tokenizer applied back to the corpus.
+    Training and encoding share one loop (operators/bpe.learn_bpe
+    returns the merge table AND the fully-merged vocabulary it
+    necessarily computes), so encoding costs nothing beyond training;
+    token stats then explode the encoded VOCABULARY weighted by word
+    frequency -- vocabulary-sized, never corpus-sized. Output: top-15
+    corpus tokens after 6 merges, by weighted count with a
+    lexicographic tiebreak (TakeOrdered, no global sort). The oracle
+    extends the unrolled training chain by one application round and
+    re-aggregates -- the full learn+encode pipeline checked end-to-end
+    in one gate."""
+    from ..operators.bpe import encode_tokens, learn_bpe
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("text")
+    _, vocab = learn_bpe(docs, num_merges=6)
+    return (
+        encode_tokens(vocab)
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(15)
+    )
 
 
 @query(

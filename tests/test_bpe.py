@@ -76,3 +76,48 @@ def test_overlapping_merge_is_greedy_leftmost(spark):
     # positions per word); greedy leftmost rebuild gives [aa, a], so round
     # 2's top pair is (aa, a) with count 2.
     assert got == [("a", "a", 4), ("aa", "a", 2)]
+
+
+def test_encoded_vocab_matches_python_reference_and_is_lossless(spark):
+    from gmail_bigquery_etl_spark.operators.bpe import encode_tokens, learn_bpe
+
+    docs = spark.createDataFrame(
+        [("the theme there",), ("the other theme",)], "text string"
+    )
+    merges_df, vocab = learn_bpe(docs, num_merges=3)
+    rows = vocab.collect()
+    # lossless: each word's final symbols concatenate back to the word
+    assert all("".join(r.syms) == r.w for r in rows)
+
+    # python reference encode with the same merges
+    wf = {r.w: r.f for r in rows}
+    want_merges = _py_bpe(wf, 3)
+    got_merges = [
+        (r.merge_idx, r.left, r.right, r.pair_count)
+        for r in merges_df.collect()
+    ]
+    assert got_merges == want_merges
+
+    seqs = {w: list(w) for w in wf}
+    for _, a, b, _n in want_merges:
+        for w, syms in seqs.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            seqs[w] = merged
+    assert {r.w: r.syms for r in rows} == seqs
+
+    # token stats: corpus-weighted counts over the encoded vocab
+    from collections import Counter
+
+    want_counts: Counter = Counter()
+    for w, syms in seqs.items():
+        for s in syms:
+            want_counts[s] += wf[w]
+    got_counts = {r.token: r.n for r in encode_tokens(vocab).collect()}
+    assert got_counts == dict(want_counts)
