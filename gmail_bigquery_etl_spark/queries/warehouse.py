@@ -2416,3 +2416,47 @@ def warehouse_scd2_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("effective_to").cast("bigint").alias("eff_to"),
         "is_current",
     )
+
+
+@query(
+    "warehouse_bloom_skip_lookup",
+    oracle="""
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       o_totalprice
+FROM orders WHERE o_custkey = 7
+""",
+)
+def warehouse_bloom_skip_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-column data skipping over the partition-scoped manifest
+    sink: orders land through the REAL bucketed merge path (keyed by
+    o_orderkey, so a customer's orders scatter across buckets), a Bloom
+    sidecar is built on o_custkey, and the lookup scans ONLY the buckets
+    the index cannot rule out -- the manifest's key pruning serves the
+    bucket key alone; this serves everything else. The gate proves the
+    skipped read equals the plain relational filter (Bloom soundness:
+    false positives cost I/O, never correctness). Bucket-subset
+    skipping itself is pinned in tests/test_merge_manifest.py."""
+    from ..streaming.merge_manifest import (
+        apply_merge_batch_bucketed,
+        build_bloom_index,
+        read_manifest_bloom_lookup,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        "o_totalprice",
+    )
+    root = _sink_root("bloom_skip", sf_dir)
+    apply_merge_batch_bucketed(
+        spark,
+        orders.withColumn("is_delete", F.lit(False)),
+        0,
+        root,
+        ["o_orderkey"],
+        n_buckets=16,
+        commit_ts=1000.0,
+    )
+    build_bloom_index(spark, root, "o_custkey")
+    return read_manifest_bloom_lookup(spark, root, "o_custkey", 7)

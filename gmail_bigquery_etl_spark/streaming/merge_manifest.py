@@ -576,3 +576,137 @@ def start_bucketed_merge_apply(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- Secondary-column Bloom skipping index -----------------------------------
+
+def _bloom_index_dir(sink_root: str, version: int, column: str) -> str:
+    return os.path.join(sink_root, f"bloomidx_{version}_{column}")
+
+
+def build_bloom_index(
+    spark,
+    sink_root: str,
+    column: str,
+    m: int = 4096,
+    depth: int = 4,
+    version: int | None = None,
+) -> str:
+    """Data-skipping index on a NON-key column: per live bucket dir, the
+    Bloom set-bit table of the column's values (hashing identical to
+    operators/bloom.py -- disjoint 32-bit md5 slices of the value's
+    string form, mod m). The manifest's own pruning only serves the
+    bucket KEY; this sidecar lets equality lookups on any other column
+    skip every bucket whose filter proves the value absent (Bloom's
+    no-false-negative guarantee: skipping is always sound, false
+    positives only cost an extra bucket read). Sidecar size is
+    <= n_buckets x m rows regardless of table size; the build is one
+    distributed distinct over (bucket, bit). Returns the sidecar path;
+    the index is pinned to ONE manifest version (data changes =>
+    rebuild, same as any other OPTIMIZE-class maintenance)."""
+    from ..operators.cms import _cms_col, _depth_dim
+
+    mft = _resolve_manifest(sink_root, version, None)
+    ver = mft["batch_id"]
+    out = _bloom_index_dir(sink_root, ver, column)
+    dirs = list(mft["buckets"].values())
+    if not dirs:
+        spark.createDataFrame([], "bucket int, bit int").write.mode(
+            "overwrite"
+        ).parquet(out)
+        return out
+    parts = _read_bucket_dirs(spark, sink_root, dirs)
+    base = parts[0]
+    for p in parts[1:]:
+        base = base.unionByName(p)
+    dim = _depth_dim(base, depth)
+    bits = (
+        base.select(
+            F.col(_BUCKET).alias("bucket"),
+            F.col(column).cast("string").cast("binary").alias("_v"),
+        )
+        .where(F.col("_v").isNotNull())
+        .crossJoin(dim)
+        .select(
+            "bucket",
+            _cms_col(F.col("_v"), F.col("i"), m).cast("int").alias("bit"),
+        )
+        .distinct()
+    )
+    bits.write.mode("overwrite").parquet(out)
+    return out
+
+
+def _bloom_probe_bits(value, m: int, depth: int) -> list[int]:
+    """Driver-side twin of the build's hash: i-th 32-bit md5 slice of
+    str(value), mod m -- bit-identical to _cms_col on the executors."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode()).hexdigest()
+    return [int(h[i * 8:(i + 1) * 8], 16) % m for i in range(depth)]
+
+
+def bloom_candidate_buckets(
+    spark,
+    sink_root: str,
+    column: str,
+    value,
+    m: int = 4096,
+    depth: int = 4,
+    version: int | None = None,
+) -> list[int]:
+    """Buckets the index CANNOT rule out for column == value: those
+    holding all ``depth`` probe bits. Reads only the (tiny) sidecar,
+    filtered to the probe's bit positions before it crosses the
+    driver."""
+    mft = _resolve_manifest(sink_root, version, None)
+    idx = _bloom_index_dir(sink_root, mft["batch_id"], column)
+    if not os.path.isdir(idx):
+        raise ValueError(
+            f"no bloom index for column {column!r} at version "
+            f"{mft['batch_id']} -- run build_bloom_index first"
+        )
+    probe = _bloom_probe_bits(value, m, depth)
+    rows = (
+        spark.read.parquet(idx)
+        .where(F.col("bit").isin(probe))
+        .groupBy("bucket")
+        .agg(F.count_distinct("bit").alias("nb"))
+        .where(F.col("nb") == len(set(probe)))
+        .collect()
+    )
+    return sorted(r.bucket for r in rows)
+
+
+def read_manifest_bloom_lookup(
+    spark,
+    sink_root: str,
+    column: str,
+    value,
+    m: int = 4096,
+    depth: int = 4,
+    version: int | None = None,
+) -> DataFrame:
+    """Equality lookup on a non-key column through the Bloom sidecar:
+    scan ONLY the candidate buckets, then apply the exact filter.
+    Result is provably identical to filtering the full table (no false
+    negatives); I/O is proportional to the value's true bucket spread
+    plus the false-positive sliver, not to table size."""
+    mft = _resolve_manifest(sink_root, version, None)
+    cands = bloom_candidate_buckets(
+        spark, sink_root, column, value, m, depth, version
+    )
+    dirs = [
+        d for b, d in mft["buckets"].items() if int(b) in set(cands)
+    ]
+    schema = mft["schema"]
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    parts = _read_bucket_dirs(spark, sink_root, dirs)
+    base = parts[0]
+    for p in parts[1:]:
+        base = base.unionByName(p)
+    col_type = base.schema[column].dataType
+    return base.where(
+        F.col(column) == F.lit(value).cast(col_type)
+    ).drop(_BUCKET)

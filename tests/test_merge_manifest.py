@@ -392,3 +392,84 @@ def test_forget_keys_bucketed_rewrites_only_target_buckets(spark, tmp_path):
     rewritten = set(removed)
     # every non-target bucket kept its exact bytes
     assert set(before_hashes) - rewritten == set(untouched)
+
+
+def test_bloom_index_skips_buckets_and_matches_full_filter(spark, tmp_path):
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        apply_merge_batch_bucketed,
+        bloom_candidate_buckets,
+        build_bloom_index,
+        current_manifest,
+        read_manifest_as_of,
+        read_manifest_bloom_lookup,
+    )
+
+    root = str(tmp_path / "bloom_sink")
+    rows = [(i, i % 37, float(i)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k bigint, grp bigint, v double")
+    apply_merge_batch_bucketed(
+        spark, df.withColumn("is_delete", F.lit(False)), 0, root, ["k"],
+        n_buckets=16, commit_ts=1.0,
+    )
+    build_bloom_index(spark, root, "grp")
+
+    n_live = len(current_manifest(root)["buckets"])
+    full = read_manifest_as_of(spark, root)
+    for probe in (0, 7, 36):
+        cands = bloom_candidate_buckets(spark, root, "grp", probe)
+        # sound: every bucket truly holding the value is a candidate
+        got = read_manifest_bloom_lookup(spark, root, "grp", probe)
+        want = full.where(F.col("grp") == probe)
+        assert sorted(r.k for r in got.collect()) == sorted(
+            r.k for r in want.collect()
+        )
+        assert len(cands) <= n_live
+
+    # a value absent everywhere: with high probability not all d bits
+    # collide in any bucket at m=4096 -- and even if they did, the exact
+    # filter returns empty
+    got = read_manifest_bloom_lookup(spark, root, "grp", 999_999)
+    assert got.count() == 0
+    # the skipping is real, not vacuous: the absent probe rules out
+    # at least one bucket
+    assert len(
+        bloom_candidate_buckets(spark, root, "grp", 999_999)
+    ) < n_live
+
+
+def test_bloom_index_is_version_pinned_and_requires_build(spark, tmp_path):
+    import pytest as _pytest
+
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        apply_merge_batch_bucketed,
+        bloom_candidate_buckets,
+        build_bloom_index,
+        read_manifest_bloom_lookup,
+    )
+
+    root = str(tmp_path / "bloom_pin")
+    df = spark.createDataFrame(
+        [(i, i % 5, 0.0) for i in range(50)], "k bigint, grp bigint, v double"
+    )
+    apply_merge_batch_bucketed(
+        spark, df.withColumn("is_delete", F.lit(False)), 0, root, ["k"],
+        n_buckets=8, commit_ts=1.0,
+    )
+    with _pytest.raises(ValueError, match="bloom index"):
+        bloom_candidate_buckets(spark, root, "grp", 1)
+    build_bloom_index(spark, root, "grp")
+    assert read_manifest_bloom_lookup(spark, root, "grp", 1).count() == 10
+
+    # new commit => new version; the old index must not silently serve it
+    apply_merge_batch_bucketed(
+        spark,
+        spark.createDataFrame(
+            [(1000, 1, 9.0)], "k bigint, grp bigint, v double"
+        ).withColumn("is_delete", F.lit(False)),
+        1, root, ["k"], n_buckets=8, commit_ts=2.0,
+    )
+    with _pytest.raises(ValueError, match="version 1"):
+        read_manifest_bloom_lookup(spark, root, "grp", 1)
+    # rebuilding at the new version picks up the new row
+    build_bloom_index(spark, root, "grp")
+    assert read_manifest_bloom_lookup(spark, root, "grp", 1).count() == 11
