@@ -201,9 +201,12 @@ def _read_bucket_dirs(spark, sink_root: str, dirs: list[str]):
     many-small-files read."""
     from collections import defaultdict
 
+    # group by the generation dir = parent of the mbucket= leaf; dirname
+    # handles both relative refs (this sink's own generations) and
+    # absolute refs (a shallow clone pointing into its source sink)
     by_gen: dict[str, list[str]] = defaultdict(list)
     for d in dirs:
-        by_gen[d.split("/", 1)[0]].append(d)
+        by_gen[os.path.dirname(d)].append(d)
     out = []
     for gen in sorted(by_gen):
         df = (
@@ -710,3 +713,69 @@ def read_manifest_bloom_lookup(
     return base.where(
         F.col(column) == F.lit(value).cast(col_type)
     ).drop(_BUCKET)
+
+
+# --- CLONE: zero-copy (shallow) or full-copy (deep) table duplication --------
+
+def clone_manifest(
+    spark,
+    src_root: str,
+    dst_root: str,
+    version: int | None = None,
+    ts: float | None = None,
+    deep: bool = False,
+    commit_ts: float | None = None,
+) -> int:
+    """Delta CLONE analog over the manifest sink: materialize a new,
+    independently writable sink whose version 0 is the source's resolved
+    state (exact version, timestamp, or current).
+
+    shallow (default): a METADATA-ONLY commit -- the clone's manifest
+    points at the source's bucket dirs by absolute path; zero data bytes
+    move, so cloning a 100 TB table costs one JSON write. The standard
+    shallow-clone hazard carries over unchanged from Delta: the source's
+    vacuum does not know about clone references, so vacuuming the source
+    past the cloned version breaks the clone (tested, loudly -- the read
+    fails on the missing dir rather than silently returning less data).
+    Writes to the clone create its OWN generations; copy-on-write means
+    a merged bucket is rewritten locally while untouched buckets keep
+    pointing at the source.
+
+    deep: copies every referenced bucket dir under the clone root
+    (relative refs), fully severing the clone from the source's
+    retention. Returns the cloned version id (always 0)."""
+    mft = _resolve_manifest(src_root, version, ts)
+    os.makedirs(dst_root, exist_ok=True)
+    if current_manifest(dst_root) is not None:
+        raise ValueError(f"clone target {dst_root} is already a sink")
+    buckets: dict[str, str] = {}
+    for b, d in mft["buckets"].items():
+        src_dir = d if os.path.isabs(d) else os.path.join(src_root, d)
+        if deep:
+            rel = os.path.join("gen_0", f"{_BUCKET}={b}")
+            shutil.copytree(src_dir, os.path.join(dst_root, rel))
+            buckets[b] = rel
+        else:
+            buckets[b] = src_dir
+    manifest = {
+        "batch_id": 0,
+        "commit_ts": time.time() if commit_ts is None else commit_ts,
+        "n_buckets": mft["n_buckets"],
+        "keys": list(mft["keys"]),
+        "schema": mft["schema"],
+        "buckets": buckets,
+        "cloned_from": {
+            "src": os.path.abspath(src_root),
+            "version": mft["batch_id"],
+            "deep": deep,
+        },
+    }
+    tmp = _manifest_path(dst_root, 0) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(dst_root, 0))
+    tmp = os.path.join(dst_root, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write("manifest_0.json")
+    os.replace(tmp, os.path.join(dst_root, _POINTER))
+    return 0

@@ -473,3 +473,116 @@ def test_bloom_index_is_version_pinned_and_requires_build(spark, tmp_path):
     # rebuilding at the new version picks up the new row
     build_bloom_index(spark, root, "grp")
     assert read_manifest_bloom_lookup(spark, root, "grp", 1).count() == 11
+
+
+def _mk_sink(spark, root, n=60, n_buckets=8):
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        apply_merge_batch_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 6, float(i)) for i in range(n)],
+        "k bigint, grp bigint, v double",
+    )
+    apply_merge_batch_bucketed(
+        spark, df.withColumn("is_delete", F.lit(False)), 0, root, ["k"],
+        n_buckets=n_buckets, commit_ts=1.0,
+    )
+    return df
+
+
+def test_shallow_clone_is_zero_copy_and_independently_writable(
+    spark, tmp_path
+):
+    import os
+
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        apply_merge_batch_bucketed,
+        clone_manifest,
+        current_manifest,
+        read_manifest_as_of,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _mk_sink(spark, src)
+    clone_manifest(spark, src, dst, commit_ts=2.0)
+
+    # zero data bytes under the clone root: metadata only
+    data_dirs = [
+        n for n in os.listdir(dst) if os.path.isdir(os.path.join(dst, n))
+    ]
+    assert data_dirs == []
+    assert read_manifest_as_of(spark, dst).count() == 60
+    assert current_manifest(dst)["cloned_from"]["version"] == 0
+
+    # copy-on-write: merging into the clone rewrites only touched
+    # buckets locally; the source is untouched
+    apply_merge_batch_bucketed(
+        spark,
+        spark.createDataFrame(
+            [(0, 99, -1.0)], "k bigint, grp bigint, v double"
+        ).withColumn("is_delete", F.lit(False)),
+        1, dst, ["k"], n_buckets=8, commit_ts=3.0,
+    )
+    got = {r.k: r.grp for r in read_manifest_as_of(spark, dst).collect()}
+    assert got[0] == 99 and len(got) == 60
+    src_state = {
+        r.k: r.grp for r in read_manifest_as_of(spark, src).collect()
+    }
+    assert src_state[0] == 0
+    # untouched clone buckets still reference the source by abs path
+    m = current_manifest(dst)
+    assert any(os.path.isabs(d) for d in m["buckets"].values())
+    assert any(not os.path.isabs(d) for d in m["buckets"].values())
+
+
+def test_shallow_clone_breaks_loudly_if_source_vacuumed_away(
+    spark, tmp_path
+):
+    import shutil as _sh
+
+    import pytest as _pytest
+
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        clone_manifest,
+        read_manifest_as_of,
+    )
+
+    src = str(tmp_path / "src2")
+    dst = str(tmp_path / "dst2")
+    _mk_sink(spark, src)
+    clone_manifest(spark, src, dst, commit_ts=2.0)
+    _sh.rmtree(src)
+    with _pytest.raises(Exception):
+        read_manifest_as_of(spark, dst).count()
+
+
+def test_deep_clone_survives_source_removal(spark, tmp_path):
+    import shutil as _sh
+
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        clone_manifest,
+        read_manifest_as_of,
+    )
+
+    src = str(tmp_path / "src3")
+    dst = str(tmp_path / "dst3")
+    df = _mk_sink(spark, src)
+    clone_manifest(spark, src, dst, deep=True, commit_ts=2.0)
+    _sh.rmtree(src)
+    got = sorted(r.k for r in read_manifest_as_of(spark, dst).collect())
+    assert got == sorted(r.k for r in df.collect())
+
+
+def test_clone_refuses_existing_target(spark, tmp_path):
+    import pytest as _pytest
+
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        clone_manifest,
+    )
+
+    src = str(tmp_path / "src4")
+    _mk_sink(spark, src)
+    with _pytest.raises(ValueError, match="already a sink"):
+        clone_manifest(spark, src, src)
