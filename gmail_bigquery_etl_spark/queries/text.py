@@ -1056,3 +1056,72 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     )
+
+
+@query(
+    "curation_leakage_safe_split",
+    oracle=f"""
+WITH RECURSIVE {_SQL_LSH_CTES},
+pairs AS ({_SQL_LSH_SELECT}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+  SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+),
+base AS (
+  SELECT c.doc_id, COALESCE(m.component, c.doc_id) AS rep
+  FROM corpus c LEFT JOIN comp m ON m.node = c.doc_id
+)
+SELECT doc_id, rep,
+       CASE WHEN hx < 8 THEN 'train' WHEN hx = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, rep,
+         ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15))::BIGINT % 10
+           AS hx
+  FROM base
+)
+""",
+)
+def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: a doc's split is a hash
+    of its near-dup CLUSTER representative, not of the doc itself -- so
+    every member of a duplicate cluster lands in the same split and an
+    eval doc can never have a training-set near-copy (the
+    train-test-contamination failure mode document-level hashing
+    invites). Composes three gated families: MinHash-LSH pair
+    generation, iterative connected components, and the deterministic
+    md5-prefix hash the KMV sampler uses (operators/kmv.kmv_hash) --
+    split assignment is reproducible across engines, runs, and
+    partitionings, never rand(). Singleton docs are their own
+    representative; 8/1/1 split by hash decile."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import near_dup_pairs
+    from ..operators.kmv import kmv_hash
+
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = near_dup_pairs(corpus, threshold=0.5, num_hashes=16, bands=4)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    base = (
+        corpus.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("rep"),
+        )
+    )
+    hx = F.pmod(kmv_hash("rep"), F.lit(10))
+    return base.select(
+        "doc_id",
+        "rep",
+        F.when(hx < 8, "train").when(hx == 8, "val").otherwise("test")
+        .alias("split"),
+    )

@@ -384,3 +384,26 @@ def test_prefix_filter_jaccard_randomized_corpus(spark):
             if union and 2 * inter >= union:
                 want[(a, b)] = round(inter / union, 6)
     assert got == want and want  # non-vacuous: the seed produces pairs
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark, sf_dir):
+    """The invariant the query exists for: every near-dup cluster lands
+    wholly inside one split, and all three splits are non-empty."""
+    from gmail_bigquery_etl_spark.queries.text import (
+        curation_leakage_safe_split,
+    )
+    from pyspark.sql import functions as F
+
+    out = curation_leakage_safe_split(spark, sf_dir)
+    spans = (
+        out.groupBy("rep")
+        .agg(F.count_distinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .count()
+    )
+    assert spans == 0
+    sizes = {r.split: r.n for r in
+             out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == {"train", "val", "test"}
+    total = sum(sizes.values())
+    assert sizes["train"] / total > 0.6
