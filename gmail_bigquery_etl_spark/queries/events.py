@@ -1915,3 +1915,65 @@ def scan_dynamic_partition_pruned(
             F.sum(_dec(F.col("value"))).cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "events_winsorized_stats",
+    oracle="""
+WITH caps AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT e.event_type,
+         CAST(ROUND(CASE WHEN e.value < c.lo THEN c.lo
+                         WHEN e.value > c.hi THEN c.hi
+                         ELSE e.value END, 6) AS DECIMAL(18,6)) AS v6
+  FROM events e JOIN caps c USING (event_type)
+)
+SELECT w.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(v6) AS DOUBLE) / COUNT(*), 6) AS mean_winsorized,
+       ROUND(MIN(c.lo), 6) AS p05,
+       ROUND(MAX(c.hi), 6) AS p95
+FROM w JOIN caps c USING (event_type)
+GROUP BY 1
+""",
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type statistics via winsorization: each event type's
+    values are capped at that type's own exact 5th/95th percentiles
+    before averaging -- the outlier treatment that, unlike the trimmed
+    mean (agg_trimmed_mean), keeps n constant. Exact interpolated
+    percentiles (Spark percentile == DuckDB quantile_cont); the capped
+    values quantize to DECIMAL(18,6) so the mean's SUM is
+    addition-order-free, leaving only pointwise IEEE ops. Plan: one
+    percentile aggregate per type, broadcast back (the caps table is
+    O(types)), one final aggregate -- two scans, no window over raw
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    caps = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    w = ev.join(F.broadcast(caps), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.round(
+            F.when(F.col("value") < F.col("lo"), F.col("lo"))
+            .when(F.col("value") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("value")),
+            6,
+        ).cast("decimal(18,6)").alias("v6"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum("v6").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_winsorized"),
+        F.round(F.min("lo"), 6).alias("p05"),
+        F.round(F.max("hi"), 6).alias("p95"),
+    )

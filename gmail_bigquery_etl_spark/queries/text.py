@@ -1125,3 +1125,133 @@ def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(hx < 8, "train").when(hx == 8, "val").otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "text_sparse_cosine_topk",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES.format(c='text')}) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY doc_id, term
+),
+dlen AS (SELECT doc_id, SUM(cnt) AS n_tok FROM tf GROUP BY doc_id),
+df AS (SELECT term, COUNT(*) AS n_docs FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS total FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(ROUND((CAST(tf.cnt AS DOUBLE) / dlen.n_tok)
+           * (ln((n.total + 1.0) / (df.n_docs + 1.0)) + 1.0), 6)
+           AS DECIMAL(18,6)) AS w6
+  FROM tf JOIN dlen USING (doc_id) JOIN df USING (term) CROSS JOIN n
+  WHERE df.n_docs * 10 <= n.total
+),
+norms AS (
+  SELECT doc_id, sqrt(CAST(SUM(w6 * w6) AS DOUBLE)) AS nrm FROM w
+  GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(a.w6 * b.w6) AS DOUBLE) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT id_a, id_b,
+         ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots JOIN norms na ON na.doc_id = id_a
+            JOIN norms nb ON nb.doc_id = id_b
+)
+SELECT id_a, id_b, cosine FROM cos
+ORDER BY cosine DESC, id_a, id_b LIMIT 20
+""",
+)
+def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE-vector cosine similarity join: the TF-IDF twin of the
+    dense embedding kNN -- pairwise cosine computed entirely through the
+    posting-list equi-join (a pair's dot product only materializes where
+    the docs SHARE a dimension). The sparse space is word TRIGRAMS (the
+    fixture's whitespace vocabulary is ~31 terms -- every word is a
+    stopword, so words carry no signal; shingles give 16k+ dims with
+    median df 1). A RELATIVE document-frequency cap (df <= total/10)
+    drops corpus-wide shingles whose postings would quadratically
+    dominate the join: the standard sparse-similarity scale knob, and
+    the capped space IS the vector space (norms over capped postings, so
+    cosine stays a true cosine in it). Determinism across engines:
+    weights round to 6dp then become DECIMAL(18,6), so the dot/norm
+    SUMS are exact integers-at-scale (addition-order-free) and the only
+    float ops left -- sqrt, one divide, final round -- are pointwise
+    IEEE. Top-20 pairs via TakeOrdered on the rounded value with id
+    tiebreaks. No vocabulary, norm table, or pair set ever crosses the
+    driver."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    from ..functions.text import (
+        ngram_shingles_from_tokens,
+        whitespace_tokens,
+    )
+
+    tok = docs.select(
+        "doc_id", whitespace_tokens("text").alias("_toks")
+    ).select(
+        "doc_id",
+        F.explode(ngram_shingles_from_tokens("_toks", 3)).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
+    dlen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("n_docs"))
+    n = docs.agg(F.count("*").alias("total"))
+    w = (
+        tf.join(dlen, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("n_docs") * 10 <= F.col("total"))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("n_tok"))
+                * (
+                    F.log((F.col("total") + 1.0) / (F.col("n_docs") + 1.0))
+                    + 1.0
+                ),
+                6,
+            ).cast("decimal(18,6)").alias("w6"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w6") * F.col("w6")).cast("double")).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.sum(F.col("a.w6") * F.col("b.w6")).cast("double").alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("id_a"), F.col("nrm").alias("na")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb")
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), "id_a", "id_b")
+        .limit(20)
+    )
