@@ -115,7 +115,9 @@ def expectation_metrics(
             "action",
             F.col("n_rows").cast("bigint").alias("n_rows"),
             F.col("n_violations").cast("bigint").alias("n_violations"),
-            (F.col("n_violations") / F.col("n_rows")).alias("violation_rate"),
+            # try_divide: an EMPTY audited table is a legitimate input
+            # (cold start), and ANSI mode turns 0/0 into a job abort
+            F.try_divide("n_violations", "n_rows").alias("violation_rate"),
         )
     )
 
