@@ -220,4 +220,73 @@ _ROUND6_FRONT = [
 
 _rotate(_ROUND6_FRONT)
 
+
+# Round-7 rotation, same policy: (a) the two r6 hash-red rows, FIXED this
+# round (decimal outputs canonicalized) -- driver-green evidence for the
+# fix is the round's headline; (b) queries NEW in round 7 (table-format
+# completions, profiling, contracts, KMV, CEP, BPE encode, skipping,
+# splits, robust stats); (c) code paths changed in round 7 (quantile-walk
+# plan fix, BPE learn refactor, partitioned-layout sharing, ANN-index
+# dedup + sink-root reuse); (d) backfill by OLDEST driver evidence
+# (r3/r4 holders, alphabetically). Position never gates local
+# correctness: the full corpus runs against DuckDB every round.
+_ROUND7_FRONT = [
+    # (a) the fixed pair -- the only driver-red rows ever
+    "warehouse_time_travel_diff",
+    "warehouse_snapshot_history",
+    # (b) new in round 7
+    "warehouse_time_travel_ts",
+    "warehouse_time_travel_bucketed",
+    "warehouse_incremental_matview",
+    "warehouse_incremental_minmax",
+    "warehouse_change_data_feed",
+    "warehouse_change_log",
+    "warehouse_view_from_cdf",
+    "warehouse_change_feed_bucketed",
+    "warehouse_scd2_from_cdf",
+    "warehouse_pseudonymize",
+    "warehouse_bloom_skip_lookup",
+    "scan_dynamic_partition_pruned",
+    "profile_quantile_columns",
+    "profile_hll_columns",
+    "agg_parquet_footer_stats",
+    "expectations_orders_audit",
+    "expectations_quarantine_rows",
+    "agg_kmv_distinct_events",
+    "agg_kmv_sample_users",
+    "events_kmv_grouped_sample",
+    "stream_kmv_distinct_events",
+    "events_sequence_funnel_regex",
+    "events_markov_transitions",
+    "text_bpe_encode_stats",
+    "curation_leakage_safe_split",
+    "text_sparse_cosine_topk",
+    "events_winsorized_stats",
+    # (c) code paths changed in round 7
+    "agg_quantile_sketch",
+    "agg_quantile_sketch_grouped",
+    "agg_quantile_bins",
+    "text_bpe_learn",
+    "scan_partition_pruned",
+    "ann_incremental_index_stats",
+    # (d) backfill: oldest driver evidence (r3/r4 rows), alphabetically
+    "agg_equidepth_histogram",
+    "agg_exact_moments",
+    "agg_mad_robust",
+    "agg_percentiles",
+    "agg_price_histogram",
+    "ann_index_build_stats",
+    "ann_ivf_sq8_topk",
+    "ann_pq_rerank",
+    "ann_pq_topk",
+    "ann_rrf_fusion",
+    "ann_sq8_topk",
+    "dedup_containment_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_triangle_counts",
+    "docs_chunk_windows",
+]
+
+_rotate(_ROUND7_FRONT)
+
 __all__ = ["ALL_QUERIES", "ALL_ORACLES"]
