@@ -1219,6 +1219,14 @@ def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).cast("decimal(18,6)").alias("w6"),
         )
+        # The posting table feeds the norm aggregate AND both sides of
+        # the pair join; a localCheckpoint pin was A/B-measured and
+        # REJECTED: neutral at sf0.1 and 1.6x SLOWER at sf1 (16.6 s vs
+        # 10.2 s, 32-core bench session) -- the materialization barrier
+        # costs more than the re-derived subtree, which shuffle-exchange
+        # reuse already partially dedupes. On a real cluster the
+        # equivalent explicit reuse is a persisted posting TABLE shared
+        # across queries, not a per-query checkpoint.
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w6") * F.col("w6")).cast("double")).alias("nrm")
