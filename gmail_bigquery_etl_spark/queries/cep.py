@@ -103,3 +103,56 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "event_id", label_expr("event_type", LABELS)
     )
     return transition_counts(seqs)
+
+
+def _funnel_oracle() -> str:
+    from .registry import ALL_ORACLES
+
+    return ALL_ORACLES["events_sequence_funnel_regex"]
+
+
+@query("stream_cep_funnel_regex", oracle=_funnel_oracle())
+def stream_cep_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-MAINTAINED CEP state, gated against the batch spec:
+    events arrive as three micro-batches split BY KEY HASH (deliberately
+    not by time -- the state stores (ts, tiebreak, label) triples and
+    sorts at view time, so batch partitioning cannot perturb the match),
+    through the real snapshot-pointer sink (streaming/cep.
+    apply_cep_batch). The final match view must equal
+    events_sequence_funnel_regex -- same oracle, verbatim."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.cep import apply_cep_batch, cep_match_view
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sinks_{os.getpid()}",
+        f"cep_{tag}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    lab = label_expr("event_type", LABELS)
+    for i in range(3):
+        apply_cep_batch(
+            spark,
+            ev.where(F.col("event_id") % 3 == i),
+            i,
+            root,
+            "user_id",
+            "ts",
+            "event_id",
+            lab,
+        )
+    return (
+        cep_match_view(spark, root, "vc*p")
+        .where(F.col("n_matches") > 0)
+        .select(
+            F.col("key").cast("bigint").alias("user_id"),
+            "seq_len",
+            "n_matches",
+        )
+    )

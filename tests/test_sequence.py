@@ -92,3 +92,50 @@ def test_sequences_deterministic_across_repartition(spark):
         df.repartition(13), "key", "ts", "eid", label_expr("etype", LABELS)
     ).first().seq
     assert a == b
+
+
+def test_streaming_cep_matches_batch_for_any_batch_partitioning(
+    spark, sf_dir, tmp_path
+):
+    """Out-of-order arrival: batches split by key hash AND by parity of
+    position, never by time -- the triple-storing state must still
+    reproduce the batch matcher exactly."""
+    from gmail_bigquery_etl_spark.catalog import load_table
+    from gmail_bigquery_etl_spark.streaming.cep import (
+        apply_cep_batch,
+        cep_match_view,
+    )
+
+    LAB = {"click": "c", "error": "e", "purchase": "p",
+           "signup": "s", "view": "v"}
+    ev = load_table(spark, sf_dir, "events")
+    root = str(tmp_path / "cep")
+    lab = label_expr("etype" if "etype" in ev.columns else "event_type", LAB)
+    # reversed batch order of a modulo split: batch 0 gets the LAST third
+    for i, m in enumerate([2, 1, 0]):
+        apply_cep_batch(
+            spark, ev.where(F.col("event_id") % 3 == m), i, root,
+            "user_id", "ts", "event_id", lab,
+        )
+    streamed = {
+        (r.key, r.seq_len, r.n_matches)
+        for r in cep_match_view(spark, root, "vc*p").collect()
+    }
+    batch = {
+        (str(r.key), r.seq_len, r.n_matches)
+        for r in match_counts(
+            key_sequences(ev, "user_id", "ts", "event_id", lab), "vc*p"
+        ).collect()
+    }
+    assert streamed == batch
+
+    # replay guard: redelivering an already-committed batch id no-ops
+    before = streamed
+    apply_cep_batch(
+        spark, ev.limit(100), 2, root, "user_id", "ts", "event_id", lab
+    )
+    after = {
+        (r.key, r.seq_len, r.n_matches)
+        for r in cep_match_view(spark, root, "vc*p").collect()
+    }
+    assert after == before
