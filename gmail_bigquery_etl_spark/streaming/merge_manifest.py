@@ -779,3 +779,140 @@ def clone_manifest(
         f.write("manifest_0.json")
     os.replace(tmp, os.path.join(dst_root, _POINTER))
     return 0
+
+
+# --- Predicate DML: DELETE WHERE / UPDATE WHERE as new commits ---------------
+
+def _dml_commit(
+    spark,
+    sink_root: str,
+    predicate: str,
+    rewrite,
+    commit_ts: float | None,
+) -> dict:
+    """Shared partition-scoped DML core: find the buckets holding rows
+    matching ``predicate`` (one filtered scan of the current state, the
+    bucket column rides along), rewrite ONLY those buckets through
+    ``rewrite(bucket_df)`` into a fresh generation, and commit a new
+    manifest that carries every untouched bucket pointer forward
+    verbatim. Unlike forget_keys (retroactive, in-place), DML is a
+    normal COMMIT: history keeps the pre-DML state, time travel and the
+    change feed see the transition, vacuum retention applies."""
+    cur = current_manifest(sink_root)
+    if cur is None:
+        raise ValueError(f"no committed manifest in {sink_root}")
+    new_id = cur["batch_id"] + 1
+    dirs = list(cur["buckets"].values())
+    touched: set[int] = set()
+    if dirs:
+        parts = _read_bucket_dirs(spark, sink_root, dirs)
+        base = parts[0]
+        for p in parts[1:]:
+            base = base.unionByName(p)
+        touched = {
+            r.b
+            for r in base.where(predicate)
+            .select(F.col(_BUCKET).alias("b"))
+            .distinct()
+            .collect()
+        }
+    gen = f"gen_{new_id}"
+    buckets = dict(cur["buckets"])
+    rewritten = {}
+    if touched:
+        tdirs = [
+            d for b, d in cur["buckets"].items() if int(b) in touched
+        ]
+        parts = _read_bucket_dirs(spark, sink_root, tdirs)
+        tb = parts[0]
+        for p in parts[1:]:
+            tb = tb.unionByName(p)
+        out = rewrite(tb)
+        (
+            out.repartition(max(len(touched), 1), F.col(_BUCKET))
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET)
+            .parquet(os.path.join(sink_root, gen))
+        )
+        written = {
+            int(name.split("=", 1)[1]): f"{gen}/{name}"
+            for name in os.listdir(os.path.join(sink_root, gen))
+            if name.startswith(f"{_BUCKET}=")
+        }
+        for b in touched:
+            buckets.pop(str(b), None)
+        for b, d in written.items():
+            buckets[str(b)] = d
+        rewritten = {str(b): written.get(b) for b in sorted(touched)}
+    manifest = {
+        "batch_id": new_id,
+        "commit_ts": time.time() if commit_ts is None else commit_ts,
+        "n_buckets": cur["n_buckets"],
+        "keys": list(cur["keys"]),
+        "schema": cur["schema"],
+        "buckets": buckets,
+    }
+    tmp = _manifest_path(sink_root, new_id) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(sink_root, new_id))
+    tmp = os.path.join(sink_root, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(f"manifest_{new_id}.json")
+    os.replace(tmp, os.path.join(sink_root, _POINTER))
+    return {"version": new_id, "touched_buckets": rewritten}
+
+
+def delete_where(
+    spark, sink_root: str, predicate: str, commit_ts: float | None = None
+) -> dict:
+    """DELETE FROM sink WHERE predicate, as a partition-scoped commit:
+    only buckets containing matching rows rewrite; a bucket whose rows
+    all match disappears from the manifest (empty buckets hold no dir).
+    Returns {version, touched_buckets}."""
+    return _dml_commit(
+        spark,
+        sink_root,
+        predicate,
+        lambda df: df.where(f"NOT ({predicate})"),
+        commit_ts,
+    )
+
+
+def update_where(
+    spark,
+    sink_root: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    commit_ts: float | None = None,
+) -> dict:
+    """UPDATE sink SET col = expr, ... WHERE predicate, partition-scoped.
+    Non-matching rows in touched buckets rewrite byte-identical; keys
+    must not be updated (that would re-bucket the row -- use
+    delete+merge for key changes)."""
+    cur = current_manifest(sink_root)
+    if cur is not None and any(k in set_exprs for k in cur["keys"]):
+        raise ValueError(
+            f"cannot UPDATE bucket key columns {cur['keys']}; "
+            "delete + re-merge instead"
+        )
+
+    def rewrite(df: DataFrame) -> DataFrame:
+        # ONE select, every SET expression evaluated against the OLD row
+        # (SQL UPDATE semantics) -- sequential withColumn would let an
+        # earlier assignment poison a later RHS or the predicate itself
+        cond = F.expr(predicate)
+        cols = []
+        for c in df.columns:
+            if c in set_exprs:
+                cols.append(
+                    F.when(cond, F.expr(set_exprs[c]))
+                    .otherwise(F.col(c))
+                    .cast(df.schema[c].dataType)
+                    .alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        return df.select(*cols)
+
+    return _dml_commit(spark, sink_root, predicate, rewrite, commit_ts)

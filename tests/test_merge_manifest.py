@@ -586,3 +586,81 @@ def test_clone_refuses_existing_target(spark, tmp_path):
     _mk_sink(spark, src)
     with _pytest.raises(ValueError, match="already a sink"):
         clone_manifest(spark, src, src)
+
+
+def test_delete_where_rewrites_only_matching_buckets(spark, tmp_path):
+    import os
+
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        current_manifest,
+        delete_where,
+        read_manifest_as_of,
+    )
+
+    root = str(tmp_path / "dml_del")
+    _mk_sink(spark, root, n=80, n_buckets=8)
+    before = current_manifest(root)
+    res = delete_where(spark, root, "grp = 3", commit_ts=2.0)
+    assert res["version"] == 1
+    after = current_manifest(root)
+
+    # predicate rows gone, everything else intact
+    state = read_manifest_as_of(spark, root)
+    assert state.where("grp = 3").count() == 0
+    assert state.count() == 80 - 80 // 6 - (1 if 80 % 6 > 3 else 0)
+
+    # untouched buckets carry identical dir pointers forward
+    touched = set(res["touched_buckets"])
+    for b, d in after["buckets"].items():
+        if b not in touched:
+            assert before["buckets"][b] == d
+
+    # DML is a normal commit: history retains the pre-delete state
+    old = read_manifest_as_of(spark, root, version=0)
+    assert old.where("grp = 3").count() > 0
+    # rewritten dirs live under the new generation
+    assert all(
+        d is None or d.startswith("gen_1/")
+        for d in res["touched_buckets"].values()
+    )
+    _ = os
+
+
+def test_delete_where_drops_fully_deleted_buckets(spark, tmp_path):
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        current_manifest,
+        delete_where,
+        read_manifest_as_of,
+    )
+
+    root = str(tmp_path / "dml_del_all")
+    _mk_sink(spark, root, n=40, n_buckets=4)
+    delete_where(spark, root, "TRUE", commit_ts=2.0)
+    assert current_manifest(root)["buckets"] == {}
+    assert read_manifest_as_of(spark, root).count() == 0
+
+
+def test_update_where_sets_columns_and_protects_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        read_manifest_as_of,
+        update_where,
+    )
+
+    root = str(tmp_path / "dml_upd")
+    _mk_sink(spark, root, n=60, n_buckets=8)
+    with _pytest.raises(ValueError, match="key columns"):
+        update_where(spark, root, "TRUE", {"k": "k + 1"})
+
+    update_where(
+        spark, root, "grp = 2", {"v": "v * 10", "grp": "99"}, commit_ts=2.0
+    )
+    state = read_manifest_as_of(spark, root)
+    assert state.where("grp = 2").count() == 0
+    upd = state.where("grp = 99").collect()
+    assert len(upd) == 10
+    assert all(r.v == r.k * 10.0 for r in upd)
+    # untouched rows byte-identical in value terms
+    rest = state.where("grp NOT IN (2, 99)")
+    assert all(r.v == float(r.k) for r in rest.collect())
