@@ -262,6 +262,8 @@ _ROUND7_FRONT = [
     "curation_leakage_safe_split",
     "text_sparse_cosine_topk",
     "events_winsorized_stats",
+    "warehouse_dml_delete_update",
+    "stream_cep_funnel_regex",
     # (c) code paths changed in round 7
     "agg_quantile_sketch",
     "agg_quantile_sketch_grouped",

@@ -2460,3 +2460,65 @@ def warehouse_bloom_skip_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     build_bloom_index(spark, root, "o_custkey")
     return read_manifest_bloom_lookup(spark, root, "o_custkey", 7)
+
+
+@query(
+    "warehouse_dml_delete_update",
+    oracle="""
+WITH state AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS p
+  FROM orders WHERE NOT (o_totalprice > 450000)
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(p, 4) AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM state GROUP BY 1
+""",
+)
+def warehouse_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DML gated end-to-end: orders land through the bucketed
+    merge, a DELETE WHERE removes the over-cap rows (only their buckets
+    rewrite), an UPDATE WHERE reprices open orders (SET evaluated
+    against the OLD row), and the final state aggregates against the
+    relational spec. Sum quantizes to DECIMAL(18,4) so it is
+    addition-order-free across engines. History retention and pointer
+    identity of untouched buckets are pytest-gated
+    (tests/test_merge_manifest.py)."""
+    from ..streaming.merge_manifest import (
+        apply_merge_batch_bucketed,
+        delete_where,
+        read_manifest_as_of,
+        update_where,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    root = _sink_root("dml", sf_dir)
+    apply_merge_batch_bucketed(
+        spark,
+        orders.withColumn("is_delete", F.lit(False)),
+        0,
+        root,
+        ["o_orderkey"],
+        n_buckets=16,
+        commit_ts=1000.0,
+    )
+    delete_where(spark, root, "o_totalprice > 450000", commit_ts=2000.0)
+    update_where(
+        spark,
+        root,
+        "o_orderstatus = 'O'",
+        {"o_totalprice": "o_totalprice * 1.1"},
+        commit_ts=3000.0,
+    )
+    state = read_manifest_as_of(spark, root)
+    return state.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.round("o_totalprice", 4).cast("decimal(18,4)")
+        ).cast("double").alias("total"),
+    )
