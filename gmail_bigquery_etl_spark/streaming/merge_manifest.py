@@ -783,6 +783,11 @@ def clone_manifest(
 
 # --- Predicate DML: DELETE WHERE / UPDATE WHERE as new commits ---------------
 
+class CommitConflictError(RuntimeError):
+    """A concurrent writer committed between this DML's snapshot read and
+    its pointer swap (Delta's ConcurrentModificationException analog)."""
+
+
 def _dml_commit(
     spark,
     sink_root: str,
@@ -852,6 +857,18 @@ def _dml_commit(
         "schema": cur["schema"],
         "buckets": buckets,
     }
+    # optimistic concurrency: the rewrite was computed against
+    # cur["batch_id"]'s state; if any other writer committed while this
+    # DML scanned/rewrote, blindly swapping the pointer would silently
+    # DISCARD that commit (lost update). Delta raises
+    # ConcurrentModificationException here; so do we.
+    latest = current_manifest(sink_root)
+    if latest is not None and latest["batch_id"] != cur["batch_id"]:
+        raise CommitConflictError(
+            f"concurrent commit detected: DML read version "
+            f"{cur['batch_id']} but the pointer now names version "
+            f"{latest['batch_id']}; re-run the DML against the new state"
+        )
     tmp = _manifest_path(sink_root, new_id) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)

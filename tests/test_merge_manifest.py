@@ -664,3 +664,38 @@ def test_update_where_sets_columns_and_protects_keys(spark, tmp_path):
     # untouched rows byte-identical in value terms
     rest = state.where("grp NOT IN (2, 99)")
     assert all(r.v == float(r.k) for r in rest.collect())
+
+
+def test_dml_detects_concurrent_commit_and_refuses_lost_update(
+    spark, tmp_path
+):
+    import pytest as _pytest
+
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        CommitConflictError,
+        _dml_commit,
+        apply_merge_batch_bucketed,
+        read_manifest_as_of,
+    )
+
+    root = str(tmp_path / "dml_conflict")
+    _mk_sink(spark, root, n=40, n_buckets=4)
+
+    # a rewrite callback that sneaks in a competing commit mid-DML --
+    # the same interleaving a second writer would produce
+    def racing_rewrite(df):
+        apply_merge_batch_bucketed(
+            spark,
+            spark.createDataFrame(
+                [(999, 0, 0.0)], "k bigint, grp bigint, v double"
+            ).withColumn("is_delete", F.lit(False)),
+            1, root, ["k"], n_buckets=4, commit_ts=5.0,
+        )
+        return df.where("grp <> 0")
+
+    with _pytest.raises(CommitConflictError, match="concurrent commit"):
+        _dml_commit(spark, root, "grp = 0", racing_rewrite, 6.0)
+    # the competing commit SURVIVES (no lost update), DML did not land
+    state = read_manifest_as_of(spark, root)
+    assert state.where("k = 999").count() == 1
+    assert state.where("grp = 0").count() > 1
