@@ -264,6 +264,7 @@ _ROUND7_FRONT = [
     "events_winsorized_stats",
     "warehouse_dml_delete_update",
     "stream_cep_funnel_regex",
+    "stream_expectations_metrics",
     # (c) code paths changed in round 7
     "agg_quantile_sketch",
     "agg_quantile_sketch_grouped",

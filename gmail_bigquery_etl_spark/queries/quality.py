@@ -116,3 +116,68 @@ def expectations_quarantine_rows(
         F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
         F.array_join("_violations", ",").alias("violations"),
     )
+
+
+@query(
+    "stream_expectations_metrics",
+    oracle="""
+WITH t AS (
+  SELECT CAST(o_orderkey % 3 AS BIGINT) AS batch_id, COUNT(*) AS n_rows,
+    SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v_pos,
+    SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+      AS v_status,
+    SUM(CASE WHEN o_totalprice <= 450000.0 THEN 0 ELSE 1 END) AS v_cap,
+    SUM(CASE WHEN o_orderdate < TIMESTAMP '2001-06-01' THEN 0 ELSE 1 END)
+      AS v_fresh
+  FROM orders GROUP BY 1
+)
+SELECT batch_id, 'positive_price' AS expectation, 'warn' AS action,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(v_pos AS BIGINT) AS n_violations FROM t
+UNION ALL
+SELECT batch_id, 'known_status', 'fail', CAST(n_rows AS BIGINT),
+       CAST(v_status AS BIGINT) FROM t
+UNION ALL
+SELECT batch_id, 'price_under_cap', 'drop', CAST(n_rows AS BIGINT),
+       CAST(v_cap AS BIGINT) FROM t
+UNION ALL
+SELECT batch_id, 'order_date_fresh', 'drop', CAST(n_rows AS BIGINT),
+       CAST(v_fresh AS BIGINT) FROM t
+""",
+)
+def stream_expectations_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contract-enforced STREAMING sink's quality time series, gated
+    against per-batch recomputation: orders arrive as three micro-
+    batches through the real foreachBatch body
+    (operators/expectations.expectations_writer -- clean/quarantine/
+    metrics land under batch_id= partitions), and the metrics table read
+    back from the sink must equal the per-batch relational audit. Proves
+    the write path's metrics are the same single-scan audit the batch
+    operator computes, per batch, with partition discovery recovering
+    the batch id."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.expectations import expectations_writer
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sinks_{os.getpid()}",
+        f"expect_{tag}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    writer = expectations_writer(root, orders_contracts())
+    for b in range(3):
+        writer(orders.where(F.col("o_orderkey") % 3 == b), b)
+    m = spark.read.parquet(os.path.join(root, "metrics"))
+    return m.select(
+        F.col("batch_id").cast("bigint").alias("batch_id"),
+        "expectation",
+        "action",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+    )
