@@ -30,6 +30,7 @@ from . import retrieval as _retrieval  # noqa: E402,F401  (BM25 ranked search)
 from . import quality as _quality  # noqa: E402,F401  (write-path contracts)
 from . import sampling as _sampling  # noqa: E402,F401  (KMV sketch/sampling)
 from . import cep as _cep  # noqa: E402,F401  (sequence pattern matching)
+from . import recsys as _recsys  # noqa: E402,F401  (item-CF recommendations)
 
 # Round-5 rotation: the driver samples the first ~50 registrations, and
 # the union r01..r04 covers 133/147 with only two non-green rows ever.

@@ -1977,3 +1977,93 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("lo"), 6).alias("p05"),
         F.round(F.max("hi"), 6).alias("p95"),
     )
+
+
+@query(
+    "events_anomaly_rolling_zscore",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, hour, n,
+         SUM(n)     OVER w AS s1,
+         SUM(n * n) OVER w AS s2,
+         COUNT(*)   OVER w AS k
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT event_type, hour, n, k,
+         (CAST(s2 AS DOUBLE) / k) - (CAST(s1 AS DOUBLE) / k) * (CAST(s1 AS DOUBLE) / k) AS var_,
+         CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / k AS dev
+  FROM base WHERE k >= 12
+)
+SELECT event_type, hour, n,
+       ROUND(dev / sqrt(var_), 4) AS z
+FROM scored
+WHERE var_ > 0 AND abs(dev / sqrt(var_)) >= 3.0
+""",
+)
+def events_anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection: per event type, each observed hour's
+    event count is scored against a rolling baseline of the 24 preceding
+    observed hours (mean/variance from exact integer sums), and hours
+    with |z| >= 3 are flagged. The monitoring primitive a 100 TB ingest
+    pipeline runs over its own volume series to catch upstream outages
+    (the reference's only health signal is per-batch error logging,
+    etl_service/main.py:244-250).
+
+    Determinism: the rolling frame is ROWS over observed hours, so s1/s2/k
+    are exact BIGINT sums; mean/variance/z are then pointwise IEEE ops on
+    identical inputs in both engines, rounded for output. Plan: one
+    groupBy shuffle to hourly counts (partial agg map-side), one window
+    shuffle on event_type (O(types) series, each short) -- no self-join,
+    no gap-fill scan of raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+                "hour"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    base = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    ).where(F.col("k") >= 12)
+    mean = F.col("s1").cast("double") / F.col("k")
+    var_ = F.col("s2").cast("double") / F.col("k") - mean * mean
+    dev = F.col("n").cast("double") - mean
+    scored = base.select(
+        "event_type", "hour", "n", var_.alias("var_"), dev.alias("dev")
+    )
+    return (
+        scored.where(
+            (F.col("var_") > 0)
+            & (F.abs(F.col("dev") / F.sqrt("var_")) >= 3.0)
+        )
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.round(F.col("dev") / F.sqrt("var_"), 4).alias("z"),
+        )
+    )

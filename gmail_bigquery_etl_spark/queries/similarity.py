@@ -952,3 +952,101 @@ def ann_incremental_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell")
         .agg(F.count("*").alias("n_vectors"))
     )
+
+
+@query(
+    "ann_filtered_topk",
+    oracle=f"""
+WITH cent AS (
+  SELECT label, j - 1 AS dim, ROUND(AVG(CAST(embedding[j] AS DOUBLE)), 6) AS c
+  FROM embeddings, generate_series(1, 64) AS t(j)
+  GROUP BY label, j
+),
+carr AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+cellscore AS (
+  SELECT e.vec_id, ca.label,
+         {_SQL_COSINE.format(a='e.embedding', b='ca.cv')} AS score
+  FROM embeddings e CROSS JOIN carr ca
+),
+cellrank AS (
+  SELECT vec_id, label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, label) AS rn
+  FROM cellscore
+),
+assign AS (SELECT vec_id, label AS cell FROM cellrank WHERE rn = 1
+           AND vec_id % 3 = 0),
+probes AS (SELECT vec_id, label AS cell FROM cellrank WHERE rn <= 2 AND vec_id < 10),
+scored AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS match_id,
+         {_SQL_COSINE.format(a='q.embedding', b='c.embedding')} AS score
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+  JOIN embeddings q ON q.vec_id = p.vec_id
+  JOIN embeddings c ON c.vec_id = a.vec_id
+),
+ranked AS (
+  SELECT query_id, match_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, match_id) AS rank
+  FROM scored
+)
+SELECT query_id, match_id, rank, ROUND(score, 6) AS score
+FROM ranked WHERE rank <= 5
+""",
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (the vector-DB "metadata predicate" shape):
+    top-5 cosine neighbors per query among ONLY the corpus vectors
+    passing a tenancy-style predicate (vec_id % 3 = 0), probing the 2
+    nearest IVF cells of an index built over the FULL corpus -- filters
+    apply at query time, the index is not rebuilt per predicate.
+
+    Pre-filtering, not post-filtering: the predicate lands on the corpus
+    scan BEFORE the cell equi-join, so pruned vectors are never scored
+    (a post-filter over an unfiltered top-k loses recall when the filter
+    is selective -- the classic filtered-ANN failure mode). Plan: the
+    candidate join stays the IVF hash equi-join on cell id; the
+    predicate is a pushed parquet filter on the probe side's big
+    relation. Exact within-cell ranking, 6dp-rounded fold cosine
+    (bit-identical across engines)."""
+    from ..functions.vectors import cosine_similarity
+    from ..operators.similarity import (
+        ivf_assign,
+        ivf_centroid_arrays,
+        ivf_probe_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroid_arrays(emb)  # index trained on the FULL corpus
+    c = (
+        emb.where(F.col("vec_id") % 3 == 0)  # predicate BEFORE scoring
+        .select(
+            F.col("vec_id").alias("match_id"),
+            F.col("embedding").alias("c_vec"),
+            ivf_assign("embedding", cents).alias("cell"),
+        )
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.explode(ivf_probe_cells("embedding", cents, 2)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            cosine_similarity("q_vec", "c_vec").alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "match_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("score", 6).alias("score"),
+        )
+    )
