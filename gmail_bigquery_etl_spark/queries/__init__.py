@@ -266,6 +266,10 @@ _ROUND7_FRONT = [
     "warehouse_dml_delete_update",
     "stream_cep_funnel_regex",
     "stream_expectations_metrics",
+    "warehouse_spec_evolution",
+    "events_anomaly_rolling_zscore",
+    "orders_item_cf_recs",
+    "ann_filtered_topk",
     # (c) code paths changed in round 7
     "agg_quantile_sketch",
     "agg_quantile_sketch_grouped",

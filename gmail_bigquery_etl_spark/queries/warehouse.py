@@ -2522,3 +2522,101 @@ def warehouse_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 4).cast("decimal(18,4)")
         ).cast("double").alias("total"),
     )
+
+
+@query(
+    "warehouse_spec_evolution",
+    oracle="""
+WITH sums AS (
+  SELECT o_custkey AS k,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s0,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s1,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS s2,
+    COUNT(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 END) AS n0,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1999-01-01' THEN 1 END) AS n1,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 END) AS n2
+  FROM orders GROUP BY 1
+),
+v1f AS (
+  SELECT k, CASE WHEN n1 > 0 THEN s1 ELSE s0 END AS bal
+  FROM sums
+  WHERE (n0 > 0 OR n1 > 0)
+    AND NOT (n1 > 0 AND k % 10 = 0)
+),
+b2k AS (SELECT k, s2 AS bal FROM sums WHERE n2 > 0)
+SELECT 'current' AS location, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(CAST(SUM(bal) AS DECIMAL(38,4)) AS VARCHAR) AS total_bal
+FROM b2k HAVING COUNT(*) > 0
+UNION ALL
+SELECT 'legacy' AS location, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(CAST(SUM(bal) AS DECIMAL(38,4)) AS VARCHAR) AS total_bal
+FROM v1f WHERE k NOT IN (SELECT k FROM b2k) HAVING COUNT(*) > 0
+""",
+)
+def warehouse_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution end-to-end through the real manifest
+    machinery (streaming/merge_manifest.py evolve_bucket_spec): two CDC
+    generations land under a 16-bucket spec, the spec evolves to 32
+    buckets in a metadata-only commit (zero data bytes move), and the
+    third generation merges under the new spec -- draining its keys
+    out of the legacy dirs as Iceberg's rewritten-data-adopts-the-new-
+    spec migration does. The gate audits WHERE each surviving key
+    physically lives: the current spec holds exactly the post-evolution
+    upserts, the legacy block holds everything untouched since -- so a
+    wrong drain (key left behind, or an over-eager rewrite) shifts a
+    key count or a balance sum and hash-fails. Balances stay DECIMAL
+    internally and ship as fixed-scale strings (the Decimal fetch-path
+    canonicalization rule every gated query follows)."""
+    from ..streaming.merge_manifest import (
+        _read_bucket_dirs,
+        apply_merge_batch_bucketed,
+        current_manifest,
+        evolve_bucket_spec,
+    )
+
+    b0, b1, b2 = _time_travel_batches(spark, sf_dir)
+    root = _sink_root("spec_evo", sf_dir)
+    apply_merge_batch_bucketed(
+        spark, b0, 0, root, ["k"], n_buckets=16, commit_ts=1000.0
+    )
+    apply_merge_batch_bucketed(
+        spark, b1, 1, root, ["k"], n_buckets=16, commit_ts=2000.0
+    )
+    evolve_bucket_spec(root, 32, commit_ts=2500.0)
+    apply_merge_batch_bucketed(
+        spark, b2, 3, root, ["k"], n_buckets=32, commit_ts=3000.0
+    )
+    m = current_manifest(root)
+    blocks = [("current", list(m["buckets"].values()))]
+    if m.get("legacy"):
+        blocks.append(("legacy", list(m["legacy"]["buckets"].values())))
+    parts = []
+    for loc, dirs in blocks:
+        if not dirs:
+            continue
+        dfs = _read_bucket_dirs(spark, root, dirs)
+        df = dfs[0]
+        for p in dfs[1:]:
+            df = df.unionByName(p)
+        parts.append(
+            df.groupBy(F.lit(loc).alias("location")).agg(
+                F.count("*").cast("bigint").alias("n_keys"),
+                F.sum("bal")
+                .cast("decimal(38,4)")
+                .cast("string")
+                .alias("total_bal"),
+            )
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "location string, n_keys bigint, total_bal string"
+        )
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res

@@ -139,30 +139,51 @@ def read_manifest_point_lookup(
             f"lookup must bind exactly the sink keys {m['keys']}, "
             f"got {sorted(key_values)}"
         )
-    sample = next(iter(m["buckets"].values()), None)
+    sample = next(iter(_all_bucket_dirs(m)), None)
     if sample is None:
         return spark.createDataFrame([], m["schema"])
     schema = spark.read.parquet(os.path.join(sink_root, sample)).schema
     probes = [
         F.lit(key_values[k]).cast(schema[k].dataType) for k in m["keys"]
     ]
-    bucket = (
+    # one bucket per spec: the current spec's, plus -- while an
+    # evolve_bucket_spec migration is draining -- the legacy spec's
+    # (a key lives in exactly one of the two, but which one is not
+    # knowable from metadata; probing both keeps the read O(specs) dirs)
+    specs = [(m["n_buckets"], m["buckets"])]
+    if m.get("legacy"):
+        specs.append((m["legacy"]["n_buckets"], m["legacy"]["buckets"]))
+    row = (
         spark.range(1)
         .select(
-            F.pmod(F.xxhash64(*probes), F.lit(m["n_buckets"]))
-            .cast("int")
-            .alias("b")
+            *[
+                F.pmod(F.xxhash64(*probes), F.lit(n))
+                .cast("int")
+                .alias(f"b{i}")
+                for i, (n, _) in enumerate(specs)
+            ]
         )
         .collect()[0]
-        .b
     )
-    d = m["buckets"].get(str(bucket))
-    if d is None:
+    dirs = []
+    for i, (_, buckets) in enumerate(specs):
+        d = buckets.get(str(row[i]))
+        if d is not None:
+            dirs.append(d)
+    if not dirs:
         return spark.createDataFrame([], schema)
-    df = spark.read.parquet(os.path.join(sink_root, d))
+    parts = [
+        df.drop(_BUCKET)
+        for df in _read_bucket_dirs(spark, sink_root, dirs)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     for k in m["keys"]:
-        df = df.filter(F.col(k) == F.lit(key_values[k]).cast(schema[k].dataType))
-    return df
+        out = out.filter(
+            F.col(k) == F.lit(key_values[k]).cast(schema[k].dataType)
+        )
+    return out
 
 
 def read_manifest_as_of(
@@ -176,7 +197,7 @@ def read_manifest_as_of(
     semantics match merge_sink.read_as_of: exact version, or newest
     commit_ts <= ts, or the current pointer; never a silent fallback."""
     m = _resolve_manifest(sink_root, version, ts)
-    dirs = list(m["buckets"].values())
+    dirs = _all_bucket_dirs(m)
     if not dirs:
         # an empty table is a legitimate committed state (cold start or
         # full deletion) -- read it as an empty typed frame
@@ -253,6 +274,7 @@ def apply_merge_batch_bucketed(
             f"batch column name {_BUCKET!r} collides with the sink's "
             "internal bucket column"
         )
+    legacy = cur.get("legacy") if cur is not None else None
     bucket_expr = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
     # pin the batch: it is consumed twice (touched-bucket collect, then
     # the merge write), and a batch arriving as an expensive derived plan
@@ -308,6 +330,55 @@ def apply_merge_batch_bucketed(
         buckets.pop(str(b), None)
     for b, d in written.items():
         buckets[str(b)] = d
+    # Partition-spec evolution (evolve_bucket_spec): rows written before
+    # the spec change live in LEGACY buckets hashed under the OLD
+    # n_buckets. The batch's keys must leave those dirs (a key lives in
+    # exactly one spec), so the touched legacy buckets -- and only those
+    # -- rewrite with the batch's keys anti-joined out, still under
+    # their old bucket ids. New post-images land in the current spec
+    # above; legacy thus drains lazily, one touched bucket at a time,
+    # exactly Iceberg's rewritten-data-adopts-the-new-spec behavior.
+    new_legacy = None
+    if legacy is not None:
+        lmap = dict(legacy["buckets"])
+        l_n = int(legacy["n_buckets"])
+        l_expr = F.pmod(F.xxhash64(*keys), F.lit(l_n)).cast("int")
+        touched_l = sorted(
+            r[0]
+            for r in batch.select(l_expr.alias("lb")).distinct().collect()
+        )
+        ldirs = [
+            d
+            for b in touched_l
+            if (d := lmap.get(str(b))) is not None
+        ]
+        if ldirs:
+            parts = _read_bucket_dirs(spark, sink_root, ldirs)
+            lbase = parts[0]
+            for p in parts[1:]:
+                lbase = lbase.unionByName(p)
+            key_df = batch.select(*keys).distinct()
+            survivors = lbase.join(
+                F.broadcast(key_df), on=list(keys), how="left_anti"
+            )
+            lgen = f"gen_{batch_id}_legacy"
+            (
+                survivors.repartition(max(len(ldirs), 1), F.col(_BUCKET))
+                .write.mode("overwrite")
+                .partitionBy(_BUCKET)
+                .parquet(os.path.join(sink_root, lgen))
+            )
+            written_l = {
+                int(name.split("=", 1)[1]): f"{lgen}/{name}"
+                for name in os.listdir(os.path.join(sink_root, lgen))
+                if name.startswith(f"{_BUCKET}=")
+            }
+            for b in touched_l:
+                lmap.pop(str(b), None)
+            for b, d in written_l.items():
+                lmap[str(b)] = d
+        if lmap:
+            new_legacy = {"n_buckets": l_n, "buckets": lmap}
     manifest = {
         "batch_id": batch_id,
         "commit_ts": time.time() if commit_ts is None else commit_ts,
@@ -318,6 +389,8 @@ def apply_merge_batch_bucketed(
         "schema": batch.select(*data_cols).schema.simpleString(),
         "buckets": buckets,
     }
+    if new_legacy is not None:
+        manifest["legacy"] = new_legacy
     tmp = _manifest_path(sink_root, batch_id) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -326,6 +399,69 @@ def apply_merge_batch_bucketed(
     with open(tmp, "w") as f:
         f.write(f"manifest_{batch_id}.json")
     os.replace(tmp, os.path.join(sink_root, _POINTER))
+
+
+def evolve_bucket_spec(
+    sink_root: str, new_n_buckets: int, commit_ts: float | None = None
+) -> int:
+    """Partition-spec evolution (Iceberg's evolve-spec analog): change
+    the sink's bucket count with a METADATA-ONLY commit -- zero data
+    bytes move, however large the table. Every existing bucket dir is
+    demoted to a LEGACY spec block (its old n_buckets recorded beside
+    it); the current spec starts empty. Readers union both specs;
+    point lookups probe one bucket per spec; writers drain the legacy
+    block lazily (a merged key's old row leaves its legacy dir as the
+    new post-image lands in the current spec). ``compact_manifest``
+    completes the migration eagerly by rewriting the whole state under
+    the current spec, after which the legacy block disappears.
+
+    One evolution may be in flight at a time: evolving again while
+    legacy dirs remain would need a spec LIST (this module keeps the
+    two-spec invariant simple); compact first. Returns the committed
+    version id."""
+    cur = current_manifest(sink_root)
+    if cur is None:
+        raise ValueError(f"no committed manifest in {sink_root}")
+    if cur.get("legacy"):
+        raise ValueError(
+            "a previous spec evolution is still draining; run "
+            "compact_manifest before evolving again"
+        )
+    if new_n_buckets == cur["n_buckets"]:
+        raise ValueError(
+            f"sink already uses n_buckets={new_n_buckets}"
+        )
+    new_id = cur["batch_id"] + 1
+    manifest = {
+        "batch_id": new_id,
+        "commit_ts": time.time() if commit_ts is None else commit_ts,
+        "n_buckets": new_n_buckets,
+        "keys": list(cur["keys"]),
+        "schema": cur["schema"],
+        "buckets": {},
+        "legacy": {
+            "n_buckets": cur["n_buckets"],
+            "buckets": dict(cur["buckets"]),
+        },
+    }
+    tmp = _manifest_path(sink_root, new_id) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(sink_root, new_id))
+    tmp = os.path.join(sink_root, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(f"manifest_{new_id}.json")
+    os.replace(tmp, os.path.join(sink_root, _POINTER))
+    return new_id
+
+
+def _all_bucket_dirs(m: dict) -> list[str]:
+    """Every data dir a manifest references: current spec + any
+    still-draining legacy spec."""
+    dirs = list(m["buckets"].values())
+    if m.get("legacy"):
+        dirs.extend(m["legacy"]["buckets"].values())
+    return dirs
 
 
 def compact_manifest(spark, sink_root: str) -> int:
@@ -378,8 +514,14 @@ def describe_history(spark, sink_root: str) -> DataFrame:
         n_files = 0
         total = 0
         reused = 0
-        for d in m["buckets"].values():
-            if not d.startswith(f"gen_{m['batch_id']}/"):
+        own = {
+            f"gen_{m['batch_id']}",
+            f"gen_{m['batch_id']}_legacy",
+            f"gen_{m['batch_id']}_dml",
+            f"gen_{m['batch_id']}_dml_legacy",
+        }
+        for d in _all_bucket_dirs(m):
+            if d.split("/", 1)[0] not in own:
                 reused += 1
             full = os.path.join(sink_root, d)
             for name in os.listdir(full):
@@ -390,7 +532,7 @@ def describe_history(spark, sink_root: str) -> DataFrame:
             (
                 v,
                 float(m["commit_ts"]),
-                len(m["buckets"]),
+                len(_all_bucket_dirs(m)),
                 reused,
                 n_files,
                 total,
@@ -408,17 +550,23 @@ def manifest_files(spark, sink_root: str, version: int | None = None) -> DataFra
     retained version: bucket id, generation dir, file count, bytes."""
     m = _resolve_manifest(sink_root, version, None)
     rows = []
-    for b, d in sorted(m["buckets"].items(), key=lambda kv: int(kv[0])):
-        full = os.path.join(sink_root, d)
-        files = [n for n in os.listdir(full) if n.endswith(".parquet")]
-        rows.append(
-            (
-                int(b),
-                d.split("/", 1)[0],
-                len(files),
-                sum(os.path.getsize(os.path.join(full, n)) for n in files),
+    blocks = [m["buckets"]]
+    if m.get("legacy"):
+        blocks.append(m["legacy"]["buckets"])
+    for block in blocks:
+        for b, d in sorted(block.items(), key=lambda kv: int(kv[0])):
+            full = os.path.join(sink_root, d)
+            files = [n for n in os.listdir(full) if n.endswith(".parquet")]
+            rows.append(
+                (
+                    int(b),
+                    d.split("/", 1)[0],
+                    len(files),
+                    sum(
+                        os.path.getsize(os.path.join(full, n)) for n in files
+                    ),
+                )
             )
-        )
     return spark.createDataFrame(
         rows, "bucket int, generation string, n_files bigint, bytes bigint"
     )
@@ -469,7 +617,6 @@ def forget_keys_bucketed(
     if any_manifest is None:
         raise ValueError(f"no committed manifest in {sink_root}")
     keys = any_manifest["keys"]
-    n_buckets = any_manifest["n_buckets"]
     # cast probe keys to the STORED column types before hashing:
     # xxhash64 is type-sensitive, so a bigint literal probing an int
     # key column would hash into the wrong bucket and silently erase
@@ -478,22 +625,37 @@ def forget_keys_bucketed(
     key_df = spark.createDataFrame(key_rows, schema=keys).select(
         *[F.col(k).cast(stored[k].dataType) for k in keys]
     )
-    target_buckets = {
-        r.b
-        for r in key_df.select(
-            F.pmod(F.xxhash64(*keys), F.lit(n_buckets))
-            .cast("int")
-            .alias("b")
-        ).collect()
-    }
+    # a retained manifest may use a different spec than the current one
+    # (pre-evolution versions, or a draining legacy block), so target
+    # buckets are computed per distinct n_buckets across history
+    spec_ns = set()
+    for v in list_manifest_versions(sink_root):
+        m = _load_manifest(sink_root, v)
+        spec_ns.add(int(m["n_buckets"]))
+        if m.get("legacy"):
+            spec_ns.add(int(m["legacy"]["n_buckets"]))
+    targets_by_n: dict[int, set[int]] = {}
+    for n in sorted(spec_ns):
+        targets_by_n[n] = {
+            r.b
+            for r in key_df.select(
+                F.pmod(F.xxhash64(*keys), F.lit(n)).cast("int").alias("b")
+            ).collect()
+        }
     # every generation dir any retained manifest references for a
-    # target bucket gets rewritten in place, once
+    # target bucket (under that manifest's own spec) rewrites in
+    # place, once
     dirs = set()
     for v in list_manifest_versions(sink_root):
         m = _load_manifest(sink_root, v)
         for b, d in m["buckets"].items():
-            if int(b) in target_buckets:
+            if int(b) in targets_by_n[int(m["n_buckets"])]:
                 dirs.add(d)
+        if m.get("legacy"):
+            ln = int(m["legacy"]["n_buckets"])
+            for b, d in m["legacy"]["buckets"].items():
+                if int(b) in targets_by_n[ln]:
+                    dirs.add(d)
     removed = {}
     bkey = F.broadcast(key_df)
     for rel in sorted(dirs):
@@ -528,7 +690,7 @@ def vacuum_manifests(sink_root: str, keep_last: int = 2) -> dict:
     keep = [v for v in versions if v not in drop]
     referenced = set()
     for v in keep:
-        referenced.update(_load_manifest(sink_root, v)["buckets"].values())
+        referenced.update(_all_bucket_dirs(_load_manifest(sink_root, v)))
     removed_dirs = []
     for gen in sorted(os.listdir(sink_root)):
         gd = os.path.join(sink_root, gen)
@@ -610,6 +772,14 @@ def build_bloom_index(
     from ..operators.cms import _cms_col, _depth_dim
 
     mft = _resolve_manifest(sink_root, version, None)
+    if mft.get("legacy"):
+        # bucket ids collide across specs, and the sidecar's schema is
+        # keyed by bare bucket id -- an index over a mid-migration table
+        # would be ambiguous. Finish the migration first.
+        raise ValueError(
+            "bloom index requires a single bucket spec; run "
+            "compact_manifest to finish the in-flight spec evolution"
+        )
     ver = mft["batch_id"]
     out = _bloom_index_dir(sink_root, ver, column)
     dirs = list(mft["buckets"].values())
@@ -770,6 +940,20 @@ def clone_manifest(
             "deep": deep,
         },
     }
+    if mft.get("legacy"):
+        lmap: dict[str, str] = {}
+        for b, d in mft["legacy"]["buckets"].items():
+            src_dir = d if os.path.isabs(d) else os.path.join(src_root, d)
+            if deep:
+                rel = os.path.join("gen_0_legacy", f"{_BUCKET}={b}")
+                shutil.copytree(src_dir, os.path.join(dst_root, rel))
+                lmap[b] = rel
+            else:
+                lmap[b] = src_dir
+        manifest["legacy"] = {
+            "n_buckets": mft["legacy"]["n_buckets"],
+            "buckets": lmap,
+        }
     tmp = _manifest_path(dst_root, 0) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -807,6 +991,14 @@ def _dml_commit(
     if cur is None:
         raise ValueError(f"no committed manifest in {sink_root}")
     new_id = cur["batch_id"] + 1
+    # staged under a suffix the merge path never uses: a concurrent
+    # writer committing the SAME id writes gen_{id}/, so a colliding
+    # name would let this DML's staging write clobber that commit's
+    # data before the conflict check below ever runs (the lost-update
+    # the check exists to prevent). Delta stages uniquely-named data
+    # files for exactly this reason; on conflict the staged dirs are
+    # unreferenced garbage vacuum reclaims.
+    gen = f"gen_{new_id}_dml"
     dirs = list(cur["buckets"].values())
     touched: set[int] = set()
     if dirs:
@@ -821,7 +1013,6 @@ def _dml_commit(
             .distinct()
             .collect()
         }
-    gen = f"gen_{new_id}"
     buckets = dict(cur["buckets"])
     rewritten = {}
     if touched:
@@ -849,6 +1040,62 @@ def _dml_commit(
         for b, d in written.items():
             buckets[str(b)] = d
         rewritten = {str(b): written.get(b) for b in sorted(touched)}
+    # a draining legacy spec block (evolve_bucket_spec) is part of the
+    # table: its matching buckets rewrite the same way, under their own
+    # old bucket ids, into a sibling generation dir
+    new_legacy = None
+    legacy = cur.get("legacy")
+    if legacy is not None:
+        lmap = dict(legacy["buckets"])
+        ldirs = list(lmap.values())
+        if ldirs:
+            parts = _read_bucket_dirs(spark, sink_root, ldirs)
+            lb = parts[0]
+            for p in parts[1:]:
+                lb = lb.unionByName(p)
+            touched_l = {
+                r.b
+                for r in lb.where(predicate)
+                .select(F.col(_BUCKET).alias("b"))
+                .distinct()
+                .collect()
+            }
+            if touched_l:
+                tdirs = [
+                    d for b, d in lmap.items() if int(b) in touched_l
+                ]
+                parts = _read_bucket_dirs(spark, sink_root, tdirs)
+                tb = parts[0]
+                for p in parts[1:]:
+                    tb = tb.unionByName(p)
+                out = rewrite(tb)
+                lgen = f"gen_{new_id}_dml_legacy"
+                (
+                    out.repartition(max(len(touched_l), 1), F.col(_BUCKET))
+                    .write.mode("overwrite")
+                    .partitionBy(_BUCKET)
+                    .parquet(os.path.join(sink_root, lgen))
+                )
+                written_l = {
+                    int(name.split("=", 1)[1]): f"{lgen}/{name}"
+                    for name in os.listdir(os.path.join(sink_root, lgen))
+                    if name.startswith(f"{_BUCKET}=")
+                }
+                for b in touched_l:
+                    lmap.pop(str(b), None)
+                for b, d in written_l.items():
+                    lmap[str(b)] = d
+                rewritten.update(
+                    {
+                        f"legacy:{b}": written_l.get(b)
+                        for b in sorted(touched_l)
+                    }
+                )
+        if lmap:
+            new_legacy = {
+                "n_buckets": legacy["n_buckets"],
+                "buckets": lmap,
+            }
     manifest = {
         "batch_id": new_id,
         "commit_ts": time.time() if commit_ts is None else commit_ts,
@@ -857,6 +1104,8 @@ def _dml_commit(
         "schema": cur["schema"],
         "buckets": buckets,
     }
+    if new_legacy is not None:
+        manifest["legacy"] = new_legacy
     # optimistic concurrency: the rewrite was computed against
     # cur["batch_id"]'s state; if any other writer committed while this
     # DML scanned/rewrote, blindly swapping the pointer would silently

@@ -618,9 +618,10 @@ def test_delete_where_rewrites_only_matching_buckets(spark, tmp_path):
     # DML is a normal commit: history retains the pre-delete state
     old = read_manifest_as_of(spark, root, version=0)
     assert old.where("grp = 3").count() > 0
-    # rewritten dirs live under the new generation
+    # rewritten dirs live under the DML's own staged generation
+    # (suffixed so a racing writer's gen_1/ can never be clobbered)
     assert all(
-        d is None or d.startswith("gen_1/")
+        d is None or d.startswith("gen_1_dml/")
         for d in res["touched_buckets"].values()
     )
     _ = os
@@ -699,3 +700,166 @@ def test_dml_detects_concurrent_commit_and_refuses_lost_update(
     state = read_manifest_as_of(spark, root)
     assert state.where("k = 999").count() == 1
     assert state.where("grp = 0").count() > 1
+
+
+# --- partition-spec evolution (evolve_bucket_spec) ---------------------------
+
+
+def test_spec_evolution_is_metadata_only_and_state_preserving(
+    spark, tmp_path
+):
+    """Evolving the bucket count moves ZERO data bytes (every legacy dir
+    pointer is the identical string) and leaves the readable state
+    bit-identical to the flat twin."""
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        evolve_bucket_spec,
+    )
+
+    root = str(tmp_path / "evo")
+    flat = str(tmp_path / "evo_flat")
+    for i, rows in enumerate(BATCHES[:2]):
+        b = spark.createDataFrame(rows, SCHEMA)
+        apply_merge_batch_bucketed(
+            spark, b, i, root, ["k"], n_buckets=4, commit_ts=100.0 * (i + 1)
+        )
+        apply_merge_batch(spark, b, i, flat, ["k"], commit_ts=100.0 * (i + 1))
+    pre = current_manifest(root)
+    ver = evolve_bucket_spec(root, 8, commit_ts=300.0)
+    m = current_manifest(root)
+    assert ver == m["batch_id"] == pre["batch_id"] + 1
+    assert m["n_buckets"] == 8
+    assert m["buckets"] == {}
+    assert m["legacy"]["n_buckets"] == 4
+    # zero-copy: legacy pointers are the pre-evolution strings verbatim
+    assert m["legacy"]["buckets"] == pre["buckets"]
+    assert _state(read_manifest_as_of(spark, root)) == _state(
+        read_as_of(spark, flat)
+    )
+    # pre-evolution versions still time-travel
+    assert _state(read_manifest_as_of(spark, root, 0)) == _state(
+        read_as_of(spark, flat, 0)
+    )
+    # a second evolution while legacy is draining is rejected
+    with pytest.raises(ValueError, match="draining"):
+        evolve_bucket_spec(root, 16)
+    # a same-spec evolution is rejected outright
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        compact_manifest,
+    )
+
+    compact_manifest(spark, root)
+    with pytest.raises(ValueError, match="already uses"):
+        evolve_bucket_spec(root, 8)
+
+
+def test_spec_evolution_merge_drains_touched_legacy_buckets(
+    spark, tmp_path
+):
+    """Post-evolution merges stay correct vs the flat twin; batch keys
+    LEAVE their legacy dirs (drained lazily); untouched legacy buckets
+    keep their identical pointer strings; point lookups find keys in
+    whichever spec holds them; the old-spec batch size is rejected."""
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        evolve_bucket_spec,
+        read_manifest_point_lookup,
+    )
+
+    root = str(tmp_path / "evo2")
+    flat = str(tmp_path / "evo2_flat")
+    for i, rows in enumerate(BATCHES[:2]):
+        b = spark.createDataFrame(rows, SCHEMA)
+        apply_merge_batch_bucketed(
+            spark, b, i, root, ["k"], n_buckets=4, commit_ts=100.0 * (i + 1)
+        )
+        apply_merge_batch(spark, b, i, flat, ["k"], commit_ts=100.0 * (i + 1))
+    evolve_bucket_spec(root, 8, commit_ts=300.0)
+    m_evo = current_manifest(root)
+    b2 = spark.createDataFrame(BATCHES[2], SCHEMA)
+    with pytest.raises(ValueError, match="n_buckets"):
+        apply_merge_batch_bucketed(spark, b2, 3, root, ["k"], n_buckets=4)
+    apply_merge_batch_bucketed(
+        spark, b2, 3, root, ["k"], n_buckets=8, commit_ts=400.0
+    )
+    apply_merge_batch(spark, b2, 2, flat, ["k"], commit_ts=400.0)
+    expect = _state(read_as_of(spark, flat))
+    assert _state(read_manifest_as_of(spark, root)) == expect
+    m = current_manifest(root)
+    # batch keys (1, 3, 18) must be gone from every legacy dir
+    legacy_dirs = list(m["legacy"]["buckets"].values())
+    for d in legacy_dirs:
+        ks = {
+            r.k
+            for r in spark.read.parquet(os.path.join(root, d)).collect()
+        }
+        assert not ks & {1, 3, 18}, (d, ks)
+    # legacy buckets NOT holding a batch key kept their exact pointers
+    touched_l = {
+        r.b
+        for r in spark.createDataFrame([(1,), (3,), (18,)], "k int")
+        .select(
+            F.pmod(F.xxhash64("k"), F.lit(4)).cast("int").alias("b")
+        )
+        .collect()
+    }
+    for b, d in m_evo["legacy"]["buckets"].items():
+        if int(b) not in touched_l:
+            assert m["legacy"]["buckets"][b] == d
+    # point lookup finds keys wherever they live (legacy or current)
+    for k, v in expect.items():
+        got = {
+            r.k: r.v
+            for r in read_manifest_point_lookup(
+                spark, root, {"k": k}
+            ).collect()
+        }
+        assert got == {k: v}, k
+    # and returns empty for deleted keys
+    assert (
+        read_manifest_point_lookup(spark, root, {"k": 1}).count() == 0
+    )
+
+
+def test_spec_evolution_compact_vacuum_dml_clone(spark, tmp_path):
+    """compact_manifest finishes the migration (legacy block gone, one
+    spec, state unchanged); vacuum then reclaims the old-spec dirs; DML
+    and clone handle a mid-migration table correctly."""
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        build_bloom_index,
+        clone_manifest,
+        compact_manifest,
+        delete_where,
+        evolve_bucket_spec,
+    )
+
+    root = str(tmp_path / "evo3")
+    _mk_sink(spark, root, n=60, n_buckets=4)
+    evolve_bucket_spec(root, 8, commit_ts=2.0)
+    # DML against a mid-migration table rewrites legacy buckets too
+    delete_where(spark, root, "k >= 50", commit_ts=3.0)
+    assert {
+        r.k for r in read_manifest_as_of(spark, root).collect()
+    } == set(range(50))
+    # clone carries the legacy block (deep: fully severed)
+    dst = str(tmp_path / "evo3_clone")
+    clone_manifest(spark, root, dst, deep=True)
+    assert {
+        r.k for r in read_manifest_as_of(spark, dst).collect()
+    } == set(range(50))
+    # bloom build refuses a two-spec table, loudly
+    with pytest.raises(ValueError, match="single bucket spec"):
+        build_bloom_index(spark, root, "grp")
+    # compact completes the migration
+    compact_manifest(spark, root)
+    m = current_manifest(root)
+    assert "legacy" not in m
+    assert m["n_buckets"] == 8
+    assert {
+        r.k for r in read_manifest_as_of(spark, root).collect()
+    } == set(range(50))
+    # after the horizon passes, vacuum reclaims every old-spec dir
+    out = vacuum_manifests(root, keep_last=1)
+    assert out["dirs"]
+    for gen in os.listdir(root):
+        assert not gen.startswith("gen_0"), gen
+    # and the compacted sink accepts a fresh bloom index
+    build_bloom_index(spark, root, "grp")
