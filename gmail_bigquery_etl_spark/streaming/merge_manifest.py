@@ -178,12 +178,25 @@ def read_manifest_point_lookup(
     ]
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(p, allowMissingColumns=True)
     for k in m["keys"]:
         out = out.filter(
             F.col(k) == F.lit(key_values[k]).cast(schema[k].dataType)
         )
-    return out
+    return _align_to_schema(spark, out, m["schema"])
+
+
+def _align_to_schema(spark, df: DataFrame, schema_str: str) -> DataFrame:
+    """Project ``df`` onto the manifest's recorded schema: columns a
+    particular dir predates (schema evolution) backfill as NULL, and
+    the output column order is the recorded one -- so reads answer in
+    the TABLE's schema regardless of which generation's files happened
+    to serve them."""
+    target = spark.createDataFrame([], schema_str).schema
+    for f in target.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df.select(*[f.name for f in target.fields])
 
 
 def read_manifest_as_of(
@@ -208,8 +221,8 @@ def read_manifest_as_of(
     ]
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        out = out.unionByName(p, allowMissingColumns=True)
+    return _align_to_schema(spark, out, m["schema"])
 
 
 def _read_bucket_dirs(spark, sink_root: str, dirs: list[str]):
@@ -288,6 +301,21 @@ def apply_merge_batch_bucketed(
 
     base_parts = []
     if cur is not None:
+        # Schema evolution (Delta-style mergeSchema), same contract as
+        # the flat sink: a batch may ADD columns -- history rows
+        # NULL-backfill at read and merge time -- but dropping a stored
+        # column is rejected loudly (silent column loss in a CDC feed
+        # is an upstream contract break, not evolution). Checked
+        # against the manifest's RECORDED schema, not just the touched
+        # dirs, so untouched buckets count too.
+        stored_cols = spark.createDataFrame([], cur["schema"]).columns
+        dropped = [c for c in stored_cols if c not in data_cols]
+        if dropped:
+            raise ValueError(
+                f"batch {batch_id} drops snapshot columns {dropped}; "
+                "a CDC post-image feed may add columns (NULL-backfilled) "
+                "but never silently lose them"
+            )
         touched_dirs = [
             d
             for b in touched
@@ -297,7 +325,12 @@ def apply_merge_batch_bucketed(
     if base_parts:
         base = base_parts[0]
         for p in base_parts[1:]:
-            base = base.unionByName(p)
+            base = base.unionByName(p, allowMissingColumns=True)
+        for c in data_cols:
+            if c not in base.columns:
+                base = base.withColumn(
+                    c, F.lit(None).cast(batch.schema[c].dataType)
+                )
         base = base.select(*data_cols, _BUCKET)
     else:
         base = spark.createDataFrame(
@@ -356,7 +389,7 @@ def apply_merge_batch_bucketed(
             parts = _read_bucket_dirs(spark, sink_root, ldirs)
             lbase = parts[0]
             for p in parts[1:]:
-                lbase = lbase.unionByName(p)
+                lbase = lbase.unionByName(p, allowMissingColumns=True)
             key_df = batch.select(*keys).distinct()
             survivors = lbase.join(
                 F.broadcast(key_df), on=list(keys), how="left_anti"
@@ -791,7 +824,7 @@ def build_bloom_index(
     parts = _read_bucket_dirs(spark, sink_root, dirs)
     base = parts[0]
     for p in parts[1:]:
-        base = base.unionByName(p)
+        base = base.unionByName(p, allowMissingColumns=True)
     dim = _depth_dim(base, depth)
     bits = (
         base.select(
@@ -878,7 +911,7 @@ def read_manifest_bloom_lookup(
     parts = _read_bucket_dirs(spark, sink_root, dirs)
     base = parts[0]
     for p in parts[1:]:
-        base = base.unionByName(p)
+        base = base.unionByName(p, allowMissingColumns=True)
     col_type = base.schema[column].dataType
     return base.where(
         F.col(column) == F.lit(value).cast(col_type)
@@ -1005,7 +1038,7 @@ def _dml_commit(
         parts = _read_bucket_dirs(spark, sink_root, dirs)
         base = parts[0]
         for p in parts[1:]:
-            base = base.unionByName(p)
+            base = base.unionByName(p, allowMissingColumns=True)
         touched = {
             r.b
             for r in base.where(predicate)
@@ -1022,7 +1055,7 @@ def _dml_commit(
         parts = _read_bucket_dirs(spark, sink_root, tdirs)
         tb = parts[0]
         for p in parts[1:]:
-            tb = tb.unionByName(p)
+            tb = tb.unionByName(p, allowMissingColumns=True)
         out = rewrite(tb)
         (
             out.repartition(max(len(touched), 1), F.col(_BUCKET))
@@ -1052,7 +1085,7 @@ def _dml_commit(
             parts = _read_bucket_dirs(spark, sink_root, ldirs)
             lb = parts[0]
             for p in parts[1:]:
-                lb = lb.unionByName(p)
+                lb = lb.unionByName(p, allowMissingColumns=True)
             touched_l = {
                 r.b
                 for r in lb.where(predicate)
@@ -1067,7 +1100,7 @@ def _dml_commit(
                 parts = _read_bucket_dirs(spark, sink_root, tdirs)
                 tb = parts[0]
                 for p in parts[1:]:
-                    tb = tb.unionByName(p)
+                    tb = tb.unionByName(p, allowMissingColumns=True)
                 out = rewrite(tb)
                 lgen = f"gen_{new_id}_dml_legacy"
                 (

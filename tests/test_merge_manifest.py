@@ -863,3 +863,67 @@ def test_spec_evolution_compact_vacuum_dml_clone(spark, tmp_path):
         assert not gen.startswith("gen_0"), gen
     # and the compacted sink accepts a fresh bloom index
     build_bloom_index(spark, root, "grp")
+
+
+def test_bucketed_schema_evolution_three_generations(spark, tmp_path):
+    """Delta-style mergeSchema on the bucketed sink: a later batch adds
+    a column (history NULL-backfills at every affected version), a
+    batch dropping a stored column is rejected loudly, and the
+    evolution composes with an in-flight SPEC evolution (legacy dirs
+    lack the new column; reads backfill them)."""
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        evolve_bucket_spec,
+        read_manifest_point_lookup,
+    )
+
+    root = str(tmp_path / "schemaevo")
+    b0 = spark.createDataFrame(
+        [(1, "a", False), (2, "b", False), (3, "c", False)], SCHEMA
+    )
+    apply_merge_batch_bucketed(
+        spark, b0, 0, root, ["k"], n_buckets=4, commit_ts=10.0
+    )
+    # gen 1 ADDS a column
+    b1 = spark.createDataFrame(
+        [(2, "b2", 7, False), (4, "d", 8, False)],
+        "k int, v string, extra int, is_delete boolean",
+    )
+    apply_merge_batch_bucketed(
+        spark, b1, 1, root, ["k"], n_buckets=4, commit_ts=20.0
+    )
+    cur = read_manifest_as_of(spark, root)
+    got = {r.k: (r.v, r.extra) for r in cur.collect()}
+    assert got == {
+        1: ("a", None),
+        2: ("b2", 7),
+        3: ("c", None),
+        4: ("d", 8),
+    }
+    # the pre-evolution version reads back WITHOUT the new column
+    assert set(read_manifest_as_of(spark, root, 0).columns) == {"k", "v"}
+    # dropping a stored column is rejected, even for untouched buckets
+    b_bad = spark.createDataFrame([(9, "z", False)], SCHEMA)
+    with pytest.raises(ValueError, match="drops snapshot columns"):
+        apply_merge_batch_bucketed(
+            spark, b_bad, 2, root, ["k"], n_buckets=4, commit_ts=30.0
+        )
+    # composes with spec evolution: legacy dirs lack a later-added column
+    evolve_bucket_spec(root, 8, commit_ts=40.0)
+    b2 = spark.createDataFrame(
+        [(3, "c3", 9, 1.5, False)],
+        "k int, v string, extra int, score double, is_delete boolean",
+    )
+    apply_merge_batch_bucketed(
+        spark, b2, 3, root, ["k"], n_buckets=8, commit_ts=50.0
+    )
+    cur = read_manifest_as_of(spark, root)
+    got = {r.k: (r.v, r.extra, r.score) for r in cur.collect()}
+    assert got == {
+        1: ("a", None, None),
+        2: ("b2", 7, None),
+        3: ("c3", 9, 1.5),
+        4: ("d", 8, None),
+    }
+    # point lookup backfills too, wherever the key lives
+    row = read_manifest_point_lookup(spark, root, {"k": 1}).collect()
+    assert len(row) == 1 and row[0].v == "a" and row[0].score is None
