@@ -270,6 +270,8 @@ _ROUND7_FRONT = [
     "events_anomaly_rolling_zscore",
     "orders_item_cf_recs",
     "ann_filtered_topk",
+    "profile_join_cardinality_cms",
+    "text_pmi_collocations",
     # (c) code paths changed in round 7
     "agg_quantile_sketch",
     "agg_quantile_sketch_grouped",

@@ -24,6 +24,7 @@ from ..functions.text import (
     predicted_lang,
     quality_columns,
     token_count,
+    whitespace_tokens,
 )
 from ..operators.dedup import exact_dedup, jaccard_pairs, lsh_candidate_pairs, simhash
 from .registry import query
@@ -1262,4 +1263,110 @@ def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cosine"), "id_a", "id_b")
         .limit(20)
+    )
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents
+  WHERE trim(lower(text)) <> ''
+),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS p
+  FROM toks WHERE len(ws) >= 2
+),
+pairs AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+firsts AS (SELECT p.a AS a, COUNT(*) AS c_a FROM bg GROUP BY 1),
+seconds AS (SELECT p.b AS b, COUNT(*) AS c_b FROM bg GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM bg),
+scored AS (
+  SELECT pairs.a, pairs.b, c_ab,
+         ln(CAST(c_ab AS DOUBLE) * tot.n / (CAST(c_a AS DOUBLE) * c_b)) AS pmi
+  FROM pairs
+  JOIN firsts USING (a)
+  JOIN seconds USING (b)
+  CROSS JOIN tot
+  WHERE c_ab >= 5
+),
+ranked AS (
+  SELECT a, b, c_ab, pmi,
+         ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS rank
+  FROM scored
+)
+SELECT a AS w1, b AS w2, CAST(c_ab AS BIGINT) AS n_pair,
+       CAST(rank AS BIGINT) AS rank, ROUND(pmi, 6) AS pmi
+FROM ranked WHERE rank <= 20
+""",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: the top-20
+    adjacent word pairs whose co-occurrence most exceeds positional
+    independence -- pmi = ln(c_ab * N / (c_a * c_b)) over the bigram
+    stream, with c_a / c_b the word's frequency in first / second
+    position (the directional convention, so the score is exactly
+    log-lift of the observed bigram over the independence expectation).
+    The phrase-detection primitive (word2vec's phrase pass, n-gram
+    vocabulary induction) beside the corpus's other distribution
+    profiles (Zipf fit, heavy hitters, TF-IDF).
+
+    Min-count 5 is the standard PMI noise floor (rare pairs otherwise
+    dominate the ranking). Bigrams build with the zip_with-over-slices
+    shape (the measured O(tokens^2)-avoiding idiom from
+    text_cms_heavy_hitters); counts are exact BIGINTs, so pmi is one
+    libm ln on identical integer ratios in both engines, rounded to
+    6dp; ranking carries a full lexicographic tiebreak. Plan: one
+    tokenize/explode pass, three hash aggregates (pair/first/second),
+    two broadcast dimension joins, a top-20 window over the
+    min-count-surviving pairs only."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = (
+        docs.where(F.trim(F.lower(F.col("text"))) != "")
+        .select(whitespace_tokens("text").alias("ws"))
+        .filter(F.size("ws") >= 2)
+    )
+    bg = ws.select(
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.size("ws") - 1),
+                F.slice("ws", 2, F.size("ws") - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    pairs = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    firsts = bg.groupBy("a").agg(F.count("*").alias("c_a"))
+    seconds = bg.groupBy("b").agg(F.count("*").alias("c_b"))
+    tot = bg.agg(F.count("*").alias("n"))
+    scored = (
+        pairs.where(F.col("c_ab") >= 5)
+        .join(F.broadcast(firsts), "a")
+        .join(F.broadcast(seconds), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.log(
+                F.col("c_ab").cast("double")
+                * F.col("n")
+                / (F.col("c_a").cast("double") * F.col("c_b"))
+            ).alias("pmi"),
+        )
+    )
+    rank = F.row_number().over(
+        W.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+    )
+    return (
+        scored.withColumn("rank", rank.cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select(
+            F.col("a").alias("w1"),
+            F.col("b").alias("w2"),
+            F.col("c_ab").cast("bigint").alias("n_pair"),
+            "rank",
+            F.round("pmi", 6).alias("pmi"),
+        )
     )

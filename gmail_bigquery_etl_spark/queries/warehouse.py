@@ -2620,3 +2620,130 @@ def warehouse_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         res = res.unionByName(p)
     return res
+
+
+@query(
+    "profile_join_cardinality_cms",
+    oracle="""
+WITH dim AS (SELECT i FROM generate_series(0, 3) g(i)),
+ev AS (SELECT CAST(user_id AS VARCHAR) AS x FROM events
+       WHERE user_id IS NOT NULL),
+cu AS (SELECT CAST(c_custkey AS VARCHAR) AS x FROM customer
+       WHERE c_custkey IS NOT NULL),
+ev_cells AS (
+  SELECT d.i,
+         CAST('0x' || substring(md5(x), d.i * 8 + 1, 8) AS BIGINT) % 1024 AS col,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev CROSS JOIN dim d GROUP BY 1, 2
+),
+cu_cells AS (
+  SELECT d.i,
+         CAST('0x' || substring(md5(x), d.i * 8 + 1, 8) AS BIGINT) % 1024 AS col,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM cu CROSS JOIN dim d GROUP BY 1, 2
+),
+self_est AS (
+  SELECT MIN(s) AS est FROM (
+    SELECT i, SUM(c * c) AS s FROM ev_cells GROUP BY i) t
+),
+cross_est AS (
+  SELECT MIN(s) AS est FROM (
+    SELECT a.i, SUM(a.c * b.c) AS s
+    FROM ev_cells a JOIN cu_cells b ON a.i = b.i AND a.col = b.col
+    GROUP BY a.i) t
+),
+ev_counts AS (SELECT x, COUNT(*) AS n FROM ev GROUP BY 1),
+cu_counts AS (SELECT x, COUNT(*) AS n FROM cu GROUP BY 1),
+self_exact AS (SELECT SUM(n * n) AS sz FROM ev_counts),
+cross_exact AS (
+  SELECT COALESCE(SUM(a.n * b.n), 0) AS sz
+  FROM ev_counts a JOIN cu_counts b ON a.x = b.x
+)
+SELECT 'events_self_join' AS join_name,
+       CAST(sz AS BIGINT) AS exact_rows,
+       CAST(est AS BIGINT) AS cms_est,
+       ROUND(CAST(est - sz AS DOUBLE) / sz, 6) AS rel_overcount
+FROM self_exact, self_est
+UNION ALL
+SELECT 'events_x_customer' AS join_name,
+       CAST(sz AS BIGINT) AS exact_rows,
+       CAST(est AS BIGINT) AS cms_est,
+       ROUND(CAST(est - sz AS DOUBLE) / sz, 6) AS rel_overcount
+FROM cross_exact, cross_est
+""",
+)
+def profile_join_cardinality_cms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch-based join-size estimation (the AMS inner-product bound
+    through the CMS cell grid, Alon-Matias-Szegedy / Cormode-Muthu):
+    the estimated output cardinality of (a) the events-on-user self
+    join -- the second frequency moment F2, THE skew statistic a
+    planner consults before picking a shuffle strategy -- and (b) the
+    events x customer key join, each as min over depth rows of the
+    cell-wise product sum. Complements profile_skew_advisor: that one
+    pays an exact per-key histogram; this one answers from two O(4x1024)
+    sketches a planner can keep as table statistics and dot together in
+    microseconds at ANY table size, never undercounting (CMS
+    overcount-only carries through products).
+
+    The gate is bit-exact, not a tolerance band: the md5-slice hashes
+    are engine-portable, so the oracle rebuilds both sketches
+    relationally and reproduces estimate AND exact count; the emitted
+    rel_overcount makes the one-sided error visible. Plan: one hash
+    aggregate per sketch (partial map-side), a broadcast-sized cell
+    join, two exact GROUP BY COUNT aggregates for ground truth."""
+    from ..operators.cms import cms_build
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(F.col("user_id").cast("string").alias("x"))
+    )
+    cu = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey").isNotNull())
+        .select(F.col("c_custkey").cast("string").alias("x"))
+    )
+    ev_cells = cms_build(ev, "x", depth=4, width=1024)
+    cu_cells = cms_build(cu, "x", depth=4, width=1024)
+    self_est = (
+        ev_cells.groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("s"))
+        .agg(F.min("s").cast("bigint").alias("est"))
+    )
+    a, b = ev_cells.alias("a"), cu_cells.alias("b")
+    cross_est = (
+        a.join(F.broadcast(b), ["i", "col"])
+        .groupBy("i")
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("s"))
+        .agg(F.min("s").cast("bigint").alias("est"))
+    )
+    ev_counts = ev.groupBy("x").agg(F.count("*").alias("n"))
+    cu_counts = cu.groupBy("x").agg(F.count("*").alias("n"))
+    self_exact = ev_counts.agg(
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sz")
+    )
+    cross_exact = (
+        ev_counts.alias("a")
+        .join(F.broadcast(cu_counts.alias("b")), "x")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("a.n") * F.col("b.n")), F.lit(0)
+            ).cast("bigint").alias("sz")
+        )
+    )
+
+    def _row(name: str, exact: DataFrame, est: DataFrame) -> DataFrame:
+        return exact.crossJoin(est).select(
+            F.lit(name).alias("join_name"),
+            F.col("sz").alias("exact_rows"),
+            F.col("est").alias("cms_est"),
+            F.round(
+                (F.col("est") - F.col("sz")).cast("double") / F.col("sz"), 6
+            ).alias("rel_overcount"),
+        )
+
+    return _row("events_self_join", self_exact, self_est).unionByName(
+        _row("events_x_customer", cross_exact, cross_est)
+    )
