@@ -2690,9 +2690,11 @@ def profile_join_cardinality_cms(
     The gate is bit-exact, not a tolerance band: the md5-slice hashes
     are engine-portable, so the oracle rebuilds both sketches
     relationally and reproduces estimate AND exact count; the emitted
-    rel_overcount makes the one-sided error visible. Plan: one hash
-    aggregate per sketch (partial map-side), a broadcast-sized cell
-    join, two exact GROUP BY COUNT aggregates for ground truth."""
+    rel_overcount makes the one-sided error visible. Plan: one exact
+    per-key COUNT per table (pinned -- it feeds both the ground truth
+    and the weighted sketch build, so md5 runs once per DISTINCT key,
+    not per occurrence), one weighted hash aggregate per sketch, a
+    broadcast-sized cell join."""
     from ..operators.cms import cms_build
 
     ev = (
@@ -2705,8 +2707,14 @@ def profile_join_cardinality_cms(
         .where(F.col("c_custkey").isNotNull())
         .select(F.col("c_custkey").cast("string").alias("x"))
     )
-    ev_cells = cms_build(ev, "x", depth=4, width=1024)
-    cu_cells = cms_build(cu, "x", depth=4, width=1024)
+    # Exact per-key frequency tables serve double duty: ground truth for
+    # the gate AND the cms_build(weight_col=...) fast path (md5 once per
+    # DISTINCT key, not per occurrence -- cell-identical, increments are
+    # additive).
+    ev_counts = ev.groupBy("x").agg(F.count("*").alias("n")).localCheckpoint()
+    cu_counts = cu.groupBy("x").agg(F.count("*").alias("n")).localCheckpoint()
+    ev_cells = cms_build(ev_counts, "x", depth=4, width=1024, weight_col="n")
+    cu_cells = cms_build(cu_counts, "x", depth=4, width=1024, weight_col="n")
     self_est = (
         ev_cells.groupBy("i")
         .agg(F.sum(F.col("c") * F.col("c")).alias("s"))
@@ -2719,8 +2727,6 @@ def profile_join_cardinality_cms(
         .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("s"))
         .agg(F.min("s").cast("bigint").alias("est"))
     )
-    ev_counts = ev.groupBy("x").agg(F.count("*").alias("n"))
-    cu_counts = cu.groupBy("x").agg(F.count("*").alias("n"))
     self_exact = ev_counts.agg(
         F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sz")
     )

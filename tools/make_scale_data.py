@@ -201,6 +201,30 @@ def replicate_part(spark, src: str, dst: str, mult: int) -> int:
     return out.count()
 
 
+def replicate_customer(spark, src: str, dst: str, mult: int) -> int:
+    """Replica k shifts c_custkey by k*STRIDE -- the same stride events'
+    user_id uses, so the events-x-customer key join sees mult-x matching
+    keys (each replica joins only its own replica's users), preserving the
+    join's selectivity shape rather than creating cross-replica fan-out."""
+    cust = spark.read.parquet(os.path.join(src, "customer.parquet"))
+    others = [c for c in cust.columns if c != "c_custkey"]
+    parts = []
+    for k in range(mult):
+        parts.append(
+            cust.select(
+                (F.col("c_custkey") + k * ID_STRIDE).alias("c_custkey"),
+                *others,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst, "customer.parquet")
+    )
+    return out.count()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
@@ -208,7 +232,7 @@ def main() -> None:
     ap.add_argument("--dst", default="scratch/sf1")
     ap.add_argument(
         "--tables",
-        default="documents,embeddings,events,orders,lineitem,part",
+        default="documents,embeddings,events,orders,lineitem,part,customer",
         help="comma list of tables to replicate",
     )
     args = ap.parse_args()
@@ -228,6 +252,8 @@ def main() -> None:
         counts["orders"] = replicate_orders(spark, args.src, args.dst, args.mult)
     if "part" in tables:
         counts["part"] = replicate_part(spark, args.src, args.dst, args.mult)
+    if "customer" in tables:
+        counts["customer"] = replicate_customer(spark, args.src, args.dst, args.mult)
     print(f"wrote {args.dst}: " + " ".join(f"{k}={v}" for k, v in counts.items()))
 
 
