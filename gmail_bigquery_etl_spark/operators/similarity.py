@@ -778,3 +778,45 @@ def _l2sq_fold_col(sub: Column, cw: Column) -> Column:
         lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
     )
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def random_project(
+    df: DataFrame,
+    out_dim: int,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: d -> out_dim via a
+    deterministic dense matrix of uniform [-1, 1] entries (the
+    Achlioptas database-friendly family; any zero-mean sub-Gaussian
+    entry distribution carries the JL distance-preservation bound).
+    Rows are the SAME md5-derived plane grid hyperplane-LSH uses
+    (_plane_weights), so an oracle replays the exact matrix in SQL --
+    hyperplane LSH is precisely this projection with a sign threshold
+    instead of the raw coordinate.
+
+    The conventional 1/sqrt(out_dim) scaling is omitted: it cancels in
+    cosine/angle comparisons (the engine's similarity currency), and
+    omitting it keeps the coordinates identical to the LSH dot folds.
+
+    100 TB posture: the matrix is out_dim x dim literals baked into one
+    codegen'd projection -- per row out_dim sequential folds, no shuffle,
+    no Python; 64->16 cuts downstream vector bytes 4x BEFORE any
+    quantization, composing with SQ8/PQ the way an OPQ rotation does.
+    Output coordinates are float64 (they feed cosine folds directly).
+    """
+    v = F.col(vec_col)
+    comps = []
+    for plane in _plane_weights(out_dim, dim):
+        w_arr = F.array(*[F.lit(w) for w in plane])
+        comps.append(
+            F.aggregate(
+                F.zip_with(v, w_arr, lambda x, w_: x.cast("double") * w_),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    tgt = out_col or vec_col
+    keep = [c for c in df.columns if c != tgt]
+    return df.select(*keep, F.array(*comps).alias(tgt))

@@ -272,6 +272,7 @@ _ROUND7_FRONT = [
     "ann_filtered_topk",
     "profile_join_cardinality_cms",
     "text_pmi_collocations",
+    "ann_jl_distortion",
     # (c) code paths changed in round 7
     "agg_quantile_sketch",
     "agg_quantile_sketch_grouped",

@@ -1050,3 +1050,97 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("score"),
         )
     )
+
+
+@query(
+    "ann_jl_distortion",
+    oracle=f"""
+WITH planes AS (
+  SELECT p, list_transform(generate_series(0, 63),
+           j -> CAST((CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000) AS DOUBLE) / 1000.0) AS w
+  FROM generate_series(0, 31) AS t(p)
+),
+proj AS (
+  SELECT e.vec_id, pl.p, {_SQL_DOT.format(a='e.embedding', b='pl.w')} AS d
+  FROM embeddings e, planes pl
+),
+parr AS (SELECT vec_id, list(d ORDER BY p) AS pv FROM proj GROUP BY vec_id),
+pairs AS (
+  SELECT e.vec_id AS a_id,
+         {_SQL_COSINE.format(a='e.embedding', b='f.embedding')} AS cos_o,
+         ea.pv AS pa, fa.pv AS pb
+  FROM embeddings e
+  JOIN embeddings f ON e.vec_id + 1 = f.vec_id
+  JOIN parr ea ON ea.vec_id = e.vec_id
+  JOIN parr fa ON fa.vec_id = f.vec_id
+),
+errs AS (
+  SELECT m.m AS out_dim,
+         CAST(ROUND(abs({_SQL_COSINE.format(a='pa[1:m.m]', b='pb[1:m.m]')} - cos_o), 9)
+              AS DECIMAL(18,9)) AS err
+  FROM pairs, (VALUES (8), (16), (32)) m(m)
+)
+SELECT CAST(out_dim AS BIGINT) AS out_dim,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(err) AS DOUBLE) / COUNT(*), 6) AS mean_abs_err,
+       ROUND(CAST(MAX(err) AS DOUBLE), 6) AS max_abs_err
+FROM errs GROUP BY 1
+""",
+)
+def ann_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JL dimensionality-reduction tradeoff curve, measured on the
+    corpus itself: cosine distortion |cos(proj(u), proj(v)) - cos(u, v)|
+    of the deterministic random projection (operators/similarity.
+    random_project) at out_dim 8 / 16 / 32, over the linear-size panel
+    of consecutive-id vector pairs -- mean and max absolute error per
+    target dimension, the table an engineer reads to pick the smallest
+    out_dim whose distortion their recall budget tolerates (the same
+    decision OPQ/PCA dim-reduction asks before SQ8/PQ quantization,
+    which this composes with).
+
+    Exactness: the projection matrix is the md5-derived plane grid
+    (literal constants in Spark, the identical formula in SQL), every
+    dot/cosine is a sequential left fold in both engines, and per-pair
+    errors are 9dp-DECIMAL-quantized before the sum -- so mean/max are
+    bit-identical, no tolerance band. The 32-dim projection is computed
+    ONCE and sliced for 8/16 (plane p is plane p at every out_dim: a
+    prefix property of the grid). Plan: one codegen'd projection over
+    the corpus, one linear self-equi-join on vec_id+1 (never all
+    pairs), one broadcast of the 3-row dim table, one hash aggregate."""
+    from ..functions.vectors import cosine_similarity
+    from ..operators.similarity import random_project
+
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = random_project(base, out_dim=32, out_col="pv")
+    e, f_ = proj.alias("e"), proj.alias("f")
+    pairs = e.join(
+        f_, F.col("e.vec_id") + F.lit(1) == F.col("f.vec_id")
+    ).select(
+        cosine_similarity("e.embedding", "f.embedding").alias("cos_o"),
+        F.col("e.pv").alias("pa"),
+        F.col("f.pv").alias("pb"),
+    )
+    dims = spark.range(1).select(
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("m")
+    )
+    errs = pairs.crossJoin(F.broadcast(dims)).select(
+        F.col("m"),
+        F.round(
+            F.abs(
+                cosine_similarity(
+                    F.slice("pa", 1, F.col("m")), F.slice("pb", 1, F.col("m"))
+                )
+                - F.col("cos_o")
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("err"),
+    )
+    return errs.groupBy(F.col("m").cast("bigint").alias("out_dim")).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.sum("err").cast("double") / F.count("*"), 6).alias(
+            "mean_abs_err"
+        ),
+        F.round(F.max("err").cast("double"), 6).alias("max_abs_err"),
+    )

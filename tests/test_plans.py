@@ -131,6 +131,17 @@ _ALLOWED_NLJ = {
     # multi-column quantile walk: same 3-row q_permille broadcast NLJ
     # against the bounded per-column cell tables
     "profile_quantile_columns",
+    # broadcast crossJoin of the 3-row out_dim dim table against the
+    # linear consecutive-pair panel
+    "ann_jl_distortion",
+    # broadcast crossJoin of the 1-row corpus-doc-count aggregate (the
+    # corpus-relative df cap), same class as the BM25/TF-IDF scalars
+    "text_sparse_cosine_topk",
+    # CMS 4-row depth-dim crossJoins (two sketch builds) + crossJoins of
+    # 1-row exact-count x 1-row estimate aggregates per emitted row
+    "profile_join_cardinality_cms",
+    # broadcast crossJoin of the 1-row bigram-total aggregate
+    "text_pmi_collocations",
     }
 
 # Build-side row bound for every allowlisted NLJ: the biggest legitimate
