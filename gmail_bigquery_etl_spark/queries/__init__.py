@@ -273,6 +273,8 @@ _ROUND7_FRONT = [
     "profile_join_cardinality_cms",
     "text_pmi_collocations",
     "ann_jl_distortion",
+    "curation_dsir_weights",
+    "er_fellegi_sunter",
     # (c) code paths changed in round 7
     "agg_quantile_sketch",
     "agg_quantile_sketch_grouped",

@@ -811,3 +811,119 @@ def curation_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contamination"
         ),
     )
+
+
+@query(
+    "curation_dsir_weights",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+wf AS (
+  SELECT w, COUNT(*) AS c_all,
+         COUNT(CASE WHEN lang = 'en' THEN 1 END) AS c_tgt
+  FROM toks GROUP BY w
+),
+wb AS (
+  SELECT w, c_all, c_tgt,
+         CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % 4096 AS b
+  FROM wf
+),
+cells AS (SELECT b, SUM(c_all) AS c_q, SUM(c_tgt) AS c_t FROM wb GROUP BY b),
+tot AS (SELECT SUM(c_all) AS n_q, SUM(c_tgt) AS n_t FROM wb),
+lr AS (
+  SELECT b, CAST(ROUND(ln(CAST((c_t + 1) * (n_q + 4096) AS DOUBLE)
+                          / CAST((c_q + 1) * (n_t + 4096) AS DOUBLE)), 9)
+                 AS DECIMAL(18,9)) AS lr
+  FROM cells CROSS JOIN tot
+),
+word_lr AS (SELECT wb.w AS w, lr.lr AS lr FROM wb JOIN lr USING (b)),
+scored AS (
+  SELECT t.doc_id, t.lang, COUNT(*) AS n_toks, SUM(word_lr.lr) AS s
+  FROM toks t JOIN word_lr ON t.w = word_lr.w
+  WHERE t.lang <> 'en'
+  GROUP BY t.doc_id, t.lang
+),
+ranked AS (
+  SELECT doc_id, lang, n_toks, s,
+         ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(rank AS BIGINT) AS rank,
+       ROUND(CAST(s AS DOUBLE), 6) AS logw
+FROM ranked WHERE rank <= 20
+""",
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (the DSIR recipe, Xie et
+    al. 2023): rank a candidate pool by how target-like each document is
+    under two hashed bag-of-words LMs. Features are md5-hashed unigram
+    buckets (4096, the engine's portable-hash convention); the weight is
+    log p_target(doc) - log p_raw(doc) = sum over tokens of the bucket's
+    add-1-smoothed log count ratio. Target = the lang='en' slice, pool =
+    everything else; the top-20 pool documents by weight are the ones
+    importance resampling would draw first.
+
+    Exactness: each bucket's log-ratio is ONE libm ln over an exact
+    integer ratio (the PMI convention), 9dp-DECIMAL-quantized; per-doc
+    weights are decimal sums, so ranking and the emitted 6dp logw are
+    bit-identical cross-engine. Plan: one token explode feeding BOTH
+    distributions via conditional aggregation (one pass, no second
+    scan), md5 hashed once per DISTINCT word, the 4096-row bucket table
+    and the vocab-sized word->lr map broadcast, one per-doc aggregate,
+    one top-20 window. At 100 TB both broadcast tables stay
+    vocab/bucket-sized -- the corpus is touched by exactly two
+    linear passes (count + score)."""
+    B = 4096
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", F.explode(whitespace_tokens("text")).alias("w")
+    )
+    wf = toks.groupBy("w").agg(
+        F.count("*").alias("c_all"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("c_tgt"),
+    )
+    wb = wf.withColumn(
+        "b",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint") % B,
+    )
+    cells = wb.groupBy("b").agg(
+        F.sum("c_all").alias("c_q"), F.sum("c_tgt").alias("c_t")
+    )
+    tot = wb.agg(F.sum("c_all").alias("n_q"), F.sum("c_tgt").alias("n_t"))
+    lr = cells.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("c_t") + 1) * (F.col("n_q") + B)).cast("double")
+                / ((F.col("c_q") + 1) * (F.col("n_t") + B)).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("lr"),
+    )
+    word_lr = wb.select("w", "b").join(F.broadcast(lr), "b").select("w", "lr")
+    scored = (
+        toks.filter(F.col("lang") != "en")
+        .join(F.broadcast(word_lr), "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_toks"), F.sum("lr").alias("s"))
+    )
+    from pyspark.sql import Window as W
+
+    rank = F.row_number().over(W.orderBy(F.desc("s"), F.asc("doc_id")))
+    return (
+        scored.withColumn("rank", rank.cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_toks").cast("bigint").alias("n_toks"),
+            "rank",
+            F.round(F.col("s").cast("double"), 6).alias("logw"),
+        )
+    )

@@ -142,6 +142,10 @@ _ALLOWED_NLJ = {
     "profile_join_cardinality_cms",
     # broadcast crossJoin of the 1-row bigram-total aggregate
     "text_pmi_collocations",
+    # broadcast crossJoin of the 1-row token-totals aggregate (n_q, n_t)
+    "curation_dsir_weights",
+    # broadcast crossJoin of the 1-row m/u-parameter aggregate
+    "er_fellegi_sunter",
     }
 
 # Build-side row bound for every allowlisted NLJ: the biggest legitimate
