@@ -275,6 +275,9 @@ _ROUND7_FRONT = [
     "ann_jl_distortion",
     "curation_dsir_weights",
     "er_fellegi_sunter",
+    "text_textrank_keywords",
+    "privacy_dp_noisy_counts",
+    "agg_kmv_set_ops",
     # (c) code paths changed in round 7
     "agg_quantile_sketch",
     "agg_quantile_sketch_grouped",

@@ -130,3 +130,176 @@ def stream_kmv_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             256,
         )
     return kmv_estimate(read_kmv(spark, root), 256)
+
+
+@query(
+    "agg_kmv_set_ops",
+    oracle=f"""
+WITH da AS (SELECT DISTINCT user_id AS v FROM events
+            WHERE user_id IS NOT NULL AND event_type = 'click'),
+db AS (SELECT DISTINCT user_id AS v FROM events
+            WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+ska AS (SELECT {_H.format(col='v')} AS h, v FROM da ORDER BY h LIMIT 256),
+skb AS (SELECT {_H.format(col='v')} AS h, v FROM db ORDER BY h LIMIT 256),
+kk AS (
+  SELECT h, v FROM (SELECT h, v FROM ska UNION SELECT h, v FROM skb)
+  ORDER BY h LIMIT 256
+),
+flags AS (
+  SELECT kk.h, kk.v,
+         CASE WHEN ska.v IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN skb.v IS NOT NULL THEN 1 ELSE 0 END AS in_b
+  FROM kk
+  LEFT JOIN ska ON ska.h = kk.h AND ska.v = kk.v
+  LEFT JOIN skb ON skb.h = kk.h AND skb.v = kk.v
+),
+sk AS (
+  SELECT COUNT(*) AS n_kept, MAX(h) AS h_k,
+         SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_both,
+         SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS n_a_only
+  FROM flags
+),
+est AS (
+  SELECT n_kept, n_both, n_a_only,
+         CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+              ELSE 255.0 * 1152921504606846976.0 / h_k END AS u_est
+  FROM sk
+),
+pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_c,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_p
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IN ('click', 'purchase')
+  GROUP BY user_id
+),
+ex AS (
+  SELECT COUNT(*) AS ex_union,
+         SUM(CASE WHEN in_c = 1 AND in_p = 1 THEN 1 ELSE 0 END) AS ex_inter,
+         SUM(CASE WHEN in_c = 1 AND in_p = 0 THEN 1 ELSE 0 END) AS ex_diff
+  FROM pu
+),
+rows_ AS (
+  SELECT 'union' AS op,
+         CAST(FLOOR(u_est) AS BIGINT) AS est,
+         CAST(ex_union AS BIGINT) AS exact
+  FROM est, ex
+  UNION ALL
+  SELECT 'intersect',
+         CAST(CASE WHEN n_kept = 0 THEN 0
+                   ELSE FLOOR(n_both * u_est / n_kept) END AS BIGINT),
+         CAST(ex_inter AS BIGINT)
+  FROM est, ex
+  UNION ALL
+  SELECT 'diff_a_b',
+         CAST(CASE WHEN n_kept = 0 THEN 0
+                   ELSE FLOOR(n_a_only * u_est / n_kept) END AS BIGINT),
+         CAST(ex_diff AS BIGINT)
+  FROM est, ex
+)
+SELECT op, est, exact,
+       CASE WHEN exact = 0 THEN NULL
+            ELSE ROUND(CAST(est - exact AS DOUBLE) / exact, 6) END AS rel_err
+FROM rows_
+""",
+)
+def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV multiset operations (the second half of Beyer et al.
+    SIGMOD'07): union, intersection, and difference cardinalities of two
+    user populations (click-ers vs purchase-ers), each estimated from
+    two 256-row sketches ALONE -- the combined sketch K = bottom-k of
+    the sketch union estimates the union; the fraction of K's samples
+    present in both (resp. only A) scales that estimate down to the
+    intersection (resp. difference). HLL can only union (intersection
+    needs inclusion-exclusion, error compounds); KMV's sample face makes
+    all three first-class -- the sketch algebra a planner keeps per
+    partition and combines without rescanning either side. Exact counts
+    computed beside (one conditional-flag aggregate) so the emitted
+    rel_err shows the k=256 error live.
+
+    Gate is bit-exact: bottom-k is deterministic md5 order, estimators
+    are IEEE double arithmetic on identical integers, floored. Plan: two
+    TakeOrdered sketches (no global sort), O(k) membership joins, one
+    exact per-user flag aggregate, three 1-row crossJoin emits."""
+    ev = load_table(spark, sf_dir, "events")
+    a = kmv_build(ev.where(F.col("event_type") == "click"), "user_id", 256)
+    b = kmv_build(ev.where(F.col("event_type") == "purchase"), "user_id", 256)
+    kk = (
+        a.unionByName(b)
+        .dropDuplicates(["h", "value"])
+        .orderBy("h")
+        .limit(256)
+        .localCheckpoint()
+    )
+    flags = (
+        kk.join(a.select("h", "value", F.lit(1).alias("in_a")), ["h", "value"], "left")
+        .join(b.select("h", "value", F.lit(1).alias("in_b")), ["h", "value"], "left")
+        .select(
+            "h",
+            F.coalesce(F.col("in_a"), F.lit(0)).alias("in_a"),
+            F.coalesce(F.col("in_b"), F.lit(0)).alias("in_b"),
+        )
+    )
+    sk = flags.agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("h_k"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)).alias("n_both"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 0), 1).otherwise(0)).alias("n_a_only"),
+    )
+    est = sk.select(
+        "n_kept",
+        "n_both",
+        "n_a_only",
+        F.when(F.col("n_kept") < 256, F.col("n_kept").cast("double"))
+        .otherwise(F.lit(255.0) * F.lit(1152921504606846976.0) / F.col("h_k"))
+        .alias("u_est"),
+    )
+    pu = (
+        ev.where(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("in_c"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("in_p"),
+        )
+    )
+    ex = pu.agg(
+        F.count("*").alias("ex_union"),
+        F.sum(F.when((F.col("in_c") == 1) & (F.col("in_p") == 1), 1).otherwise(0)).alias("ex_inter"),
+        F.sum(F.when((F.col("in_c") == 1) & (F.col("in_p") == 0), 1).otherwise(0)).alias("ex_diff"),
+    )
+    both = est.crossJoin(F.broadcast(ex))
+    u_row = both.select(
+        F.lit("union").alias("op"),
+        F.floor(F.col("u_est")).cast("bigint").alias("est"),
+        F.col("ex_union").cast("bigint").alias("exact"),
+    )
+    i_row = both.select(
+        F.lit("intersect").alias("op"),
+        F.when(F.col("n_kept") == 0, F.lit(0))
+        .otherwise(F.floor(F.col("n_both") * F.col("u_est") / F.col("n_kept")))
+        .cast("bigint")
+        .alias("est"),
+        F.col("ex_inter").cast("bigint").alias("exact"),
+    )
+    d_row = both.select(
+        F.lit("diff_a_b").alias("op"),
+        F.when(F.col("n_kept") == 0, F.lit(0))
+        .otherwise(F.floor(F.col("n_a_only") * F.col("u_est") / F.col("n_kept")))
+        .cast("bigint")
+        .alias("est"),
+        F.col("ex_diff").cast("bigint").alias("exact"),
+    )
+    out = u_row.unionByName(i_row).unionByName(d_row)
+    return out.select(
+        "op",
+        "est",
+        "exact",
+        F.when(F.col("exact") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round((F.col("est") - F.col("exact")).cast("double") / F.col("exact"), 6)
+        )
+        .alias("rel_err"),
+    )

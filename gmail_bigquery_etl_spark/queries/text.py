@@ -1370,3 +1370,100 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("pmi", 6).alias("pmi"),
         )
     )
+
+
+def _textrank_oracle(iters: int = 5, damping_pct: int = 85, unit: int = 10**12) -> str:
+    """Unrolled-CTE twin of pagerank_units over the word-adjacency graph
+    (the _pagerank_oracle scheme with a TextRank edge builder: distinct
+    adjacent-word pairs with count >= 2, symmetrized)."""
+    head = rf"""WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents
+  WHERE trim(lower(text)) <> ''
+),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS p
+  FROM toks WHERE len(ws) >= 2
+),
+raw AS (
+  SELECT p.a AS a, p.b AS b, COUNT(*) AS c FROM bg WHERE p.a <> p.b GROUP BY 1, 2
+),
+pairs AS (SELECT a, b FROM raw WHERE c >= 2),
+edges AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM pairs
+  UNION
+  SELECT b AS u, a AS v FROM pairs
+),
+deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+nn AS MATERIALIZED (SELECT CAST({unit} AS BIGINT) // COUNT(*) AS init FROM deg),
+pr0 AS MATERIALIZED (SELECT u, nn.init AS pr FROM deg, nn)"""
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f""",
+pr{k} AS MATERIALIZED (
+  SELECT i.u,
+         ({100 - damping_pct} * nn.init + {damping_pct} * i.inflow) // 100 AS pr
+  FROM (
+    SELECT e.v AS u, SUM(p.pr // d.deg) AS inflow
+    FROM edges e
+    JOIN pr{k - 1} p ON p.u = e.u
+    JOIN deg d ON d.u = e.u
+    GROUP BY e.v
+  ) i, nn
+)""")
+    tail = f"""
+SELECT u AS word, CAST(pr AS BIGINT) AS pr_units,
+       CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, u) AS BIGINT) AS rank
+FROM pr{iters}
+QUALIFY rank <= 20"""
+    return head + "".join(rounds) + tail
+
+
+@query("text_textrank_keywords", oracle=_textrank_oracle(5))
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    centrality over the word co-occurrence graph -- nodes are words,
+    edges connect adjacent words (window 2, the paper's default),
+    unweighted and symmetrized, with a count >= 2 noise floor bounding
+    the edge list to recurring collocations. The top-20 words by rank
+    are the corpus's keywords: the graph-centrality complement to the
+    frequency (heavy hitters), contrast (TF-IDF), and association (PMI)
+    views of the same token stream.
+
+    Reuses pagerank_units' exact integer fixed-point verbatim, so the
+    unrolled-CTE oracle matches bit-for-bit with no float tolerance.
+    Plan: the PMI bigram pass (zip_with over slices), one pair
+    aggregate, then 5 vocabulary-sized PR rounds -- the iterative work
+    is O(vocab-graph), never O(corpus), since the corpus collapses to
+    distinct recurring word pairs before the first round."""
+    from ..operators.components import pagerank_units
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = (
+        docs.where(F.trim(F.lower(F.col("text"))) != "")
+        .select(whitespace_tokens("text").alias("ws"))
+        .filter(F.size("ws") >= 2)
+    )
+    bg = ws.select(
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.size("ws") - 1),
+                F.slice("ws", 2, F.size("ws") - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    pairs = (
+        bg.where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 2)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    )
+    pr = pagerank_units(pairs)
+    rank = F.row_number().over(W.orderBy(F.desc("pr_units"), F.asc("node")))
+    return (
+        pr.withColumn("rank", rank.cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select(F.col("node").alias("word"), "pr_units", "rank")
+    )

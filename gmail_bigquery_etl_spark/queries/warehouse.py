@@ -2753,3 +2753,74 @@ def profile_join_cardinality_cms(
     return _row("events_self_join", self_exact, self_est).unionByName(
         _row("events_x_customer", cross_exact, cross_est)
     )
+
+
+@query(
+    "privacy_dp_noisy_counts",
+    oracle="""
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+),
+drawn AS (
+  SELECT event_type, n,
+         (CAST('0x' || substring(md5('dp:' || event_type), 1, 8) AS BIGINT)
+            % 1000000000 + 1) / CAST(1000000002 AS DOUBLE) AS u
+  FROM counts
+),
+noised AS (
+  SELECT event_type, n,
+         ROUND(-2.0 * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+                    * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise
+  FROM drawn
+)
+SELECT event_type,
+       CAST(GREATEST(n + CAST(floor(noise + 0.5) AS BIGINT), 0) AS BIGINT)
+         AS noisy_count,
+       noise AS laplace_noise,
+       0.5 AS epsilon
+FROM noised
+""",
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release (the Laplace mechanism,
+    Dwork et al. 2006): per-event-type counts with Laplace(sensitivity /
+    epsilon) noise -- sensitivity 1 for a counting query, epsilon 0.5,
+    scale b = 2 -- drawn by inverse CDF (noise = -b * sign(u - 1/2) *
+    ln(1 - 2|u - 1/2|)), clamped at zero post-noise (the standard
+    histogram post-processing, free under DP). Beside k-anonymity and
+    pseudonymization this completes the privacy family's third leg:
+    aggregate release rather than row generalization or key masking.
+
+    The uniform draw is md5-seeded from the group key so the gate is
+    bit-exact (exact integer-ratio u, one libm ln, 6dp round, floor
+    rounding -- every step engine-portable); a production release swaps
+    the seed source for a CSPRNG, changing nothing else in the plan.
+    The true count feeds only the noise addition, not the output. Plan:
+    one partial+final count aggregate, then a per-group projection --
+    O(groups) everything, scan-bound at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    u = (
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 8), 16, 10).cast("bigint")
+            % 1000000000
+            + 1
+        )
+        / F.lit(1000000002.0)
+    )
+    noise = F.round(
+        F.lit(-2.0)
+        * F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5)),
+        6,
+    )
+    return counts.select(
+        "event_type",
+        F.greatest(
+            F.col("n") + F.floor(noise + 0.5).cast("bigint"), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("noisy_count"),
+        noise.alias("laplace_noise"),
+        F.lit(0.5).alias("epsilon"),
+    )

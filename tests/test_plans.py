@@ -146,6 +146,8 @@ _ALLOWED_NLJ = {
     "curation_dsir_weights",
     # broadcast crossJoin of the 1-row m/u-parameter aggregate
     "er_fellegi_sunter",
+    # crossJoin of the 1-row sketch-estimate and 1-row exact aggregates
+    "agg_kmv_set_ops",
     }
 
 # Build-side row bound for every allowlisted NLJ: the biggest legitimate
