@@ -278,6 +278,7 @@ _ROUND7_FRONT = [
     "text_textrank_keywords",
     "privacy_dp_noisy_counts",
     "agg_kmv_set_ops",
+    "dedup_incremental_index_stats",
     # (c) code paths changed in round 7
     "agg_quantile_sketch",
     "agg_quantile_sketch_grouped",

@@ -1467,3 +1467,65 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select(F.col("node").alias("word"), "pr_units", "rank")
     )
+
+
+@query(
+    "dedup_incremental_index_stats",
+    oracle=f"""
+WITH {_SQL_LSH_CTES}
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT band_key) AS BIGINT) AS n_buckets,
+       CAST(MAX(bucket_sz) AS BIGINT) AS max_bucket
+FROM (
+  SELECT band, band_key, COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_sz
+  FROM bands
+)
+GROUP BY band
+""",
+)
+def dedup_incremental_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTALLY-MAINTAINED MinHash-LSH dedup index, gated
+    against the one-shot banding spec: the corpus arrives as two
+    micro-batches through the real snapshot-pointer sink
+    (streaming/dedup_index.apply_dedup_batch -- the exact code path
+    streaming maintenance runs), and the final bucket table's per-band
+    occupancy profile (rows, distinct buckets, largest bucket) must
+    equal the batch LSH pipeline's own banding relationally rebuilt.
+    Proves the production ingest-dedup path -- new documents bucket
+    against the index without rescanning accepted documents -- computes
+    the same index a from-scratch banding would. The candidate-join
+    face (find_near_dup_candidates == batch LSH candidate set) and the
+    replay/overlap/restart contracts are pytest-pinned
+    (tests/test_streaming.py)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.dedup_index import apply_dedup_batch, read_dedup_index
+
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sinks_{os.getpid()}",
+        f"lsh_index_{tag}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    apply_dedup_batch(spark, corpus.where(F.col("doc_id") % 2 == 0), 0, root)
+    apply_dedup_batch(spark, corpus.where(F.col("doc_id") % 2 == 1), 1, root)
+    idx = read_dedup_index(spark, root)
+    from pyspark.sql import Window as W
+
+    sz = F.count("*").over(W.partitionBy("band", "band_key"))
+    return (
+        idx.withColumn("bucket_sz", sz)
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("band_key").cast("bigint").alias("n_buckets"),
+            F.max("bucket_sz").cast("bigint").alias("max_bucket"),
+        )
+    )

@@ -1449,3 +1449,106 @@ def test_minmax_view_exposes_runner_up_after_retraction(spark, tmp_path):
         3, sink, ["g", "v"], [],
     )
     assert mm() == (50, 50, 1)
+
+
+def test_streaming_lsh_index_matches_batch_banding(spark, tmp_path):
+    """Incremental MinHash-LSH dedup index: after draining a replayed
+    documents stream, the maintained (doc_id, band, band_key) table
+    equals the one-shot banding of the whole fixture bit-for-bit; a
+    restart on the same checkpoint extends without reprocessing; a
+    stale batch id no-ops; and the candidate join over the finished
+    index reproduces the batch LSH candidate generator's pair set."""
+    from gmail_bigquery_etl_spark.operators.dedup import (
+        banded_signatures,
+        grams_stage,
+        lsh_candidate_pairs_from_grams,
+    )
+    from gmail_bigquery_etl_spark.streaming.dedup_index import (
+        apply_dedup_batch,
+        find_near_dup_candidates,
+        read_dedup_index,
+        start_dedup_index_maintenance,
+    )
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    sink = str(tmp_path / "lsh_sink")
+    ckpt = str(tmp_path / "lsh_ckpt")
+    live = str(tmp_path / "lsh_live")
+
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    rest = docs.where(F.col("doc_id") % 2 == 1)
+    half.coalesce(3).write.mode("overwrite").parquet(live)
+
+    def run():
+        schema = spark.read.parquet(live).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+        q = start_dedup_index_maintenance(stream, sink, ckpt)
+        q.awaitTermination(300)
+        assert not q.isActive
+
+    run()
+    assert read_dedup_index(spark, sink).select(
+        "doc_id"
+    ).distinct().count() == half.count()
+
+    rest.coalesce(3).write.mode("append").parquet(live)
+    run()  # restart on the same checkpoint: only the new files process
+
+    got = {
+        (r.doc_id, r.band, r.band_key)
+        for r in read_dedup_index(spark, sink).collect()
+    }
+    want = {
+        (r._id, r.band, r.band_key)
+        for r in banded_signatures(grams_stage(docs)).collect()
+    }
+    assert got == want
+
+    last = read_dedup_index(spark, sink).collect()
+    apply_dedup_batch(spark, docs.limit(3), 0, sink)  # stale id: no-op
+    assert sorted(map(tuple, read_dedup_index(spark, sink).collect())) == sorted(
+        map(tuple, last)
+    )
+
+    # candidate face: probing the index with the corpus itself yields
+    # exactly the batch candidate generator's (unordered) pair set
+    cands = find_near_dup_candidates(spark, sink, docs)
+    got_pairs = {
+        tuple(sorted((r.probe_id, r.index_id)))
+        for r in cands.collect()
+    }
+    want_pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs_from_grams(
+            grams_stage(docs), max_bucket=10**9
+        ).collect()
+    }
+    assert got_pairs == want_pairs
+
+
+def test_lsh_index_dedups_doc_ids_across_batches(spark, tmp_path):
+    """A doc_id re-sent under a LATER batch id must not duplicate its
+    band rows (the pointer guard only covers whole-batch redelivery)."""
+    from gmail_bigquery_etl_spark.streaming.dedup_index import (
+        apply_dedup_batch,
+        read_dedup_index,
+    )
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    sink = str(tmp_path / "lsh_overlap_sink")
+    first = docs.where(F.col("doc_id") < 20)
+    overlap = docs.where(F.col("doc_id") < 30)  # re-sends ids 0..19
+    apply_dedup_batch(spark, first, 0, sink)
+    apply_dedup_batch(spark, overlap, 1, sink)
+
+    rows = read_dedup_index(spark, sink).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, set()).add((r.band, r.band_key))
+    n_docs = docs.where(F.col("doc_id") < 30).count()
+    assert len(per_doc) == n_docs
+    assert all(len(v) == 4 for v in per_doc.values())  # 4 bands, no dups
