@@ -279,6 +279,7 @@ _ROUND7_FRONT = [
     "privacy_dp_noisy_counts",
     "agg_kmv_set_ops",
     "dedup_incremental_index_stats",
+    "events_bootstrap_ci",
     # (c) code paths changed in round 7
     "agg_quantile_sketch",
     "agg_quantile_sketch_grouped",

@@ -15,11 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..operators.kmv import (
     kmv_build,
     kmv_build_grouped,
     kmv_estimate,
+    kmv_hash,
 )
 from .registry import query
 
@@ -302,4 +303,198 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("est") - F.col("exact")).cast("double") / F.col("exact"), 6)
         )
         .alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for Massive
+# Data Streams", Google 2012): B resamples in ONE pass -- each row enters
+# resample b with weight ~ Poisson(1), drawn deterministically from an
+# affine rehash of the row's md5 (one md5 per row, B cheap integer ops;
+# the minhash_coeffs trick). No data shuffle per resample, no RNG state:
+# the draw replays identically on any engine/partitioning.
+
+_PB_B = 64
+_PB_P = 2147483647  # 2^31 - 1: keeps h * a inside int64
+
+
+def _pb_coeffs() -> list[tuple[int, int, int]]:
+    """Deterministic per-resample affine coefficients, md5-derived the
+    same way minhash_coeffs builds its hash family."""
+    import hashlib as _hl
+
+    out = []
+    for b in range(_PB_B):
+        a = int(_hl.md5(f"pba:{b}".encode()).hexdigest()[:15], 16) % (_PB_P - 1) + 1
+        c = int(_hl.md5(f"pbc:{b}".encode()).hexdigest()[:15], 16) % _PB_P
+        out.append((b, a, c))
+    return out
+
+
+def _pb_cum() -> list[float]:
+    """Cumulative Poisson(1) CDF values P(X <= k), k = 0..7, rounded to
+    10dp -- identical literals embedded in the Spark CASE chain and the
+    SQL oracle."""
+    import math as _m
+
+    e = _m.exp(-1.0)
+    cum, s, fact = [], 0.0, 1.0
+    for k in range(8):
+        if k > 0:
+            fact *= k
+        s += e / fact
+        cum.append(round(s, 10))
+    return cum
+
+
+_PB_CUM = _pb_cum()
+
+
+def _pb_weight_sql(u: str) -> str:
+    branches = "\n".join(
+        f"       WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_PB_CUM)
+    )
+    return f"CASE\n{branches}\n       ELSE 8 END"
+
+
+@query(
+    "events_bootstrap_ci",
+    oracle=f"""
+WITH coeffs AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"({b}, {a}, {c})" for b, a, c in _pb_coeffs())}
+  ) AS t(b, a, c)
+),
+rows_ AS (
+  SELECT event_type,
+         CAST(ROUND(value, 4) AS DECIMAL(18,4)) AS v,
+         {_H.format(col='event_id')} % {_PB_P} AS h
+  FROM events
+  WHERE value IS NOT NULL AND event_id IS NOT NULL
+),
+drawn AS (
+  SELECT r.event_type, r.v, co.b,
+         ((r.h * co.a + co.c) % {_PB_P} + 1)
+           / CAST({_PB_P + 2} AS DOUBLE) AS u
+  FROM rows_ r CROSS JOIN coeffs co
+),
+weighted AS (
+  SELECT event_type, b, v,
+         {_pb_weight_sql('u')} AS w
+  FROM drawn
+),
+means AS (
+  SELECT event_type, b,
+         CAST(SUM(w * v) AS DOUBLE) / SUM(w) AS mean_b
+  FROM weighted GROUP BY event_type, b
+  HAVING SUM(w) > 0
+),
+ranked AS (
+  SELECT event_type, mean_b,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY mean_b, b) AS rnk
+  FROM means
+),
+ci AS (
+  SELECT event_type,
+         MAX(CASE WHEN rnk = 2 THEN mean_b END) AS lo,
+         MAX(CASE WHEN rnk = {_PB_B - 1} THEN mean_b END) AS hi
+  FROM ranked GROUP BY event_type
+),
+pt AS (
+  SELECT event_type,
+         CAST(SUM(v) AS DOUBLE) / COUNT(*) AS point_mean,
+         COUNT(*) AS n_rows
+  FROM rows_ GROUP BY event_type
+)
+SELECT pt.event_type,
+       CAST(pt.n_rows AS BIGINT) AS n_rows,
+       ROUND(pt.point_mean, 6) AS point_mean,
+       ROUND(ci.lo, 6) AS ci_lo,
+       ROUND(ci.hi, 6) AS ci_hi
+FROM pt JOIN ci USING (event_type)
+""",
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence intervals for the per-type mean
+    event value (Chamandy et al. 2012, the one-pass bootstrap every
+    massive-data A/B system runs): each row joins 64 resamples with an
+    independent Poisson(1) weight, the 64 weighted means' 2nd and 63rd
+    order statistics are the percentile CI. The entire resampling is ONE
+    scan and one (type, b) hash aggregate -- no per-resample shuffle, no
+    data duplication at rest, no RNG state: weights come from inverse-CDF
+    thresholds on an affine rehash of the row's md5 (one md5 per row, 64
+    integer ops -- the minhash-coefficient discipline), so any engine,
+    partitioning, or retry draws the same resamples.
+
+    Exactness: draws are exact integer ratios vs 10dp literal CDF
+    thresholds (identical constants both sides); values are
+    DECIMAL(18,4)-quantized before the weighted sums (registry rule), so
+    each mean_b is one IEEE division of identical numbers and the rank
+    selection is bit-stable. Plan: scan -> broadcast 64-row coeff dim ->
+    partial+final aggregate over (types x 64) groups -> one O(types x 64)
+    window. At 100 TB the inflation never materializes: weights fold
+    into the partial aggregate map-side."""
+    # spread: the fixture is a single row group, so the 64x resample
+    # inflation would otherwise run in 1-3 scan partitions
+    ev = (
+        spread(load_table(spark, sf_dir, "events"))
+        .where(F.col("value").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            "event_type",
+            F.round("value", 4).cast("decimal(18,4)").alias("v"),
+            (kmv_hash("event_id") % _PB_P).alias("h"),
+        )
+    )
+    coeffs = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            _pb_coeffs(), "b int, a bigint, c bigint"
+        )
+    )
+    u = ((F.col("h") * F.col("a") + F.col("c")) % _PB_P + 1) / F.lit(
+        float(_PB_P + 2)
+    )
+    w = F.lit(8)
+    for k in range(len(_PB_CUM) - 1, -1, -1):
+        w = F.when(u < F.lit(_PB_CUM[k]), F.lit(k)).otherwise(w)
+    means = (
+        ev.crossJoin(coeffs)
+        .select("event_type", "b", "v", w.alias("w"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("v")).alias("sv"),
+            F.sum("w").alias("n_w"),
+        )
+        .where(F.col("n_w") > 0)
+        .select(
+            "event_type",
+            "b",
+            (F.col("sv").cast("double") / F.col("n_w")).alias("mean_b"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(
+        W.partitionBy("event_type").orderBy("mean_b", "b")
+    )
+    ci = (
+        means.withColumn("rnk", rnk)
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rnk") == 2, F.col("mean_b"))).alias("lo"),
+            F.max(
+                F.when(F.col("rnk") == _PB_B - 1, F.col("mean_b"))
+            ).alias("hi"),
+        )
+    )
+    pt = ev.groupBy("event_type").agg(
+        (F.sum("v").cast("double") / F.count("*")).alias("point_mean"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    return pt.join(ci, "event_type").select(
+        "event_type",
+        "n_rows",
+        F.round("point_mean", 6).alias("point_mean"),
+        F.round("lo", 6).alias("ci_lo"),
+        F.round("hi", 6).alias("ci_hi"),
     )

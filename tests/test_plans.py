@@ -148,6 +148,8 @@ _ALLOWED_NLJ = {
     "er_fellegi_sunter",
     # crossJoin of the 1-row sketch-estimate and 1-row exact aggregates
     "agg_kmv_set_ops",
+    # broadcast crossJoin of the 64-row bootstrap-coefficient dim
+    "events_bootstrap_ci",
     }
 
 # Build-side row bound for every allowlisted NLJ: the biggest legitimate
