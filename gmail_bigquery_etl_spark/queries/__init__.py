@@ -280,6 +280,7 @@ _ROUND7_FRONT = [
     "agg_kmv_set_ops",
     "dedup_incremental_index_stats",
     "events_bootstrap_ci",
+    "embedding_dbscan_clusters",
     # (c) code paths changed in round 7
     "agg_quantile_sketch",
     "agg_quantile_sketch_grouped",

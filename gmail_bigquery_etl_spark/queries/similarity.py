@@ -1144,3 +1144,169 @@ def ann_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("err").cast("double"), 6).alias("max_abs_err"),
     )
+
+
+@query(
+    "embedding_dbscan_clusters",
+    oracle=f"""
+WITH RECURSIVE planes AS (
+  SELECT p, list_transform(generate_series(0, 63),
+           j -> CAST((CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000) AS DOUBLE) / 1000.0) AS w
+  FROM generate_series(0, 3) AS t(p)
+),
+bits AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN {_SQL_DOT.format(a='e.embedding', b='pl.w')} >= 0 THEN '1' ELSE '0' END AS bit
+  FROM embeddings e, planes pl
+),
+buckets AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM bits GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+nbr AS (
+  SELECT c.u, c.v FROM cand c
+  JOIN embeddings x ON x.vec_id = c.u
+  JOIN embeddings y ON y.vec_id = c.v
+  WHERE {_SQL_COSINE.format(a='x.embedding', b='y.embedding')} >= 0.25
+),
+sym AS (SELECT u, v FROM nbr UNION ALL SELECT v, u FROM nbr),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+core AS (SELECT u FROM deg WHERE d >= 3),
+core_edges AS (
+  SELECT s.u, s.v FROM sym s
+  JOIN core a ON a.u = s.u JOIN core b ON b.u = s.v
+  UNION
+  SELECT u, u FROM core
+),
+reach(u, v) AS (
+  SELECT u, v FROM core_edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN core_edges e ON r.v = e.u
+),
+comp AS (SELECT u, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+border AS (
+  SELECT s.u, MIN(cp.component) AS component
+  FROM sym s
+  JOIN core c ON c.u = s.v
+  JOIN comp cp ON cp.u = s.v
+  WHERE s.u NOT IN (SELECT u FROM core)
+  GROUP BY s.u
+)
+SELECT e.vec_id,
+       CASE WHEN cp.u IS NOT NULL THEN 'core'
+            WHEN b.u IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(cp.component, b.component) AS BIGINT) AS cluster
+FROM embeddings e
+LEFT JOIN comp cp ON cp.u = e.vec_id
+LEFT JOIN border b ON b.u = e.vec_id
+""",
+)
+def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-DBSCAN density clustering (Ester et al. 1996, with the
+    candidate generation every at-scale implementation substitutes for
+    the quadratic eps-neighborhood query): neighbor candidates come from
+    4-bit hyperplane-LSH buckets (the engine's portable md5 plane grid),
+    are verified with exact sequential-fold cosine >= 0.25, and the
+    classic roles fall out -- CORE (>= 3 verified neighbors), BORDER
+    (non-core with a core neighbor, assigned its minimum core cluster),
+    NOISE. Core clusters are connected components over core-core edges
+    (operators/components.py min-label propagation; isolated cores
+    self-loop into singleton clusters). Density is defined OVER THE
+    CANDIDATE GRAPH -- the documented LSH-DBSCAN semantics; more planes
+    + multi-probe move it toward exact DBSCAN at higher corpus sizes,
+    the same recall lever every ANN-backed DBSCAN exposes.
+
+    The fourth clustering face beside k-means (partitional), near-dup
+    components (transitive), and SemDeDup-style grouping: density-based,
+    with an explicit noise class -- what an embedding-curation pass uses
+    to drop outliers and keep dense modes. Plan: one bucket projection,
+    one within-bucket self-join (16 buckets at these params -- the
+    bucket width is the density-vs-cost lever), one exact verify, one
+    degree aggregate, O(cores) component rounds, two label left-joins.
+    Oracle: the identical pipeline with a recursive-CTE closure."""
+    from ..catalog import spread
+    from ..functions.vectors import dot, l2_norm
+    from ..operators.components import connected_components
+    from ..operators.similarity import hyperplane_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # pin the bucketed projection: the self-join references it twice (an
+    # unpinned plan would run the hyperplane dots per side); spread first
+    # so the checkpointed rows -- and every downstream pair-verify task --
+    # keep scan-independent parallelism (the fixture is one row group);
+    # carry each vector's norm so the per-PAIR work is one dot fold, not
+    # three (sqrt of the same double * same double is bit-identical to
+    # the oracle's inline cosine)
+    b = spread(emb).select(
+        "vec_id",
+        "embedding",
+        hyperplane_bucket("embedding", n_planes=4, dim=64).alias("bucket"),
+        l2_norm("embedding").alias("nrm"),
+    ).localCheckpoint()
+    x, y = b.alias("x"), b.alias("y")
+    nbr = (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .where(
+            dot("x.embedding", "y.embedding")
+            / F.nullif(F.col("x.nrm") * F.col("y.nrm"), F.lit(0.0))
+            >= 0.25
+        )
+        .select(F.col("x.vec_id").alias("u"), F.col("y.vec_id").alias("v"))
+        .localCheckpoint()
+    )
+    sym = nbr.unionAll(nbr.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    core = (
+        sym.groupBy("u")
+        .agg(F.count("*").alias("d"))
+        .where(F.col("d") >= 3)
+        .select("u")
+        .localCheckpoint()
+    )
+    core_edges = (
+        sym.join(core.withColumnRenamed("u", "cu"), F.col("u") == F.col("cu"))
+        .join(core.withColumnRenamed("u", "cv"), F.col("v") == F.col("cv"))
+        .select("u", "v")
+        .unionAll(core.select("u", F.col("u").alias("v")))
+    )
+    comp = connected_components(core_edges, src="u", dst="v").select(
+        F.col("node").alias("u"), "component"
+    )
+    border = (
+        sym.join(core.withColumnRenamed("u", "cv"), F.col("v") == F.col("cv"))
+        .join(comp.withColumnRenamed("u", "pu"), F.col("v") == F.col("pu"))
+        .join(core.withColumnRenamed("u", "self_core"),
+              F.col("u") == F.col("self_core"), "left_anti")
+        .groupBy("u")
+        .agg(F.min("component").alias("component"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(
+            comp.select(F.col("u").alias("vec_id"), F.col("component").alias("c_core")),
+            "vec_id",
+            "left",
+        )
+        .join(
+            border.select(F.col("u").alias("vec_id"), F.col("component").alias("c_border")),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.when(F.col("c_core").isNotNull(), "core")
+            .when(F.col("c_border").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce(F.col("c_core"), F.col("c_border"))
+            .cast("bigint")
+            .alias("cluster"),
+        )
+    )
