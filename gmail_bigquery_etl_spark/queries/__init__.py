@@ -281,6 +281,7 @@ _ROUND7_FRONT = [
     "dedup_incremental_index_stats",
     "events_bootstrap_ci",
     "embedding_dbscan_clusters",
+    "retrieval_quality_eval",
     # (c) code paths changed in round 7
     "agg_quantile_sketch",
     "agg_quantile_sketch_grouped",

@@ -265,3 +265,202 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf", 6).alias("rrf"),
         )
     )
+
+
+@query(
+    "retrieval_quality_eval",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS cnt FROM tok
+  WHERE term <> '' GROUP BY doc_id, term
+),
+dlen AS (SELECT doc_id, SUM(cnt) AS n_tok FROM tf GROUP BY doc_id),
+df AS (SELECT term, COUNT(*) AS n_docs FROM tf GROUP BY term),
+stats AS (
+  SELECT COUNT(*) AS n_total,
+         CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dlen
+),
+qdocs AS (
+  SELECT doc_id AS query_id, doc_id AS truth_id,
+         lower(text) || ' near dup' AS qtext
+  FROM documents
+  WHERE doc_id % 25 = 0 AND text IS NOT NULL AND trim(text) <> ''
+),
+qtok AS (
+  SELECT query_id, truth_id,
+         unnest(regexp_split_to_array(trim(qtext), '\\s+')) AS term
+  FROM qdocs
+),
+qtf AS (
+  SELECT query_id, truth_id, term, COUNT(*) AS cnt FROM qtok
+  WHERE term <> '' GROUP BY query_id, truth_id, term
+),
+qterms AS (
+  SELECT query_id, truth_id, term FROM (
+    SELECT query_id, truth_id, term,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cnt DESC, term) AS rnk
+    FROM qtf
+  ) WHERE rnk <= 3
+),
+partials AS (
+  SELECT q.query_id, q.truth_id, tf.doc_id,
+         CAST(ROUND(
+           ln(1.0 + (stats.n_total - df.n_docs + 0.5) / (df.n_docs + 0.5))
+             * (tf.cnt * ({_K1} + 1.0))
+             / (tf.cnt + {_K1} * (1.0 - {_B} + {_B} * dlen.n_tok / stats.avgdl)),
+           8) AS DECIMAL(18, 8)) AS part
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN dlen ON dlen.doc_id = tf.doc_id
+  JOIN df ON df.term = q.term
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, truth_id, doc_id, SUM(part) AS score
+  FROM partials GROUP BY query_id, truth_id, doc_id
+),
+ranked AS (
+  SELECT query_id, truth_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+),
+hits AS (SELECT query_id, rnk FROM ranked WHERE doc_id = truth_id),
+per_q AS (
+  SELECT q.query_id,
+         CAST(COALESCE(
+           CASE WHEN h.rnk <= 10 THEN ROUND(1.0 / h.rnk, 6) END, 0)
+           AS DECIMAL(18,6)) AS rr,
+         CASE WHEN h.rnk <= 1 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN h.rnk <= 5 THEN 1 ELSE 0 END AS r5,
+         CASE WHEN h.rnk <= 10 THEN 1 ELSE 0 END AS r10
+  FROM qdocs q LEFT JOIN hits h ON h.query_id = q.query_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(CAST(SUM(rr) AS DOUBLE) / COUNT(*), 6) AS mrr_at10,
+       ROUND(CAST(SUM(COALESCE(r1, 0)) AS DOUBLE) / COUNT(*), 6) AS recall_at1,
+       ROUND(CAST(SUM(COALESCE(r5, 0)) AS DOUBLE) / COUNT(*), 6) AS recall_at5,
+       ROUND(CAST(SUM(COALESCE(r10, 0)) AS DOUBLE) / COUNT(*), 6) AS recall_at10
+FROM per_q
+""",
+)
+def retrieval_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval quality harness (the IR complement to er_quality_eval
+    and the ANN recall scoreboard): every 25th document spawns a
+    near-duplicate QUERY (its text + a ' near dup' tail -- the planted
+    ground truth the dedup fixtures use), the query's top-3 tf terms
+    retrieve over the SAME BM25 inverted index text_bm25_topk plans,
+    and the planted source's rank yields MRR@10 and recall@1/5/10 in
+    one row -- the numbers a search team actually tracks per index
+    build. Self-retrieval is genuinely nontrivial here: the fixture's
+    31-word vocabulary means every document shares the query's terms
+    and only the tf/length profile separates the true source.
+
+    Exactness: reciprocal ranks are exact integer reciprocals rounded
+    to 6dp and DECIMAL-summed; recalls are integer-ratio divisions.
+    Plan: the inverted-index build (two aggregates), a |queries x 3|
+    posting join, one ranking window, one left join of queries to
+    their hit ranks, one global aggregate -- query cost is bounded by
+    posting lengths, never corpus x corpus."""
+    from ..functions.text import whitespace_tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    tok = base.select(
+        "doc_id", F.explode(whitespace_tokens("text")).alias("term")
+    )
+    tf = (
+        tok.where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dlen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("n_docs"))
+    stats = dlen.agg(
+        F.count("*").alias("n_total"),
+        (F.sum("n_tok").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    qdocs = base.where(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("doc_id").alias("truth_id"),
+        F.concat(F.lower(F.col("text")), F.lit(" near dup")).alias("qtext"),
+    )
+    qtf = (
+        qdocs.select(
+            "query_id",
+            "truth_id",
+            F.explode(whitespace_tokens("qtext")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("query_id", "truth_id", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cnt"), F.asc("term"))
+    qterms = (
+        qtf.withColumn("rnk", F.row_number().over(wq))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "truth_id", "term")
+    )
+    k1, b = float(_K1), float(_B)
+    partials = (
+        qterms.join(tf, "term")
+        .join(dlen, "doc_id")
+        .join(F.broadcast(dfreq.withColumnRenamed("term", "t2")),
+              F.col("term") == F.col("t2"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "truth_id",
+            "doc_id",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("n_total") - F.col("n_docs") + 0.5)
+                    / (F.col("n_docs") + 0.5)
+                )
+                * (F.col("cnt") * (k1 + 1.0))
+                / (
+                    F.col("cnt")
+                    + k1 * (1.0 - b + b * F.col("n_tok") / F.col("avgdl"))
+                ),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("part"),
+        )
+    )
+    scored = partials.groupBy("query_id", "truth_id", "doc_id").agg(
+        F.sum("part").alias("score")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.withColumn("rnk", F.row_number().over(wr))
+    hits = ranked.where(F.col("doc_id") == F.col("truth_id")).select(
+        "query_id", "rnk"
+    )
+    per_q = qdocs.select("query_id").join(hits, "query_id", "left").select(
+        F.coalesce(
+            F.when(F.col("rnk") <= 10, F.round(1.0 / F.col("rnk"), 6)),
+            F.lit(0),
+        )
+        .cast("decimal(18,6)")
+        .alias("rr"),
+        F.when(F.col("rnk") <= 1, 1).otherwise(0).alias("r1"),
+        F.when(F.col("rnk") <= 5, 1).otherwise(0).alias("r5"),
+        F.when(F.col("rnk") <= 10, 1).otherwise(0).alias("r10"),
+    )
+    return per_q.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.round(F.sum("rr").cast("double") / F.count("*"), 6).alias("mrr_at10"),
+        F.round(F.sum("r1").cast("double") / F.count("*"), 6).alias("recall_at1"),
+        F.round(F.sum("r5").cast("double") / F.count("*"), 6).alias("recall_at5"),
+        F.round(F.sum("r10").cast("double") / F.count("*"), 6).alias("recall_at10"),
+    )

@@ -150,6 +150,9 @@ _ALLOWED_NLJ = {
     "agg_kmv_set_ops",
     # broadcast crossJoin of the 64-row bootstrap-coefficient dim
     "events_bootstrap_ci",
+    # broadcast crossJoin of the 1-row (N, avgdl) corpus-stats agg (the
+    # text_bm25_topk scalar, reused by the eval harness)
+    "retrieval_quality_eval",
     }
 
 # Build-side row bound for every allowlisted NLJ: the biggest legitimate
