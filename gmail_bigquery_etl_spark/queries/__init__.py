@@ -282,6 +282,7 @@ _ROUND7_FRONT = [
     "events_bootstrap_ci",
     "embedding_dbscan_clusters",
     "retrieval_quality_eval",
+    "dedup_exact_substr_spans",
     # (c) code paths changed in round 7
     "agg_quantile_sketch",
     "agg_quantile_sketch_grouped",

@@ -927,3 +927,135 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s").cast("double"), 6).alias("logw"),
         )
     )
+
+
+@query(
+    "dedup_exact_substr_spans",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' near dup' FROM documents WHERE doc_id % 25 = 0
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM corpus WHERE trim(lower(text)) <> ''
+),
+sized AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) >= 20),
+wins AS (
+  SELECT doc_id, n, i AS pos,
+         md5(list_aggregate(ws[i:i+19], 'string_agg', ' ')) AS h
+  FROM sized, LATERAL unnest(generate_series(1, n - 19)) AS t(i)
+),
+rep AS (SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (
+  SELECT w.doc_id, w.n, w.pos FROM wins w JOIN rep USING (h)
+),
+islands AS (
+  SELECT doc_id, n, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + 20) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+),
+grouped AS (
+  SELECT doc_id, n, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM islands
+),
+spans AS (
+  SELECT doc_id, n, island,
+         MIN(pos) AS s, MAX(pos) + 20 AS e
+  FROM grouped GROUP BY doc_id, n, island
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
+       CAST(MAX(n) AS BIGINT) AS n_toks,
+       ROUND(CAST(SUM(e - s) AS DOUBLE) / MAX(n), 6) AS dup_frac
+FROM spans GROUP BY doc_id
+""",
+)
+def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate SPANS (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", the ExactSubstr side):
+    every 20-token window at EVERY position is fingerprinted; a window
+    occurring in >= 2 documents marks a duplicated span, and per
+    document the overlapping hits merge into maximal islands (the
+    gaps-and-islands window pass) -- emitting span count, duplicated
+    token count, and coverage fraction per affected document. This is
+    the position-resolved refinement of docs_repeated_chunks
+    (chunk-granularity): it sees a copied paragraph at ANY alignment,
+    the thing Lee et al.'s suffix array buys, here via rolling windows
+    + one fingerprint aggregate instead of a suffix sort. Runs over the
+    standard augmented corpus so planted exact/near copies yield
+    full-coverage spans against their sources.
+
+    Plan: one tokenize pass, windows built as transform-over-sequence
+    on a STAGED token array (never re-splitting per window), one
+    hash-partitioned repeat aggregate, a semi-join back to positions,
+    two O(hits) windows for island merging. Guards: docs shorter than
+    the window are filtered BEFORE sequence() (Spark's sequence(1, 0)
+    steps DOWNWARD rather than returning empty -- the engines disagree
+    exactly there). Exact integers throughout; one 6dp ratio."""
+    from .text import _augmented_corpus
+
+    k = 20
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    toks = corpus.where(F.trim(F.lower(F.col("text"))) != "").select(
+        "doc_id", whitespace_tokens("text").alias("ws")
+    )
+    sized = toks.where(F.size("ws") >= k).select(
+        "doc_id", "ws", F.size("ws").alias("n")
+    )
+    wins = sized.select(
+        "doc_id",
+        "n",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - (k - 1)),
+                lambda i: F.md5(F.array_join(F.slice("ws", i, k), " ")),
+            )
+        ).alias("p0", "h"),
+    ).select("doc_id", "n", (F.col("p0") + 1).alias("pos"), "h")
+    rep = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = wins.join(rep, "h").select("doc_id", "n", "pos")
+    from pyspark.sql import Window as W
+
+    prev_end = F.max(F.col("pos") + k).over(
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    )
+    grouped = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            W.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    spans = grouped.groupBy("doc_id", "n", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + k).alias("e")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("dup_tokens"),
+        F.max("n").cast("bigint").alias("n_toks"),
+        F.round(
+            F.sum(F.col("e") - F.col("s")).cast("double") / F.max("n"), 6
+        ).alias("dup_frac"),
+    )
