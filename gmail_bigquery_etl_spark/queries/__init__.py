@@ -283,6 +283,7 @@ _ROUND7_FRONT = [
     "embedding_dbscan_clusters",
     "retrieval_quality_eval",
     "dedup_exact_substr_spans",
+    "events_attribution_models",
     # (c) code paths changed in round 7
     "agg_quantile_sketch",
     "agg_quantile_sketch_grouped",

@@ -2067,3 +2067,150 @@ def events_anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.col("dev") / F.sqrt("var_"), 4).alias("z"),
         )
     )
+
+
+@query(
+    "events_attribution_models",
+    oracle="""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS c_ts FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+),
+touch AS (
+  SELECT event_id AS touch_id, user_id, ts AS t_ts, event_type AS channel
+  FROM events
+  WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL
+),
+pairs AS (
+  SELECT c.conv_id, t.touch_id, t.channel, t.t_ts
+  FROM conv c JOIN touch t
+    ON c.user_id = t.user_id
+   AND t.t_ts < c.c_ts
+   AND t.t_ts >= c.c_ts - INTERVAL 7 DAY
+),
+ranked AS (
+  SELECT conv_id, touch_id, channel,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY t_ts, touch_id) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY t_ts DESC, touch_id DESC) AS rn_last,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM pairs
+),
+credits AS (
+  SELECT channel, 'first_touch' AS model,
+         CAST(CASE WHEN rn_first = 1 THEN 1.0 ELSE 0.0 END
+              AS DECIMAL(18,9)) AS credit
+  FROM ranked
+  UNION ALL
+  SELECT channel, 'last_touch',
+         CAST(CASE WHEN rn_last = 1 THEN 1.0 ELSE 0.0 END AS DECIMAL(18,9))
+  FROM ranked
+  UNION ALL
+  SELECT channel, 'linear',
+         CAST(ROUND(1.0 / n, 9) AS DECIMAL(18,9))
+  FROM ranked
+  UNION ALL
+  SELECT channel, 'position_based',
+         CAST(ROUND(CASE
+           WHEN n = 1 THEN 1.0
+           WHEN n = 2 THEN 0.5
+           WHEN rn_first = 1 THEN 0.4
+           WHEN rn_last = 1 THEN 0.4
+           ELSE 0.2 / (n - 2) END, 9) AS DECIMAL(18,9))
+  FROM ranked
+)
+SELECT model, channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       ROUND(CAST(SUM(credit) AS DOUBLE), 6) AS credit
+FROM credits GROUP BY model, channel
+""",
+)
+def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution, the marketing-warehouse workload: every
+    purchase distributes one unit of conversion credit over the user's
+    click/view touchpoints in the preceding 7 days, under the four
+    standard models side by side -- first-touch, last-touch, linear, and
+    position-based (the 40/20/40 U-shape) -- summed per channel. One
+    query answers the analyst question every attribution comparison
+    starts with: how much does channel credit move when the model
+    changes?
+
+    Exactness: each credit is an exact rational (1, 1/2, 1/n, 0.4,
+    0.2/(n-2)) rounded to 9dp and DECIMAL-summed, so totals are
+    bit-identical; per model the credits over one conversion sum to 1
+    (up to the 9dp quantum), a conservation law the oracle re-derives.
+    Plan: the interval-join shape events_interval_join plans (user
+    equi-join, time-range residual -- per-user fan-out is bounded by
+    activity, never corpus x corpus), two O(pairs) ranking windows over
+    conv_id, a 4-way credit projection union, one final aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select(
+        F.col("event_id").alias("conv_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    touch = ev.where(
+        F.col("event_type").isin("click", "view") & F.col("user_id").isNotNull()
+    ).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("c_ts"))
+        & (F.col("t_ts") >= F.col("c_ts") - F.expr("INTERVAL 7 DAY")),
+    ).select("conv_id", "touch_id", "channel", "t_ts")
+    wf = W.partitionBy("conv_id").orderBy(F.asc("t_ts"), F.asc("touch_id"))
+    wl = W.partitionBy("conv_id").orderBy(
+        F.desc("t_ts"), F.desc("touch_id")
+    )
+    wn = W.partitionBy("conv_id")
+    ranked = pairs.select(
+        "channel",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+        F.count("*").over(wn).alias("n"),
+    ).localCheckpoint()
+
+    def _dec9(col):
+        return F.round(col, 9).cast("decimal(18,9)")
+
+    first = ranked.select(
+        "channel",
+        F.lit("first_touch").alias("model"),
+        _dec9(F.when(F.col("rn_first") == 1, 1.0).otherwise(0.0)).alias(
+            "credit"
+        ),
+    )
+    last = ranked.select(
+        "channel",
+        F.lit("last_touch").alias("model"),
+        _dec9(F.when(F.col("rn_last") == 1, 1.0).otherwise(0.0)).alias(
+            "credit"
+        ),
+    )
+    linear = ranked.select(
+        "channel",
+        F.lit("linear").alias("model"),
+        _dec9(F.lit(1.0) / F.col("n")).alias("credit"),
+    )
+    position = ranked.select(
+        "channel",
+        F.lit("position_based").alias("model"),
+        _dec9(
+            F.when(F.col("n") == 1, F.lit(1.0))
+            .when(F.col("n") == 2, F.lit(0.5))
+            .when(F.col("rn_first") == 1, F.lit(0.4))
+            .when(F.col("rn_last") == 1, F.lit(0.4))
+            .otherwise(F.lit(0.2) / (F.col("n") - 2))
+        ).alias("credit"),
+    )
+    credits = first.unionByName(last).unionByName(linear).unionByName(position)
+    return credits.groupBy("model", "channel").agg(
+        F.count("*").cast("bigint").alias("n_touches"),
+        F.round(F.sum("credit").cast("double"), 6).alias("credit"),
+    )
