@@ -284,6 +284,7 @@ _ROUND7_FRONT = [
     "retrieval_quality_eval",
     "dedup_exact_substr_spans",
     "events_attribution_models",
+    "curation_hard_negatives",
     # (c) code paths changed in round 7
     "agg_quantile_sketch",
     "agg_quantile_sketch_grouped",

@@ -1310,3 +1310,92 @@ def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster"),
         )
     )
+
+
+@query(
+    "curation_hard_negatives",
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM corpus
+      WHERE vec_id >= 100000 AND vec_id < 100500),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         {_SQL_COSINE.format(a='q.qv', b='c.v')} AS score
+  FROM corpus c, q
+  WHERE c.vec_id <> q.query_id
+),
+negs AS (
+  SELECT query_id, cand_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, cand_id) AS rank
+  FROM scored
+  WHERE score < 0.999
+)
+SELECT query_id, cand_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(score, 6) AS score
+FROM negs WHERE rank <= 3
+""",
+)
+def curation_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/ANCE
+    recipe: the best negatives are the highest-scoring NON-positives,
+    not random draws): for each query vector, the top-3 corpus vectors
+    by cosine AFTER excluding positives -- here the near-duplicate
+    boundary the dedup family uses (cosine >= 0.999 catches each scaled
+    copy's source, its exact directional dupe). Runs over the shared
+    augmented embedding corpus with the scaled copies as queries, so
+    every query provably HAS a positive to exclude: the planted-truth
+    discipline of the eval harnesses applied to training-pair assembly.
+
+    Plan: the knn query-block NLJ shape (query block BOUNDED at the
+    first 25 planted copies -- fixed like knn's vec_id < 10 block, so
+    the broadcast side never scales with the corpus), one filter, one
+    per-query window. At 100 TB the scan leg swaps for any of the
+    registered ANN indexes (IVF/SQ8/PQ) unchanged -- the exclusion
+    filter and ranking are index-agnostic; mining negatives for EVERY
+    query is the indexed path, not the brute-force gate. Scores are
+    sequential-fold cosines ranked raw and rounded at emit."""
+    from ..catalog import spread
+    from ..functions.vectors import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # spread + per-row norms: the scan leg folds each vector's norm once
+    # per ROW, so the per-PAIR work is a single dot fold (sqrt of the
+    # same doubles -- bit-identical to the oracle's inline cosine), and
+    # the single-row-group fixture doesn't serialize the query block
+    corpus = spread(augmented_embeddings(emb)).withColumn(
+        "nrm", l2_norm("v")
+    )
+    q = corpus.where(
+        (F.col("vec_id") >= 100000) & (F.col("vec_id") < 100500)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            (
+                dot("qv", "v")
+                / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    rank = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    )
+    return (
+        scored.where(F.col("score") < 0.999)
+        .withColumn("rank", rank.cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "rank", F.round("score", 6).alias("score"))
+    )

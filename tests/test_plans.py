@@ -153,6 +153,8 @@ _ALLOWED_NLJ = {
     # broadcast crossJoin of the 1-row (N, avgdl) corpus-stats agg (the
     # text_bm25_topk scalar, reused by the eval harness)
     "retrieval_quality_eval",
+    # knn-class bounded-query-block NLJ (the scaled-copy query block)
+    "curation_hard_negatives",
     }
 
 # Build-side row bound for every allowlisted NLJ: the biggest legitimate
