@@ -285,6 +285,7 @@ _ROUND7_FRONT = [
     "dedup_exact_substr_spans",
     "events_attribution_models",
     "curation_hard_negatives",
+    "events_ab_test_zstat",
     # (c) code paths changed in round 7
     "agg_quantile_sketch",
     "agg_quantile_sketch_grouped",

@@ -2214,3 +2214,110 @@ def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_touches"),
         F.round(F.sum("credit").cast("double"), 6).alias("credit"),
     )
+
+
+@query(
+    "events_ab_test_zstat",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS cohort,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+),
+stats AS (
+  SELECT SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN cohort = 0 THEN conv ELSE 0 END) AS conv_a,
+         SUM(CASE WHEN cohort = 1 THEN conv ELSE 0 END) AS conv_b
+  FROM per_user
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(conv_a AS BIGINT) AS conv_a,
+       CAST(conv_b AS BIGINT) AS conv_b,
+       ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+       ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+       ROUND(CASE WHEN n_a > 0 AND n_b > 0
+                   AND conv_a + conv_b > 0
+                   AND conv_a + conv_b < n_a + n_b
+             THEN (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                  / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                         * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                         * (1.0 / n_a + 1.0 / n_b))
+             END, 6) AS z_stat,
+       CASE WHEN n_a > 0 AND n_b > 0
+             AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+             AND abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                  / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                         * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                         * (1.0 / n_a + 1.0 / n_b))) > 1.959964
+            THEN TRUE ELSE FALSE END AS significant
+FROM stats
+WHERE n_a > 0 AND n_b > 0
+""",
+)
+def events_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance test (the pooled z-test every
+    experimentation platform runs): users split into deterministic
+    cohorts (user_id parity -- the hash-bucket assignment an experiment
+    framework uses, minus the hash), per-user conversion = any purchase,
+    and the pooled z statistic with the 5% two-sided decision
+    (|z| > 1.959964). The CDF is deliberately NOT computed -- erf is not
+    portable across engines -- the statistic and the decision against
+    the literal critical value are, exactly. Degenerate designs (empty
+    cohort, all/none converted) emit NULL z rather than NaN, identical
+    CASE guards both sides.
+
+    Plan: one per-user conversion aggregate (the same shuffle the RFM /
+    cohort queries pay), one global conditional-sum aggregate, pure
+    projection arithmetic on exact integers -- scan-bound at any scale;
+    the z computation is a closed form over 4 BIGINTs. Inputs being
+    exact integers makes the emitted statistic bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select((F.col("user_id") % 2).alias("cohort"), "conv")
+    )
+    stats = per_user.agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("conv")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("cohort") == 1, F.col("conv")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b"))
+    )
+    z = (ra - rb) / F.sqrt(
+        pp * (1.0 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return stats.where((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(F.when(ok, z), 6).alias("z_stat"),
+        F.when(ok & (F.abs(z) > 1.959964), F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("significant"),
+    )
