@@ -286,6 +286,7 @@ _ROUND7_FRONT = [
     "events_attribution_models",
     "curation_hard_negatives",
     "events_ab_test_zstat",
+    "events_cusum_changepoints",
     # (c) code paths changed in round 7
     "agg_quantile_sketch",
     "agg_quantile_sketch_grouped",

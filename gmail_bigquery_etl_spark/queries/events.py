@@ -2321,3 +2321,112 @@ def events_ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("significant"),
     )
+
+
+@query(
+    "events_cusum_changepoints",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS t
+  FROM hourly GROUP BY event_type
+),
+dev AS (
+  SELECT h.event_type, h.hr, h.x, tot.n, tot.t,
+         h.x * tot.n - tot.t AS d
+  FROM hourly h JOIN tot ON tot.event_type = h.event_type
+),
+cum AS (
+  SELECT event_type, hr, n, t,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY hr
+                      ROWS UNBOUNDED PRECEDING) AS c
+  FROM dev
+),
+cusum AS (
+  SELECT event_type, hr, n, t,
+         c - LEAST(COALESCE(MIN(c) OVER (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0) AS s
+  FROM cum
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_hours,
+       CAST(COUNT(CASE WHEN s > t THEN 1 END) AS BIGINT) AS n_alarm_hours,
+       CAST(strftime(MIN(CASE WHEN s > t THEN hr END),
+                     '%Y-%m-%d %H:00') AS VARCHAR) AS first_alarm,
+       ROUND(CAST(MAX(s) AS DOUBLE) / MAX(t), 6) AS max_cusum_ratio
+FROM cusum GROUP BY event_type
+""",
+)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (Page 1954, the sequential drift
+    detector behind every volume-shift monitor): per event type, the
+    one-sided cumulative sum of hourly-count deviations from the type's
+    own mean, reset at zero. The recurrence S_t = max(0, S_{t-1} + d_t)
+    is deliberately NOT computed as a recurrence -- it equals
+    cumsum_t - min(0, running-min of prior cumsums), two plain window
+    passes, so the detector is fully relational (no UDAF, no driver
+    loop, no state). Arithmetic stays EXACT-INTEGER by scaling
+    deviations by n_hours (d = x*n - T has mean 0 with no division);
+    the alarm fires when S integrates more than one full mean-hour of
+    excess (S > T). Complements the rolling z-score monitor: CUSUM
+    detects small sustained LEVEL SHIFTS the pointwise z-score never
+    trips on.
+
+    Plan: one (type, hour) aggregate, one O(types) scalar join, two
+    O(types x hours) windows, one final rollup -- scan-bound; the
+    windows partition by type, so no global sort. First-alarm hour is
+    emitted as a string (the DATE/TIMESTAMP fetch-coercion rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    tot = hourly.groupBy(F.col("event_type").alias("e2")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("t"),
+    )
+    dev = hourly.join(
+        F.broadcast(tot), F.col("event_type") == F.col("e2")
+    ).select(
+        "event_type",
+        "hr",
+        "n",
+        "t",
+        (F.col("x") * F.col("n") - F.col("t")).alias("d"),
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wprev = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = dev.withColumn("c", F.sum("d").over(wcum))
+    cusum = cum.withColumn(
+        "s",
+        F.col("c")
+        - F.least(F.coalesce(F.min("c").over(wprev), F.lit(0)), F.lit(0)),
+    )
+    return cusum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_hours"),
+        F.count(F.when(F.col("s") > F.col("t"), 1))
+        .cast("bigint")
+        .alias("n_alarm_hours"),
+        F.date_format(
+            F.min(F.when(F.col("s") > F.col("t"), F.col("hr"))),
+            "yyyy-MM-dd HH:00",
+        )
+        .cast("string")
+        .alias("first_alarm"),
+        F.round(F.max("s").cast("double") / F.max("t"), 6).alias(
+            "max_cusum_ratio"
+        ),
+    )
