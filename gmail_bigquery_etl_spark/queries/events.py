@@ -2349,8 +2349,8 @@ cum AS (
 ),
 cusum AS (
   SELECT event_type, hr, n, t,
-         c - LEAST(COALESCE(MIN(c) OVER (PARTITION BY event_type ORDER BY hr
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0) AS s
+         c - LEAST(MIN(c) OVER (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s
   FROM cum
 )
 SELECT event_type,
@@ -2368,9 +2368,9 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-sided cumulative sum of hourly-count deviations from the type's
     own mean, reset at zero. The recurrence S_t = max(0, S_{t-1} + d_t)
     is deliberately NOT computed as a recurrence -- it equals
-    cumsum_t - min(0, running-min of prior cumsums), two plain window
-    passes, so the detector is fully relational (no UDAF, no driver
-    loop, no state). Arithmetic stays EXACT-INTEGER by scaling
+    cumsum_t - min(0, running-min of cumsums up to and including t),
+    two plain window passes, so the detector is fully relational (no
+    UDAF, no driver loop, no state). Arithmetic stays EXACT-INTEGER by scaling
     deviations by n_hours (d = x*n - T has mean 0 with no division);
     the alarm fires when S integrates more than one full mean-hour of
     excess (S > T). Complements the rolling z-score monitor: CUSUM
@@ -2404,16 +2404,14 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hr")
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    wprev = (
-        W.partitionBy("event_type")
-        .orderBy("hr")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
+    # running min INCLUDES the current row: s = c_t - min(0, min_{j<=t} c_j)
+    # is exactly Page's reset identity max(0, S_{t-1} + d_t) -- with the
+    # current row excluded, s would go negative on a new cumsum minimum
+    # where the recurrence gives 0 (same fix mirrored in the oracle)
     cum = dev.withColumn("c", F.sum("d").over(wcum))
     cusum = cum.withColumn(
         "s",
-        F.col("c")
-        - F.least(F.coalesce(F.min("c").over(wprev), F.lit(0)), F.lit(0)),
+        F.col("c") - F.least(F.min("c").over(wcum), F.lit(0)),
     )
     return cusum.groupBy("event_type").agg(
         F.max("n").cast("bigint").alias("n_hours"),

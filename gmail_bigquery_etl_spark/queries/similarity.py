@@ -1149,10 +1149,14 @@ def ann_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_dbscan_clusters",
     oracle=f"""
-WITH RECURSIVE planes AS (
+WITH RECURSIVE nn AS (
+  SELECT LEAST(16, GREATEST(4, CAST(ceil(log2(GREATEST(COUNT(*), 1) / 125.0)) AS INT))) AS npl
+  FROM embeddings
+),
+planes AS (
   SELECT p, list_transform(generate_series(0, 63),
            j -> CAST((CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000) AS DOUBLE) / 1000.0) AS w
-  FROM generate_series(0, 3) AS t(p)
+  FROM generate_series(0, 15) AS t(p), nn WHERE p < nn.npl
 ),
 bits AS (
   SELECT e.vec_id, pl.p,
@@ -1216,24 +1220,39 @@ def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOISE. Core clusters are connected components over core-core edges
     (operators/components.py min-label propagation; isolated cores
     self-loop into singleton clusters). Density is defined OVER THE
-    CANDIDATE GRAPH -- the documented LSH-DBSCAN semantics; more planes
-    + multi-probe move it toward exact DBSCAN at higher corpus sizes,
-    the same recall lever every ANN-backed DBSCAN exposes.
+    CANDIDATE GRAPH -- the documented LSH-DBSCAN semantics.
+
+    The plane count is CORPUS-SIZED, not fixed: n_planes =
+    clamp(4..16, ceil(log2(n / 125))), identically derived on both
+    engines from their own COUNT(*), so expected bucket occupancy stays
+    ~125 vectors and the within-bucket pair join stays ~O(n * 125)
+    however large the corpus (the r7 fixed-4-plane grid measured 2.70x
+    wall at 10x data because pairs grew O(n^2/16); with the derived
+    grid the sf1 replica runs 8 planes / 256 buckets). At both gate
+    scales the formula resolves to exactly 4 planes, so gate answers
+    are unchanged. Plane weights are prefix-stable in p (each plane's
+    md5 derivation is independent of n_planes), so growing the grid
+    refines -- never reshuffles -- the bucket space.
 
     The fourth clustering face beside k-means (partitional), near-dup
     components (transitive), and SemDeDup-style grouping: density-based,
     with an explicit noise class -- what an embedding-curation pass uses
-    to drop outliers and keep dense modes. Plan: one bucket projection,
-    one within-bucket self-join (16 buckets at these params -- the
-    bucket width is the density-vs-cost lever), one exact verify, one
-    degree aggregate, O(cores) component rounds, two label left-joins.
-    Oracle: the identical pipeline with a recursive-CTE closure."""
+    to drop outliers and keep dense modes. Plan: one O(1) count scalar,
+    one bucket projection, one within-bucket self-join, one exact
+    verify, one degree aggregate, O(cores) component rounds, two label
+    left-joins. Oracle: the identical pipeline with a recursive-CTE
+    closure."""
+    import math
+
     from ..catalog import spread
     from ..functions.vectors import dot, l2_norm
     from ..operators.components import connected_components
     from ..operators.similarity import hyperplane_bucket
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # corpus-sized grid (see docstring); count() is an O(1) driver scalar
+    # off the parquet footer stats
+    npl = min(16, max(4, math.ceil(math.log2(max(emb.count(), 1) / 125.0))))
     # pin the bucketed projection: the self-join references it twice (an
     # unpinned plan would run the hyperplane dots per side); spread first
     # so the checkpointed rows -- and every downstream pair-verify task --
@@ -1244,7 +1263,7 @@ def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = spread(emb).select(
         "vec_id",
         "embedding",
-        hyperplane_bucket("embedding", n_planes=4, dim=64).alias("bucket"),
+        hyperplane_bucket("embedding", n_planes=npl, dim=64).alias("bucket"),
         l2_norm("embedding").alias("nrm"),
     ).localCheckpoint()
     x, y = b.alias("x"), b.alias("y")

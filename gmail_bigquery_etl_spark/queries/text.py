@@ -1147,7 +1147,7 @@ w AS (
            * (ln((n.total + 1.0) / (df.n_docs + 1.0)) + 1.0), 6)
            AS DECIMAL(18,6)) AS w6
   FROM tf JOIN dlen USING (doc_id) JOIN df USING (term) CROSS JOIN n
-  WHERE df.n_docs * 10 <= n.total
+  WHERE df.n_docs <= 64
 ),
 norms AS (
   SELECT doc_id, sqrt(CAST(SUM(w6 * w6) AS DOUBLE)) AS nrm FROM w
@@ -1176,10 +1176,14 @@ def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the docs SHARE a dimension). The sparse space is word TRIGRAMS (the
     fixture's whitespace vocabulary is ~31 terms -- every word is a
     stopword, so words carry no signal; shingles give 16k+ dims with
-    median df 1). A RELATIVE document-frequency cap (df <= total/10)
-    drops corpus-wide shingles whose postings would quadratically
-    dominate the join: the standard sparse-similarity scale knob, and
-    the capped space IS the vector space (norms over capped postings, so
+    median df 1). An ABSOLUTE document-frequency cap (df <= 64, the
+    dedup family's max_df default) drops shingles whose postings would
+    quadratically dominate the join: with the cap absolute, the longest
+    surviving posting is a CONSTANT however large the corpus, so the
+    pair join is bounded by 64 * sum(df) -- linear in corpus size --
+    where the previous relative cap (df <= total/10) let posting lengths
+    grow with the corpus (measured 3.23x wall at 10x data, SCALE_r07).
+    The capped space IS the vector space (norms over capped postings, so
     cosine stays a true cosine in it). Determinism across engines:
     weights round to 6dp then become DECIMAL(18,6), so the dot/norm
     SUMS are exact integers-at-scale (addition-order-free) and the only
@@ -1207,7 +1211,7 @@ def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(dlen, "doc_id")
         .join(dfreq, "term")
         .crossJoin(F.broadcast(n))
-        .where(F.col("n_docs") * 10 <= F.col("total"))
+        .where(F.col("n_docs") <= 64)
         .select(
             "doc_id",
             "term",
