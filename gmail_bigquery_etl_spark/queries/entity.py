@@ -5,28 +5,30 @@ The reference pipeline trusts Gmail's sender strings verbatim
 production warehouse dedupes those dirty identities against a master
 dimension. This module implements the canonical ER shape Spark-first:
 
-  candidate generation  ->  union of cheap BLOCKING equi-joins
-                            (never a cartesian compare-all)
+  candidate generation  ->  capped deletion-1 neighborhood equi-join
+                            (operators/er_blocking.py, SymSpell-style;
+                            never a cartesian compare-all)
   verification          ->  edit-distance predicate (JVM codegen'd
                             ``levenshtein``; Spark's impl takes a
                             threshold for banded early-exit)
   survivorship          ->  per-record argmin window (best match wins,
                             total-order tiebreaker)
 
-Blocking-recall guarantee (documented, not hoped): a single-character
-deletion at position p changes the 2-char prefix only if p < 2 and the
-2-char suffix only if p >= len-2; for names of length >= 5 those sets
-are disjoint, so EVERY single-deletion typo shares at least one of the
-two blocking keys with its source -- the union join provably generates
-the true match as a candidate. Multi-edit typos would add more keys
-(q-gram blocks, the dedup family's posting-list scaffold); the shape
-stays a union of equi-joins.
+Blocking-recall guarantee (by construction, any name length): a dirty
+string produced by deleting one character from a master IS a member of
+that master's deletion-1 neighborhood, so the single equi-join on the
+exact variant string always generates the true candidate -- unless its
+variant block exceeds the audited ``max_block`` cap (the exclusion is
+reported, never silent; see operators/er_blocking.py). This replaces
+the r7 2-char prefix/suffix blocks: their key space is bounded by the
+name vocabulary, so blocks went quadratic with the corpus (8.01x wall
+at 10x data, SCALE_r07), where the neighborhood index is O(masters x
+len) rows and candidate volume O(dirty).
 
-100 TB posture: the master dimension is small (distinct canonical
-names) -> broadcast on both blocking joins, so candidate generation is
-map-side with zero shuffle of the dirty side; the argmin is one window
-over dirty_id (a single hash partition exchange). Never O(dirty x
-master).
+100 TB posture: candidate generation is ONE hash equi-join on the
+variant string (shuffle both sides, AQE broadcasts when the index is
+small); the argmin is one window over dirty_id (a single hash
+partition exchange). Never O(dirty x master).
 """
 
 from __future__ import annotations
@@ -55,14 +57,23 @@ dirty AS (
            AS dirty_name
   FROM part
 ),
+variants AS (
+  SELECT master_id, master_name,
+         unnest(list_distinct(list_append(
+           list_transform(range(0, length(master_name)),
+             i -> concat(substring(master_name, 1, CAST(i AS INT)),
+                         substring(master_name, CAST(i AS INT) + 2))),
+           master_name))) AS v
+  FROM master
+),
+capped AS (
+  SELECT master_id, master_name, v FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY v) AS blk FROM variants
+  ) WHERE blk <= 64
+),
 cand AS (
   SELECT DISTINCT d.dirty_id, d.dirty_name, m.master_id, m.master_name
-  FROM dirty d JOIN master m
-    ON substring(d.dirty_name, 1, 2) = substring(m.master_name, 1, 2)
-  UNION
-  SELECT DISTINCT d.dirty_id, d.dirty_name, m.master_id, m.master_name
-  FROM dirty d JOIN master m
-    ON right(d.dirty_name, 2) = right(m.master_name, 2)
+  FROM dirty d JOIN capped m ON d.dirty_name = m.v
 ),
 verified AS (
   SELECT *, levenshtein(dirty_name, master_name) AS dist
@@ -82,10 +93,19 @@ def er_fuzzy_match_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity resolution against a master dimension: every part
     record gets a deterministic single-character-deletion typo (position
     ``(key*7) % len``), and the dirty names are matched back to the
-    distinct-name master via blocked candidate generation (prefix-2 and
-    suffix-2 equi-joins, union -- provably complete for one deletion,
-    see module docstring), a ``levenshtein <= 2`` verify, and a
-    best-match argmin per dirty record (distance, then master_id)."""
+    distinct-name master via the capped deletion-1 neighborhood index
+    (operators/er_blocking.py -- SymSpell candidate generation: ONE
+    equi-join on the exact variant string, recall guaranteed by
+    construction for the one-deletion typo, block-size cap 64 with the
+    audited-exclusion contract), a ``levenshtein <= 2`` verify, and a
+    best-match argmin per dirty record (distance, then master_id).
+
+    Replaces the r7 fixed 2-char prefix/suffix blocks, whose key space
+    the corpus outgrows (measured 8.01x wall at 10x data, SCALE_r07):
+    the neighborhood index is O(masters x len) rows and candidate
+    volume is O(dirty), both linear."""
+    from ..operators.er_blocking import deletion1_candidates
+
     part = load_table(spark, sf_dir, "part")
     master = part.groupBy(F.col("p_name").alias("master_name")).agg(
         F.min("p_partkey").alias("master_id")
@@ -101,16 +121,14 @@ def er_fuzzy_match_master(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"substring(p_name, {pos} + 2)"),
         ).alias("dirty_name"),
     )
-    m = F.broadcast(master)
-    by_prefix = dirty.join(
-        m, F.substring("dirty_name", 1, 2) == F.substring("master_name", 1, 2)
-    )
-    by_suffix = dirty.join(
-        m,
-        F.expr("right(dirty_name, 2)") == F.expr("right(master_name, 2)"),
-    )
-    cand = by_prefix.unionByName(by_suffix).dropDuplicates(
-        ["dirty_id", "master_id"]
+    cand = deletion1_candidates(
+        dirty,
+        master,
+        dirty_name_col="dirty_name",
+        master_name_col="master_name",
+        dirty_id_col="dirty_id",
+        master_id_col="master_id",
+        max_block=64,
     )
     verified = cand.withColumn(
         "dist", F.levenshtein("dirty_name", "master_name")
@@ -225,18 +243,25 @@ dirty AS (
               ELSE p.p_size END AS d_size
   FROM part p JOIN names n ON p.p_name = n.p_name
 ),
+variants AS (
+  SELECT master_id, m_name, m_brand, m_type, m_size,
+         unnest(list_distinct(list_append(
+           list_transform(range(0, length(m_name)),
+             i -> concat(substring(m_name, 1, CAST(i AS INT)),
+                         substring(m_name, CAST(i AS INT) + 2))),
+           m_name))) AS v
+  FROM master
+),
+capped AS (
+  SELECT master_id, m_name, m_brand, m_type, m_size, v FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY v) AS blk FROM variants
+  ) WHERE blk <= 64
+),
 cand AS (
   SELECT DISTINCT d.dirty_id, d.true_master_id,
                   d.d_name, d.d_brand, d.d_type, d.d_size,
                   m.master_id, m.m_name, m.m_brand, m.m_type, m.m_size
-  FROM dirty d JOIN master m
-    ON substring(d.d_name, 1, 2) = substring(m.m_name, 1, 2)
-  UNION
-  SELECT DISTINCT d.dirty_id, d.true_master_id,
-                  d.d_name, d.d_brand, d.d_type, d.d_size,
-                  m.master_id, m.m_name, m.m_brand, m.m_type, m.m_size
-  FROM dirty d JOIN master m
-    ON right(d.d_name, 2) = right(m.m_name, 2)
+  FROM dirty d JOIN capped m ON d.d_name = m.v
 ),
 agrees AS (
   SELECT dirty_id, master_id,
@@ -247,20 +272,43 @@ agrees AS (
          CASE WHEN master_id = true_master_id THEN 1 ELSE 0 END AS is_match
   FROM cand
 ),
-params AS (
-  SELECT SUM(is_match) AS nm, SUM(1 - is_match) AS nu,
-         SUM(CASE WHEN is_match = 1 THEN a_name ELSE 0 END) AS am_name,
-         SUM(CASE WHEN is_match = 0 THEN a_name ELSE 0 END) AS au_name,
-         SUM(CASE WHEN is_match = 1 THEN a_brand ELSE 0 END) AS am_brand,
-         SUM(CASE WHEN is_match = 0 THEN a_brand ELSE 0 END) AS au_brand,
-         SUM(CASE WHEN is_match = 1 THEN a_type ELSE 0 END) AS am_type,
-         SUM(CASE WHEN is_match = 0 THEN a_type ELSE 0 END) AS au_type,
-         SUM(CASE WHEN is_match = 1 THEN a_size ELSE 0 END) AS am_size,
-         SUM(CASE WHEN is_match = 0 THEN a_size ELSE 0 END) AS au_size
+truth AS (
+  SELECT CASE WHEN levenshtein(d.d_name, m.m_name) <= 1 THEN 1 ELSE 0 END AS a_name,
+         CASE WHEN d.d_brand = m.m_brand THEN 1 ELSE 0 END AS a_brand,
+         CASE WHEN d.d_type = m.m_type THEN 1 ELSE 0 END AS a_type,
+         CASE WHEN d.d_size = m.m_size THEN 1 ELSE 0 END AS a_size
+  FROM dirty d JOIN master m ON m.master_id = d.true_master_id
+),
+nmc AS (SELECT GREATEST(COUNT(*), 1) AS b FROM master),
+smpl AS (
+  SELECT CASE WHEN levenshtein(d.d_name, m.m_name) <= 1 THEN 1 ELSE 0 END AS a_name,
+         CASE WHEN d.d_brand = m.m_brand THEN 1 ELSE 0 END AS a_brand,
+         CASE WHEN d.d_type = m.m_type THEN 1 ELSE 0 END AS a_type,
+         CASE WHEN d.d_size = m.m_size THEN 1 ELSE 0 END AS a_size,
+         CASE WHEN m.master_id = d.true_master_id THEN 1 ELSE 0 END AS is_match
+  FROM dirty d CROSS JOIN nmc JOIN master m
+    ON CAST(('0x' || substring(md5('u' || CAST(d.dirty_id AS VARCHAR)), 1, 8)) AS BIGINT) % nmc.b
+     = CAST(('0x' || substring(md5('v' || CAST(m.master_id AS VARCHAR)), 1, 8)) AS BIGINT) % nmc.b
+),
+mstats AS (
+  SELECT COUNT(*) AS nm, SUM(a_name) AS am_name, SUM(a_brand) AS am_brand,
+         SUM(a_type) AS am_type, SUM(a_size) AS am_size
+  FROM truth
+),
+ustats AS (
+  SELECT COUNT(*) AS nu, SUM(a_name) AS au_name, SUM(a_brand) AS au_brand,
+         SUM(a_type) AS au_type, SUM(a_size) AS au_size
+  FROM smpl
+),
+params AS (SELECT * FROM mstats CROSS JOIN ustats),
+pairs AS (
+  SELECT 'candidate' AS origin, is_match, a_name, a_brand, a_type, a_size
   FROM agrees
+  UNION ALL
+  SELECT 'sample', is_match, a_name, a_brand, a_type, a_size FROM smpl
 ),
 scored AS (
-  SELECT a.is_match,
+  SELECT a.origin, a.is_match,
     CAST(ROUND(ln(CASE WHEN a_name = 1
         THEN CAST((am_name + 1) * (nu + 2) AS DOUBLE)
              / CAST((au_name + 1) * (nm + 2) AS DOUBLE)
@@ -285,9 +333,10 @@ scored AS (
         ELSE CAST((nm + 1 - am_size) * (nu + 2) AS DOUBLE)
              / CAST((nu + 1 - au_size) * (nm + 2) AS DOUBLE) END), 9)
       AS DECIMAL(18,9)) AS s
-  FROM agrees a CROSS JOIN params
+  FROM pairs a CROSS JOIN params
 )
-SELECT CASE WHEN s >= 2.0 THEN 'link'
+SELECT origin,
+       CASE WHEN s >= 2.0 THEN 'link'
             WHEN s <= -2.0 THEN 'non-link'
             ELSE 'possible' END AS decision,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -296,36 +345,46 @@ SELECT CASE WHEN s >= 2.0 THEN 'link'
        ROUND(CAST(MIN(s) AS DOUBLE), 6) AS min_score,
        ROUND(CAST(MAX(s) AS DOUBLE), 6) AS max_score
 FROM scored
-GROUP BY 1
+GROUP BY 1, 2
 """,
 )
 def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter probabilistic record linkage (the 1969 decision
-    model Splink/JedAI implement) over the same blocked candidate pairs
-    the fuzzy matcher generates: each pair gets a log-likelihood-ratio
-    score sum_f ln(P(gamma_f | match) / P(gamma_f | non-match)) over
-    four field comparators (name within edit distance 1; brand / type /
-    size equality), and the classic three-way decision -- link /
-    possible / non-link -- falls out of two thresholds on the score.
-    The master is the DISTINCT-NAME dimension (representative = min-key
-    record per name, the er_fuzzy_match_master convention), so candidate
-    volume is dirty x masters-per-block, never part x part. The m/u
-    parameters are estimated FROM THE DATA: each dirty record's true
-    master is its pre-typo name's representative (the planted corruption
-    is name-deletion always, brand on key%7, size on key%5), which
-    labels every candidate pair; add-1-smoothed agreement rates over
-    match vs non-match pairs give exact-integer m/u ratios -- the
-    supervised special case of the EM fit production linkers run.
+    model Splink/JedAI implement) over the same deletion-1-neighborhood
+    candidate pairs the fuzzy matcher generates (operators/er_blocking.py
+    -- replaces the r7 2-char prefix/suffix blocks whose fixed key space
+    measured 8.01x wall at 10x data): each candidate pair gets a
+    log-likelihood-ratio score sum_f ln(P(gamma_f | match) /
+    P(gamma_f | non-match)) over four field comparators (name within
+    edit distance 1; brand / type / size equality), and the classic
+    three-way decision -- link / possible / non-link -- falls out of two
+    thresholds on the score. The master is the DISTINCT-NAME dimension
+    (representative = min-key record per name, the er_fuzzy_match_master
+    convention).
+
+    The m/u parameters follow Splink's estimation split, each side
+    LINEAR in the corpus: m (agreement rates among matches) from the
+    LABELED true pairs -- each dirty record's true master is its
+    pre-typo name's representative (the planted corruption is
+    name-deletion always, brand on key%7, size on key%5), one equi-join
+    on true_master_id; u (agreement rates among non-matches) from a
+    DETERMINISTIC pseudo-random pair sample -- dirty and master rows
+    pair where their 32-bit md5 hashes agree mod n_masters, giving
+    ~n_dirty uniformly-random pairs (Splink's
+    estimate_u_using_random_sampling, made engine-portable) -- never
+    from dense blocks.
 
     Exactness: every weight is one libm ln over an exact integer ratio
     (PMI convention), 9dp-DECIMAL-quantized; the pair score is a decimal
     sum of four such weights, so the decision boundaries and the
     per-class decimal statistics are bit-identical cross-engine. Plan:
-    broadcast blocked joins (never dirty x master), ONE aggregate for
-    all eight m/u counters, a 1-row params crossJoin, one final
-    per-decision aggregate. At 100 TB the params table is still one
-    row; everything corpus-sized moves through the two blocking
-    equi-joins the fuzzy matcher already pays."""
+    the neighborhood equi-join (O(dirty) candidates), two O(n) param
+    equi-joins feeding TWO 1-row aggregates, a 1-row params crossJoin,
+    one final per-decision aggregate. At 100 TB the params table is
+    still one row; everything corpus-sized moves through hash
+    equi-joins with the audited block cap."""
+    from ..operators.er_blocking import deletion1_candidates
+
     part = load_table(spark, sf_dir, "part")
     names = part.groupBy("p_name").agg(F.min("p_partkey").alias("master_id"))
     master = part.join(
@@ -354,42 +413,81 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("p_size"))
         .alias("d_size"),
     )
-    m = F.broadcast(master)
-    by_prefix = dirty.join(
-        m, F.substring("d_name", 1, 2) == F.substring("m_name", 1, 2)
+    cand = deletion1_candidates(
+        dirty,
+        master,
+        dirty_name_col="d_name",
+        master_name_col="m_name",
+        dirty_id_col="dirty_id",
+        master_id_col="master_id",
+        max_block=64,
     )
-    by_suffix = dirty.join(
-        m, F.expr("right(d_name, 2)") == F.expr("right(m_name, 2)")
-    )
-    cand = by_prefix.unionByName(by_suffix).distinct()
-    agrees = cand.select(
-        "dirty_id",
-        "master_id",
-        F.when(F.levenshtein("d_name", "m_name") <= 1, 1).otherwise(0).alias("a_name"),
-        F.when(F.col("d_brand") == F.col("m_brand"), 1).otherwise(0).alias("a_brand"),
-        F.when(F.col("d_type") == F.col("m_type"), 1).otherwise(0).alias("a_type"),
-        F.when(F.col("d_size") == F.col("m_size"), 1).otherwise(0).alias("a_size"),
-        F.when(F.col("master_id") == F.col("true_master_id"), 1)
-        .otherwise(0)
-        .alias("is_match"),
-    )
+
+    def comparators(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[c for c in ("dirty_id", "master_id") if c in df.columns],
+            F.when(F.levenshtein("d_name", "m_name") <= 1, 1)
+            .otherwise(0)
+            .alias("a_name"),
+            F.when(F.col("d_brand") == F.col("m_brand"), 1)
+            .otherwise(0)
+            .alias("a_brand"),
+            F.when(F.col("d_type") == F.col("m_type"), 1)
+            .otherwise(0)
+            .alias("a_type"),
+            F.when(F.col("d_size") == F.col("m_size"), 1)
+            .otherwise(0)
+            .alias("a_size"),
+            *(
+                [
+                    F.when(F.col("master_id") == F.col("true_master_id"), 1)
+                    .otherwise(0)
+                    .alias("is_match")
+                ]
+                if "true_master_id" in df.columns
+                else []
+            ),
+        )
+
+    agrees = comparators(cand)
     fields = ["name", "brand", "type", "size"]
-    params = agrees.agg(
-        F.sum("is_match").alias("nm"),
-        F.sum(1 - F.col("is_match")).alias("nu"),
-        *[
-            F.sum(F.when(F.col("is_match") == 1, F.col(f"a_{f}")).otherwise(0)).alias(
-                f"am_{f}"
-            )
-            for f in fields
-        ],
-        *[
-            F.sum(F.when(F.col("is_match") == 0, F.col(f"a_{f}")).otherwise(0)).alias(
-                f"au_{f}"
-            )
-            for f in fields
-        ],
+    # m-params: agreement rates among LABELED true pairs (one equi-join)
+    truth = comparators(
+        dirty.join(master, F.col("master_id") == F.col("true_master_id"))
     )
+    mstats = truth.agg(
+        F.count("*").alias("nm"),
+        *[F.sum(f"a_{f}").alias(f"am_{f}") for f in fields],
+    )
+    # u-params: agreement rates among a deterministic pseudo-random pair
+    # sample -- dirty x master where 32-bit md5 hashes agree mod
+    # n_masters (~n_dirty expected pairs, uniform over masters). The
+    # modulus is an O(1) DRIVER SCALAR, not a column: a join key
+    # referencing the other side's column can't hash-partition, and
+    # Spark degrades to a nested-loop over dirty x master (measured
+    # 3.4x at 10x with the column form); with a literal modulus each
+    # side computes its own key map-side and the join is a plain
+    # shuffle hash join. max(.,1) guards the empty-master modulus
+    # under ANSI.
+    b = max(master.count(), 1)
+    dh = F.conv(
+        F.substring(F.md5(F.concat(F.lit("u"), F.col("dirty_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    mh = F.conv(
+        F.substring(F.md5(F.concat(F.lit("v"), F.col("master_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    smpl = comparators(
+        dirty.join(master, F.pmod(dh, F.lit(b)) == F.pmod(mh, F.lit(b)))
+    )
+    ustats = smpl.agg(
+        F.count("*").alias("nu"),
+        *[F.sum(f"a_{f}").alias(f"au_{f}") for f in fields],
+    )
+    params = mstats.crossJoin(ustats)
 
     def weight(f: str):
         agree_ratio = (
@@ -411,7 +509,15 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("decimal(18,9)")
 
-    scored = agrees.crossJoin(F.broadcast(params)).select(
+    # score the candidates AND the control sample (labeled by origin):
+    # the sample rows put the score distribution's non-match side on the
+    # output -- the threshold-validation view linkers report
+    keep = ["origin", "is_match", "a_name", "a_brand", "a_type", "a_size"]
+    pairs = agrees.withColumn("origin", F.lit("candidate")).select(
+        *keep
+    ).unionByName(smpl.withColumn("origin", F.lit("sample")).select(*keep))
+    scored = pairs.crossJoin(F.broadcast(params)).select(
+        "origin",
         "is_match",
         (weight("name") + weight("brand") + weight("type") + weight("size")).alias(
             "s"
@@ -424,7 +530,7 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("s") <= -2.0, "non-link")
             .otherwise("possible"),
         )
-        .groupBy("decision")
+        .groupBy("origin", "decision")
         .agg(
             F.count("*").cast("bigint").alias("n_pairs"),
             F.sum("is_match").cast("bigint").alias("n_true_matches"),

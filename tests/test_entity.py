@@ -1,22 +1,87 @@
-"""Fuzzy entity resolution (queries/entity.py)."""
+"""Fuzzy entity resolution (queries/entity.py, operators/er_blocking.py)."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings
-from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 
-@given(
-    st.text(alphabet="abcdefgh #0123456789", min_size=5, max_size=30),
-    st.data(),
-)
-@settings(max_examples=200, deadline=None)
-def test_blocking_keys_complete_for_single_deletion(name, data):
-    """The documented recall guarantee: for len >= 5, ANY single-char
-    deletion preserves the 2-char prefix or the 2-char suffix."""
-    pos = data.draw(st.integers(0, len(name) - 1))
-    dirty = name[:pos] + name[pos + 1 :]
-    assert dirty[:2] == name[:2] or dirty[-2:] == name[-2:]
+def test_deletion1_variants_complete_for_single_deletion(spark):
+    """The recall contract of the deletion-1 neighborhood: for EVERY
+    (name, deletion position), the dirty string is a member of the
+    name's variant array -- checked through the actual Spark Column
+    implementation over a deterministic sweep of names (mixed alphabet,
+    spaces, unicode, repeats) and every position."""
+    from gmail_bigquery_etl_spark.operators.er_blocking import (
+        deletion1_variants,
+    )
+
+    names = [
+        "a",
+        "ab",
+        "aa",
+        "small ring",
+        "red  widget",
+        " lead pad",
+        "x" * 30,
+        "naïve café",
+        "tab\tsep",
+    ]
+    rows = [
+        (n, n[:p] + n[p + 1 :])
+        for n in names
+        for p in range(len(n))
+    ]
+    df = spark.createDataFrame(rows, "name string, dirty string")
+    bad = df.where(
+        ~F.array_contains(deletion1_variants("name"), F.col("dirty"))
+    ).count()
+    assert bad == 0
+    # the identity variant is always present too (deletion distance 0)
+    bad0 = (
+        spark.createDataFrame([(n,) for n in names + [""]], "name string")
+        .where(~F.array_contains(deletion1_variants("name"), F.col("name")))
+        .count()
+    )
+    assert bad0 == 0
+
+
+def test_deletion1_block_cap_exclusion_exact(spark):
+    """The audited-exclusion contract (the LSH mega-bucket idiom): the
+    capped index plus the overcap audit partition the uncapped
+    neighborhood EXACTLY, and candidates lose exactly the over-cap
+    block's pairs."""
+    from gmail_bigquery_etl_spark.operators.er_blocking import (
+        deletion1_candidates,
+        deletion1_index,
+        deletion1_overcap_variants,
+    )
+
+    master = spark.createDataFrame(
+        [(1, "xa"), (2, "xb"), (3, "xc")], "master_id bigint, m_name string"
+    )
+    # variant "x" is shared by all three masters (block 3)
+    over = deletion1_overcap_variants(master, "m_name", max_block=2).collect()
+    assert [(r._variant, r.block_size) for r in over] == [("x", 3)]
+    idx = deletion1_index(master, "m_name", max_block=2)
+    got = {(r.master_id, r._variant) for r in idx.collect()}
+    full = {
+        (mid, v)
+        for mid, name in [(1, "xa"), (2, "xb"), (3, "xc")]
+        for v in {name, name[1:], name[:1]}
+    }
+    # exact partition: capped index == full neighborhood minus the
+    # over-cap block's rows
+    assert got == full - {(1, "x"), (2, "x"), (3, "x")}
+    dirty = spark.createDataFrame(
+        [(10, "x"), (11, "xa")], "dirty_id bigint, d_name string"
+    )
+    cand = deletion1_candidates(
+        dirty, master, "d_name", "m_name", "dirty_id", "master_id", max_block=2
+    )
+    pairs = {(r.dirty_id, r.master_id) for r in cand.collect()}
+    # dirty "x" only reached masters through the excluded block -> no
+    # candidates; dirty "xa" still matches master 1 via variants "xa"/"a"
+    assert pairs == {(11, 1)}
 
 
 def test_fuzzy_match_recovers_typo(spark, tmp_path):
