@@ -164,8 +164,15 @@ def expectations_writer(
     other batches, and never double-append."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        clean, quarantined = split_quarantine(batch_df, expectations)
+        # pin the tagged frame ONCE: three consumers follow (quarantine
+        # write, clean write, metrics aggregate), and without the pin
+        # each action re-scans the micro-batch -- and a re-computed
+        # non-deterministic upstream could even make clean / quarantine
+        # / metrics mutually inconsistent within a batch. The checkpoint
+        # is O(batch) under the foreachBatch small-batch contract.
+        tagged = tag_violations(batch_df, expectations).localCheckpoint()
+        clean = tagged.where(F.size(_TAG) == 0).drop(_TAG)
+        quarantined = tagged.where(F.size(_TAG) > 0)
         qdir = os.path.join(sink_root, "quarantine", f"batch_id={batch_id}")
         cdir = os.path.join(sink_root, "clean", f"batch_id={batch_id}")
         mdir = os.path.join(sink_root, "metrics", f"batch_id={batch_id}")
@@ -173,8 +180,7 @@ def expectations_writer(
             _TAG, F.array_join(_TAG, ",")
         ).write.mode("overwrite").parquet(qdir)
         clean.write.mode("overwrite").parquet(cdir)
-        m = expectation_metrics(batch_df, expectations)
+        m = expectation_metrics(tagged.drop(_TAG), expectations)
         m.write.mode("overwrite").parquet(mdir)
-        _ = spark  # session is batch_df's; kept for symmetry with other sinks
 
     return apply_batch

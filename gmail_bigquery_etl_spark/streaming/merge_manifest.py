@@ -63,6 +63,43 @@ def _manifest_path(sink_root: str, batch_id: int) -> str:
     return os.path.join(sink_root, f"manifest_{batch_id}.json")
 
 
+def _commit_manifest(
+    sink_root: str, version: int, manifest: dict, exclusive: bool = False
+) -> None:
+    """Write manifest_{version}.json then swap the _CURRENT pointer.
+
+    ``exclusive=True`` makes the manifest FILE the commit arbiter
+    (Delta's put-if-absent protocol): the json is staged to a tmp name
+    and published with ``os.link``, which fails atomically if another
+    writer already committed this version -- closing the check-then-swap
+    race where two DMLs reading the same base both pass the conflict
+    check and the later ``os.replace`` silently swallows the first
+    commit. On conflict the staged tmp is removed and
+    CommitConflictError raised; the caller's staged data dirs become
+    unreferenced garbage vacuum reclaims."""
+    path = _manifest_path(sink_root, version)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    if exclusive:
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            os.remove(tmp)
+            raise CommitConflictError(
+                f"concurrent commit detected: manifest_{version}.json "
+                f"already exists in {sink_root}; re-run against the new "
+                "state"
+            ) from None
+        os.remove(tmp)
+    else:
+        os.replace(tmp, path)
+    ptmp = os.path.join(sink_root, _POINTER + ".tmp")
+    with open(ptmp, "w") as f:
+        f.write(f"manifest_{version}.json")
+    os.replace(ptmp, os.path.join(sink_root, _POINTER))
+
+
 def current_manifest(sink_root: str) -> dict | None:
     ptr = os.path.join(sink_root, _POINTER)
     if not os.path.exists(ptr):
@@ -260,18 +297,42 @@ def apply_merge_batch_bucketed(
     delete_col: str = "is_delete",
     n_buckets: int = 16,
     commit_ts: float | None = None,
+    stream_batch_id: int | None = None,
 ) -> None:
     """One partition-scoped merge generation. Reads ONLY the buckets the
-    batch's keys hash into, merges, writes them under
-    ``gen_{batch_id}``, and commits a manifest that points untouched
-    buckets at their existing dirs. ``n_buckets`` is fixed at sink
-    creation (the first commit records it; later calls must agree --
-    changing the bucket function would orphan every existing
-    assignment)."""
+    batch's keys hash into, merges, writes them under the new version's
+    ``gen_`` dir, and commits a manifest that points untouched buckets
+    at their existing dirs. ``n_buckets`` is fixed at sink creation (the
+    first commit records it; later calls must agree -- changing the
+    bucket function would orphan every existing assignment).
+
+    Replay guard vs version counter: foreachBatch ids and table VERSIONS
+    are independent sequences. Maintenance commits (delete_where /
+    update_where / evolve_bucket_spec / compact_manifest) allocate
+    version cur+1 WITHOUT a stream batch behind them, so a guard keyed
+    on the version counter would silently drop the stream's next
+    micro-batches as replays after any maintenance commit --
+    unrecoverable data loss. Streaming callers therefore pass
+    ``stream_batch_id``: the replay guard keys on the manifest's own
+    ``stream_batch_id`` field (the last APPLIED stream batch), and the
+    version id is allocated as cur+1 independently. Batch callers that
+    pass only ``batch_id`` keep the original id-is-version semantics
+    (guarded on the version counter, which is correct when nothing else
+    commits); every maintenance commit carries ``stream_batch_id``
+    forward so a later stream batch is never misjudged."""
     os.makedirs(sink_root, exist_ok=True)
     cur = current_manifest(sink_root)
+    if stream_batch_id is not None:
+        last_stream = (
+            cur.get("stream_batch_id", cur["batch_id"])
+            if cur is not None
+            else None
+        )
+        if last_stream is not None and stream_batch_id <= last_stream:
+            return
+        batch_id = cur["batch_id"] + 1 if cur is not None else stream_batch_id
     if cur is not None:
-        if batch_id <= cur["batch_id"]:
+        if stream_batch_id is None and batch_id <= cur["batch_id"]:
             return
         if cur["n_buckets"] != n_buckets:
             raise ValueError(
@@ -424,14 +485,16 @@ def apply_merge_batch_bucketed(
     }
     if new_legacy is not None:
         manifest["legacy"] = new_legacy
-    tmp = _manifest_path(sink_root, batch_id) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, _manifest_path(sink_root, batch_id))
-    tmp = os.path.join(sink_root, _POINTER + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(f"manifest_{batch_id}.json")
-    os.replace(tmp, os.path.join(sink_root, _POINTER))
+    # the stream high-water mark: this batch's id if streamed, else
+    # carried forward so maintenance commits never reset it
+    carried = (
+        stream_batch_id
+        if stream_batch_id is not None
+        else (cur.get("stream_batch_id") if cur is not None else None)
+    )
+    if carried is not None:
+        manifest["stream_batch_id"] = carried
+    _commit_manifest(sink_root, batch_id, manifest)
 
 
 def evolve_bucket_spec(
@@ -477,14 +540,9 @@ def evolve_bucket_spec(
             "buckets": dict(cur["buckets"]),
         },
     }
-    tmp = _manifest_path(sink_root, new_id) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, _manifest_path(sink_root, new_id))
-    tmp = os.path.join(sink_root, _POINTER + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(f"manifest_{new_id}.json")
-    os.replace(tmp, os.path.join(sink_root, _POINTER))
+    if cur.get("stream_batch_id") is not None:
+        manifest["stream_batch_id"] = cur["stream_batch_id"]
+    _commit_manifest(sink_root, new_id, manifest, exclusive=True)
     return new_id
 
 
@@ -643,12 +701,32 @@ def forget_keys_bucketed(
     keep their bytes -- test-asserted). Returns {dir: rows_removed}.
 
     Same non-atomic per-dir swap caveat as merge_sink.forget_keys:
-    quiesce writers first."""
+    quiesce writers first.
+
+    SHALLOW CLONES ARE REFUSED: a shallow clone's manifests reference
+    the SOURCE sink's bucket dirs by absolute path, and rewriting those
+    in place would silently delete rows from the source table (whose
+    own manifests still reference the same dirs) -- cross-sink data
+    loss, not erasure. Erase on a deep clone, or run compact_manifest
+    first so every live dir is local; pre-clone history manifests that
+    still hold absolute refs must be vacuumed before erasure can be
+    total."""
     import shutil
 
     any_manifest = current_manifest(sink_root)
     if any_manifest is None:
         raise ValueError(f"no committed manifest in {sink_root}")
+    for v in list_manifest_versions(sink_root):
+        m = _load_manifest(sink_root, v)
+        if any(os.path.isabs(d) for d in _all_bucket_dirs(m)):
+            raise ValueError(
+                f"retained manifest {v} in {sink_root} references "
+                "bucket dirs outside this sink (a shallow clone); "
+                "erasing in place would delete rows from the SOURCE "
+                "table. Deep-clone instead, or compact_manifest + "
+                "vacuum_manifests so every retained dir is local, then "
+                "retry."
+            )
     keys = any_manifest["keys"]
     # cast probe keys to the STORED column types before hashing:
     # xxhash64 is type-sensitive, so a bigint literal probing an int
@@ -758,6 +836,10 @@ def start_bucketed_merge_apply(
     spark = changes_stream.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # stream_batch_id (not the version counter) keys the replay
+        # guard: maintenance commits interleaved with the stream bump
+        # versions past foreachBatch ids, and a version-keyed guard
+        # would then drop live batches as replays
         apply_merge_batch_bucketed(
             spark,
             batch_df,
@@ -766,6 +848,7 @@ def start_bucketed_merge_apply(
             keys,
             delete_col=delete_col,
             n_buckets=n_buckets,
+            stream_batch_id=batch_id,
         )
 
     writer = changes_stream.writeStream.foreachBatch(apply_batch).option(
@@ -987,14 +1070,7 @@ def clone_manifest(
             "n_buckets": mft["legacy"]["n_buckets"],
             "buckets": lmap,
         }
-    tmp = _manifest_path(dst_root, 0) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, _manifest_path(dst_root, 0))
-    tmp = os.path.join(dst_root, _POINTER + ".tmp")
-    with open(tmp, "w") as f:
-        f.write("manifest_0.json")
-    os.replace(tmp, os.path.join(dst_root, _POINTER))
+    _commit_manifest(dst_root, 0, manifest)
     return 0
 
 
@@ -1139,11 +1215,18 @@ def _dml_commit(
     }
     if new_legacy is not None:
         manifest["legacy"] = new_legacy
+    if cur.get("stream_batch_id") is not None:
+        manifest["stream_batch_id"] = cur["stream_batch_id"]
     # optimistic concurrency: the rewrite was computed against
     # cur["batch_id"]'s state; if any other writer committed while this
     # DML scanned/rewrote, blindly swapping the pointer would silently
     # DISCARD that commit (lost update). Delta raises
-    # ConcurrentModificationException here; so do we.
+    # ConcurrentModificationException; here the manifest FILE is the
+    # commit arbiter -- _commit_manifest publishes manifest_{new_id}
+    # with an exclusive link, so two DMLs racing from the same base
+    # version cannot both commit (check-then-swap alone would let the
+    # later os.replace silently swallow the earlier commit). The
+    # pointer pre-check below keeps the common case loud and cheap.
     latest = current_manifest(sink_root)
     if latest is not None and latest["batch_id"] != cur["batch_id"]:
         raise CommitConflictError(
@@ -1151,14 +1234,7 @@ def _dml_commit(
             f"{cur['batch_id']} but the pointer now names version "
             f"{latest['batch_id']}; re-run the DML against the new state"
         )
-    tmp = _manifest_path(sink_root, new_id) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, _manifest_path(sink_root, new_id))
-    tmp = os.path.join(sink_root, _POINTER + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(f"manifest_{new_id}.json")
-    os.replace(tmp, os.path.join(sink_root, _POINTER))
+    _commit_manifest(sink_root, new_id, manifest, exclusive=True)
     return {"version": new_id, "touched_buckets": rewritten}
 
 

@@ -927,3 +927,110 @@ def test_bucketed_schema_evolution_three_generations(spark, tmp_path):
     # point lookup backfills too, wherever the key lives
     row = read_manifest_point_lookup(spark, root, {"k": 1}).collect()
     assert len(row) == 1 and row[0].v == "a" and row[0].score is None
+
+
+# --- stream-vs-maintenance version independence (r8) --------------------------
+
+
+def test_stream_replay_guard_survives_maintenance_commits(spark, tmp_path):
+    """Stream batch ids and table versions are independent sequences:
+    a maintenance DML commit between micro-batches bumps the version
+    counter PAST the stream's next batch id, and a version-keyed replay
+    guard would then silently drop live batches. The stream_batch_id
+    field keys the guard instead: post-DML batches land, true replays
+    still no-op."""
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        delete_where,
+    )
+
+    root = str(tmp_path / "stream_vs_dml")
+    b0 = spark.createDataFrame(
+        [(1, "a", False), (2, "b", False), (3, "c", False)], SCHEMA
+    )
+    apply_merge_batch_bucketed(
+        spark, b0, 0, root, ["k"], n_buckets=4, commit_ts=10.0,
+        stream_batch_id=0,
+    )
+    # maintenance commits: version counter advances without the stream
+    delete_where(spark, root, "k = 3", commit_ts=20.0)
+    delete_where(spark, root, "k = 999", commit_ts=30.0)
+    assert current_manifest(root)["batch_id"] == 2
+    # the stream's NEXT micro-batch (id 1 <= version 2) must still land
+    b1 = spark.createDataFrame([(4, "d", False)], SCHEMA)
+    apply_merge_batch_bucketed(
+        spark, b1, 1, root, ["k"], n_buckets=4, commit_ts=40.0,
+        stream_batch_id=1,
+    )
+    assert _state(read_manifest_as_of(spark, root)) == {
+        1: "a", 2: "b", 4: "d"
+    }
+    cur = current_manifest(root)
+    assert cur["batch_id"] == 3 and cur["stream_batch_id"] == 1
+    # a TRUE replay of stream batch 1 (crash-window redelivery) no-ops
+    b1_replay = spark.createDataFrame([(4, "DUP", False)], SCHEMA)
+    apply_merge_batch_bucketed(
+        spark, b1_replay, 1, root, ["k"], n_buckets=4, commit_ts=50.0,
+        stream_batch_id=1,
+    )
+    assert current_manifest(root)["batch_id"] == 3
+    assert _state(read_manifest_as_of(spark, root))[4] == "d"
+    # maintenance carries the stream high-water mark forward
+    delete_where(spark, root, "k = 1", commit_ts=60.0)
+    assert current_manifest(root)["stream_batch_id"] == 1
+
+
+def test_forget_keys_refuses_shallow_clone(spark, tmp_path):
+    """RTBF on a SHALLOW clone would rewrite the SOURCE sink's bucket
+    dirs in place (clone manifests hold absolute source paths) --
+    cross-sink data loss. forget_keys_bucketed must refuse; a deep
+    clone erases fine and the source keeps its rows."""
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        clone_manifest,
+        forget_keys_bucketed,
+    )
+
+    src = str(tmp_path / "src")
+    shallow = str(tmp_path / "shallow")
+    deep = str(tmp_path / "deep")
+    _mk_sink(spark, src, n=20, n_buckets=4)
+    clone_manifest(spark, src, shallow, commit_ts=2.0)
+    clone_manifest(spark, src, deep, deep=True, commit_ts=2.0)
+    with pytest.raises(ValueError, match="outside this sink"):
+        forget_keys_bucketed(spark, shallow, [(7,)])
+    # source untouched by the refused call
+    assert read_manifest_as_of(spark, src).where("k = 7").count() == 1
+    # deep clone erases locally; source still keeps the key
+    removed = forget_keys_bucketed(spark, deep, [(7,)])
+    assert sum(removed.values()) == 1
+    assert read_manifest_as_of(spark, deep).where("k = 7").count() == 0
+    assert read_manifest_as_of(spark, src).where("k = 7").count() == 1
+
+
+def test_dml_exclusive_manifest_commit_blocks_same_version_race(
+    spark, tmp_path
+):
+    """The manifest FILE is the commit arbiter: if a racing writer has
+    already published manifest_{new_id}.json (but not yet swapped the
+    pointer -- the window the pointer pre-check cannot see), the DML's
+    exclusive link must refuse rather than silently overwrite the
+    racer's commit."""
+    import json
+
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        CommitConflictError,
+        _manifest_path,
+        delete_where,
+    )
+
+    root = str(tmp_path / "dml_excl")
+    _mk_sink(spark, root, n=20, n_buckets=4)
+    # simulate the racer: manifest_1.json exists, pointer still at 0
+    racer = dict(current_manifest(root))
+    racer["batch_id"] = 1
+    with open(_manifest_path(root, 1), "w") as f:
+        json.dump(racer, f)
+    with pytest.raises(CommitConflictError, match="already exists"):
+        delete_where(spark, root, "k = 3", commit_ts=9.0)
+    # the racer's manifest content survived untouched
+    with open(_manifest_path(root, 1)) as f:
+        assert json.load(f)["buckets"] == racer["buckets"]
