@@ -36,10 +36,15 @@ WITH baskets AS (
   SELECT DISTINCT o.o_custkey AS cust, l.l_partkey % 500 AS item
   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 ),
-item_n AS (SELECT item, COUNT(*) AS cnt FROM baskets GROUP BY item),
+capped AS (
+  SELECT cust, item FROM (
+    SELECT cust, item, COUNT(*) OVER (PARTITION BY cust) AS bsz FROM baskets
+  ) WHERE bsz <= 64
+),
+item_n AS (SELECT item, COUNT(*) AS cnt FROM capped GROUP BY item),
 pair_n AS (
   SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_both
-  FROM baskets a JOIN baskets b ON a.cust = b.cust AND a.item <> b.item
+  FROM capped a JOIN capped b ON a.cust = b.cust AND a.item <> b.item
   GROUP BY 1, 2
 ),
 sim AS (
@@ -83,11 +88,18 @@ def orders_item_cf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     item-item cosine CF over purchase baskets (parts bucketed mod 500 so
     the catalog co-occurs at fixture scale).
 
-    Plan: baskets (one distinct shuffle) -> per-item counts (broadcast
-    dim) -> co-occurrence pairs via self-equi-join ON CUSTOMER (fan-out
-    bounded by basket size^2, never corpus^2) -> min-support cut ->
-    scoring equi-join of histories x similarity rows -> one (cust, item)
-    aggregate -> anti-join history -> per-customer top-3 window over
+    Plan: baskets (one distinct shuffle) -> per-customer BASKET CAP
+    (standard CF practice: customers with > 64 distinct items are
+    excluded from the co-occurrence STATISTICS -- a mega-basket
+    contributes basket^2 pairs and is the one skew hotspot of the
+    self-join; the capped basket set IS the vector space, so item
+    counts and cosine stay consistent, and capped customers still
+    RECEIVE recommendations through the uncapped history/scoring path)
+    -> per-item counts (broadcast dim) -> co-occurrence pairs via
+    self-equi-join ON CUSTOMER (fan-out bounded by 64^2 per customer,
+    never corpus^2) -> min-support cut -> scoring equi-join of
+    histories x similarity rows -> one (cust, item) aggregate ->
+    anti-join history -> per-customer top-3 window over
     O(candidates-per-customer) rows, no global sort. Similarities
     quantize to DECIMAL(18,6) before the score SUM so the aggregate is
     addition-order-free; ranks carry a rec_item tiebreaker."""
@@ -101,11 +113,20 @@ def orders_item_cf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    item_n = baskets.groupBy("item").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window as W
+
+    capped = (
+        baskets.withColumn(
+            "_bsz", F.count("*").over(W.partitionBy("cust"))
+        )
+        .filter(F.col("_bsz") <= 64)
+        .drop("_bsz")
+    )
+    item_n = capped.groupBy("item").agg(F.count("*").alias("cnt"))
     pair_n = (
-        baskets.alias("a")
+        capped.alias("a")
         .join(
-            baskets.alias("b"),
+            capped.alias("b"),
             (F.col("a.cust") == F.col("b.cust"))
             & (F.col("a.item") != F.col("b.item")),
         )
@@ -152,8 +173,6 @@ def orders_item_cf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["cust", "rec_item"],
         "left_anti",
     )
-    from pyspark.sql import Window as W
-
     rank = F.row_number().over(
         W.partitionBy("cust").orderBy(F.col("score6").desc(), F.col("rec_item"))
     )

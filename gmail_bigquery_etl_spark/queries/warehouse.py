@@ -2824,3 +2824,355 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         noise.alias("laplace_noise"),
         F.lit(0.5).alias("epsilon"),
     )
+
+
+_FORGET_KEYS = [7, 14, 21, 28, 35, 42, 49]
+
+
+@query(
+    "warehouse_forget_keys",
+    oracle="""
+WITH sums AS (
+  SELECT o_custkey AS k,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s0,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s1,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS s2,
+    COUNT(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 END) AS n0,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1999-01-01' THEN 1 END) AS n1,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 END) AS n2
+  FROM orders GROUP BY 1
+),
+v0 AS (SELECT k, s0 AS bal FROM sums WHERE n0 > 0),
+v1 AS (
+  SELECT k, CASE WHEN n1 > 0 THEN s1 ELSE s0 END AS bal
+  FROM sums
+  WHERE (n0 > 0 OR n1 > 0)
+    AND NOT (n1 > 0 AND k % 10 = 0)
+),
+v2 AS (
+  SELECT k, CASE WHEN n2 > 0 THEN s2 WHEN n1 > 0 THEN s1 ELSE s0 END AS bal
+  FROM sums
+  WHERE NOT (n2 = 0 AND n1 > 0 AND k % 10 = 0)
+),
+erased AS (
+  SELECT 0 AS version, k, bal FROM v0 WHERE k NOT IN (7,14,21,28,35,42,49)
+  UNION ALL
+  SELECT 1, k, bal FROM v1 WHERE k NOT IN (7,14,21,28,35,42,49)
+  UNION ALL
+  SELECT 2, k, bal FROM v2 WHERE k NOT IN (7,14,21,28,35,42,49)
+)
+SELECT CAST(version AS BIGINT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN k IN (7,14,21,28,35,42,49) THEN 1 END)
+            AS BIGINT) AS n_forgotten_left,
+       CAST(CAST(SUM(bal) AS DECIMAL(38,4)) AS VARCHAR) AS total_bal
+FROM erased GROUP BY 1
+""",
+)
+def warehouse_forget_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten gated end-to-end: three CDC generations
+    land through the partition-scoped manifest sink, then
+    ``forget_keys_bucketed`` erases a fixed custkey set RETROACTIVELY --
+    rewriting only the bucket dirs the keys hash into, across EVERY
+    retained manifest. The gate reads back every retained version after
+    erasure and audits it: the forgotten keys are gone from all of
+    history (n_forgotten_left pins 0 per version), while every other
+    row of every version is untouched (row counts + fixed-scale balance
+    sums hash against the relational per-version spec minus the key
+    set). Complements the pytest contracts (tests/test_merge_manifest
+    pins which dirs rewrite and that shallow clones are refused);
+    this row puts the erasure SEMANTICS under the driver's hash gate.
+    At 100 TB the erase is O(generations x affected buckets) I/O --
+    the buckets the key set hashes into -- never a table rewrite."""
+    from ..streaming.merge_manifest import (
+        apply_merge_batch_bucketed,
+        forget_keys_bucketed,
+        read_manifest_as_of,
+    )
+
+    root = _sink_root("forget", sf_dir)
+    for i, b in enumerate(_time_travel_batches(spark, sf_dir)):
+        apply_merge_batch_bucketed(
+            spark, b, i, root, ["k"], n_buckets=16, commit_ts=1000.0 * (i + 1)
+        )
+    forget_keys_bucketed(spark, root, [(k,) for k in _FORGET_KEYS])
+    parts = []
+    for v in (0, 1, 2):
+        state = read_manifest_as_of(spark, root, v)
+        parts.append(
+            state.groupBy(F.lit(v).cast("bigint").alias("version")).agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.count(
+                    F.when(F.col("k").isin(_FORGET_KEYS), 1)
+                ).cast("bigint").alias("n_forgotten_left"),
+                F.sum("bal")
+                .cast("decimal(38,4)")
+                .cast("string")
+                .alias("total_bal"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "warehouse_clone_diff",
+    oracle="""
+WITH sums AS (
+  SELECT o_custkey AS k,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s0,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s1,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS s2,
+    COUNT(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 END) AS n0,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1999-01-01' THEN 1 END) AS n1,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 END) AS n2
+  FROM orders GROUP BY 1
+),
+v1f AS (
+  SELECT k, CASE WHEN n1 > 0 THEN s1 ELSE s0 END AS bal
+  FROM sums
+  WHERE (n0 > 0 OR n1 > 0)
+    AND NOT (n1 > 0 AND k % 10 = 0)
+),
+src AS (
+  SELECT k, CASE WHEN n2 > 0 THEN s2 WHEN n1 > 0 THEN s1 ELSE s0 END AS bal
+  FROM sums
+  WHERE NOT (n2 = 0 AND n1 > 0 AND k % 10 = 0)
+),
+clone AS (
+  SELECT k, CAST(s2 + 100 AS DECIMAL(28,4)) AS bal FROM sums WHERE k % 4 = 0
+  UNION ALL
+  SELECT k, bal FROM v1f WHERE k % 4 <> 0 AND k % 6 <> 0
+)
+SELECT COALESCE(s.k, c.k) AS c_custkey,
+       CAST(s.bal AS VARCHAR) AS src_bal,
+       CAST(c.bal AS VARCHAR) AS clone_bal
+FROM src s FULL JOIN clone c ON s.k = c.k
+WHERE s.bal IS DISTINCT FROM c.bal
+""",
+)
+def warehouse_clone_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLONE gated end-to-end: the source sink lands three CDC
+    generations, a SHALLOW clone is taken AT VERSION 1 (a metadata-only
+    commit -- the clone's manifest points at the source's bucket dirs),
+    the clone then receives its OWN merge batch (upserts for k%4==0 at
+    s2+100, deletes for k%6==0) while the source independently advances
+    to generation 2. The gate outputs the full source-vs-clone diff:
+    copy-on-write isolation means the clone's writes must not leak into
+    the source and the source's generation 2 must not appear in the
+    clone -- either leak changes rows on one side of the full join and
+    hash-fails. Zero-copy physics (no data bytes under the clone root
+    at clone time, loud breakage if the source is vacuumed past the
+    cloned version) are pytest-gated in tests/test_merge_manifest.py;
+    this row gates the ISOLATION SEMANTICS. Balances ship as
+    fixed-scale strings (the DECIMAL fetch-path rule)."""
+    from ..streaming.merge_manifest import (
+        apply_merge_batch_bucketed,
+        clone_manifest,
+        read_manifest_as_of,
+    )
+
+    batches = _time_travel_batches(spark, sf_dir)
+    src_root = _sink_root("clone_src", sf_dir)
+    clone_root = _sink_root("clone_dst", sf_dir)
+    for i, b in enumerate(batches[:2]):
+        apply_merge_batch_bucketed(
+            spark, b, i, src_root, ["k"], n_buckets=16,
+            commit_ts=1000.0 * (i + 1),
+        )
+    clone_manifest(spark, src_root, clone_root, version=1, commit_ts=2500.0)
+    # the source advances independently of the clone
+    apply_merge_batch_bucketed(
+        spark, batches[2], 2, src_root, ["k"], n_buckets=16, commit_ts=3000.0
+    )
+    # the clone takes its own divergent batch (copy-on-write: only the
+    # touched buckets materialize locally; untouched buckets keep
+    # pointing at the source's generation dirs)
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    sums = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(dec).cast("decimal(28,4)").alias("s2")
+    )
+    cb = sums.select(
+        "k",
+        F.when(
+            F.col("k") % 4 == 0,
+            (F.col("s2") + 100).cast("decimal(28,4)"),
+        ).alias("bal"),
+        (~(F.col("k") % 4 == 0)).alias("is_delete"),
+    ).where((F.col("k") % 4 == 0) | (F.col("k") % 6 == 0))
+    apply_merge_batch_bucketed(
+        spark, cb, 1, clone_root, ["k"], n_buckets=16, commit_ts=4000.0
+    )
+    src = read_manifest_as_of(spark, src_root).select(
+        F.col("k").alias("sk"), F.col("bal").alias("src_bal_d")
+    )
+    clone = read_manifest_as_of(spark, clone_root).select(
+        F.col("k").alias("ck"), F.col("bal").alias("clone_bal_d")
+    )
+    return (
+        src.join(clone, src["sk"] == clone["ck"], "full")
+        .where(~F.col("src_bal_d").eqNullSafe(F.col("clone_bal_d")))
+        .select(
+            F.coalesce("sk", "ck").alias("c_custkey"),
+            F.col("src_bal_d").cast("string").alias("src_bal"),
+            F.col("clone_bal_d").cast("string").alias("clone_bal"),
+        )
+    )
+
+
+@query(
+    "warehouse_schema_evolution",
+    oracle="""
+WITH sums AS (
+  SELECT o_custkey AS k,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s0,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+         AS DECIMAL(28,4)) AS s1,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS s2,
+    COUNT(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 END) AS n0,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1999-01-01' THEN 1 END) AS n1,
+    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 END) AS n2
+  FROM orders GROUP BY 1
+),
+v0 AS (
+  SELECT k, s0 AS bal, CAST(NULL AS BIGINT) AS n_orders,
+         CAST(NULL AS VARCHAR) AS seg
+  FROM sums WHERE n0 > 0
+),
+v1 AS (
+  SELECT k, CASE WHEN n1 > 0 THEN s1 ELSE s0 END AS bal,
+         CASE WHEN n1 > 0 THEN n0 + n1 END AS n_orders,
+         CAST(NULL AS VARCHAR) AS seg
+  FROM sums WHERE n0 > 0 OR n1 > 0
+),
+v2 AS (
+  SELECT k,
+         CASE WHEN n2 > 0 THEN s2 WHEN n1 > 0 THEN s1 ELSE s0 END AS bal,
+         CASE WHEN n2 > 0 THEN n0 + n1 + n2
+              WHEN n1 > 0 THEN n0 + n1 END AS n_orders,
+         CASE WHEN n2 > 0 THEN 'G' || CAST(k % 3 AS VARCHAR) END AS seg
+  FROM sums WHERE n0 > 0 OR n1 > 0 OR n2 > 0
+),
+audit AS (
+  SELECT 0 AS version, 2 AS n_cols, COUNT(*) AS n_rows,
+         CAST(CAST(SUM(bal) AS DECIMAL(38,4)) AS VARCHAR) AS total_bal,
+         CAST(NULL AS BIGINT) AS sum_orders,
+         CAST(NULL AS BIGINT) AS n_seg
+  FROM v0
+  UNION ALL
+  SELECT 1, 3, COUNT(*),
+         CAST(CAST(SUM(bal) AS DECIMAL(38,4)) AS VARCHAR),
+         CAST(SUM(n_orders) AS BIGINT), CAST(NULL AS BIGINT)
+  FROM v1
+  UNION ALL
+  SELECT 2, 4, COUNT(*),
+         CAST(CAST(SUM(bal) AS DECIMAL(38,4)) AS VARCHAR),
+         CAST(SUM(n_orders) AS BIGINT), CAST(COUNT(seg) AS BIGINT)
+  FROM v2
+)
+SELECT CAST(version AS BIGINT) AS version, CAST(n_cols AS BIGINT) AS n_cols,
+       CAST(n_rows AS BIGINT) AS n_rows, total_bal, sum_orders, n_seg
+FROM audit
+""",
+)
+def warehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-sink schema evolution gated end-to-end (the add-only
+    mergeSchema contract tests/test_merge.py:148 proves mechanically):
+    three CDC generations where generation 1 ADDS a column (n_orders)
+    and generation 2 adds another (seg), landed through the real flat
+    snapshot sink. Each retained version reads back with ITS OWN schema
+    (version 0 has 2 columns, never a phantom n_orders), and history
+    rows NULL-backfill the later columns at every affected version --
+    the audit pins column count, row count, fixed-scale balance sum,
+    the backfill-aware sum of the added column, and the non-null count
+    of the second addition, per version, against the relational spec.
+    A dropped column is rejected loudly (pytest-gated); this row gates
+    the EVOLUTION SEMANTICS under the driver hash."""
+    from ..streaming.merge_sink import apply_merge_batch, read_as_of
+
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    c1, c2 = "1997-01-01", "1999-01-01"
+    sums = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.when(F.col("o_orderdate") < c1, dec))
+        .cast("decimal(28,4)")
+        .alias("s0"),
+        F.sum(F.when(F.col("o_orderdate") < c2, dec))
+        .cast("decimal(28,4)")
+        .alias("s1"),
+        F.sum(dec).cast("decimal(28,4)").alias("s2"),
+        F.count(F.when(F.col("o_orderdate") < c1, 1)).alias("n0"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") >= c1) & (F.col("o_orderdate") < c2), 1
+            )
+        ).alias("n1"),
+        F.count(F.when(F.col("o_orderdate") >= c2, 1)).alias("n2"),
+    )
+    b0 = sums.where(F.col("n0") > 0).select(
+        "k", F.col("s0").alias("bal"), F.lit(False).alias("is_delete")
+    )
+    b1 = sums.where(F.col("n1") > 0).select(
+        "k",
+        F.col("s1").alias("bal"),
+        (F.col("n0") + F.col("n1")).cast("bigint").alias("n_orders"),
+        F.lit(False).alias("is_delete"),
+    )
+    b2 = sums.where(F.col("n2") > 0).select(
+        "k",
+        F.col("s2").alias("bal"),
+        (F.col("n0") + F.col("n1") + F.col("n2"))
+        .cast("bigint")
+        .alias("n_orders"),
+        F.concat(F.lit("G"), (F.col("k") % 3).cast("string")).alias("seg"),
+        F.lit(False).alias("is_delete"),
+    )
+    root = _sink_root("schema_evo", sf_dir)
+    for i, b in enumerate((b0, b1, b2)):
+        apply_merge_batch(
+            spark, b, i, root, ["k"], commit_ts=1000.0 * (i + 1)
+        )
+    parts = []
+    for v in (0, 1, 2):
+        state = read_as_of(spark, root, v)
+        parts.append(
+            state.groupBy(F.lit(v).cast("bigint").alias("version")).agg(
+                F.lit(len(state.columns)).cast("bigint").alias("n_cols"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("bal")
+                .cast("decimal(38,4)")
+                .cast("string")
+                .alias("total_bal"),
+                (
+                    F.sum("n_orders").cast("bigint")
+                    if "n_orders" in state.columns
+                    else F.lit(None).cast("bigint")
+                ).alias("sum_orders"),
+                (
+                    F.count("seg").cast("bigint")
+                    if "seg" in state.columns
+                    else F.lit(None).cast("bigint")
+                ).alias("n_seg"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
