@@ -81,3 +81,89 @@ def scd2_from_events(
         .withColumn("effective_to", F.lead(ts_col).over(w))
         .withColumn("is_current", F.col("effective_to").isNull())
     )
+
+
+def compile_merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_set: dict[str, str] | None = None,
+    update_cond: str | None = None,
+    delete_cond: str | None = None,
+    insert_cond: str | None = None,
+) -> DataFrame:
+    """Compile Delta-style conditional MERGE INTO clauses to a CDC
+    post-image batch -- the missing half between ``merge_upsert`` (which
+    applies unconditional post-images) and full MERGE semantics:
+
+        MERGE INTO target t USING source s ON <keys>
+        WHEN MATCHED AND <delete_cond> THEN DELETE
+        WHEN MATCHED AND <update_cond> THEN UPDATE SET <update_set>
+        WHEN NOT MATCHED AND <insert_cond> THEN INSERT *
+
+    Returns a batch with the TARGET's columns plus ``is_delete``,
+    consumable verbatim by apply_merge_batch / apply_merge_batch_bucketed
+    -- so conditional MERGE lowers onto the same partition-scoped commit
+    path as plain CDC, touching only the buckets the produced post-images
+    hash into. Matched rows captured by NO clause produce NO post-image
+    (the sink keeps them untouched -- exactly Delta's semantics, and the
+    property that makes the lowering partition-scoped rather than a
+    table rewrite).
+
+    Conditions / SET expressions are SQL strings over aliases ``t``
+    (target) and ``s`` (source); clause order is DELETE before UPDATE
+    (first-match-wins). ``insert_cond`` defaults to all; INSERT takes the
+    source's values for the target's columns, so ``source`` must carry
+    every target column (post-image contract). The compile itself is one
+    inner join + one anti join, both shuffle-on-key; the source is a CDC
+    batch, so Catalyst/AQE broadcast it when small.
+    """
+    key_list = list(keys)
+    data_cols = target.columns
+    t, s = target.alias("t"), source.alias("s")
+    on = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in key_list]
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    matched = t.join(s, cond, "inner")
+    parts = []
+    not_deleted = (
+        ~F.expr(delete_cond) if delete_cond is not None else F.lit(True)
+    )
+    if delete_cond is not None:
+        parts.append(
+            matched.where(F.expr(delete_cond)).select(
+                *[F.col(f"t.{c}") for c in data_cols],
+                F.lit(True).alias("is_delete"),
+            )
+        )
+    if update_set is not None:
+        upd = matched.where(
+            not_deleted
+            & (F.expr(update_cond) if update_cond is not None else F.lit(True))
+        )
+        parts.append(
+            upd.select(
+                *[
+                    (
+                        F.expr(update_set[c]).alias(c)
+                        if c in update_set
+                        else F.col(f"t.{c}").alias(c)
+                    )
+                    for c in data_cols
+                ],
+                F.lit(False).alias("is_delete"),
+            )
+        )
+    inserts = s.join(t, cond, "left_anti")
+    if insert_cond is not None:
+        inserts = inserts.where(F.expr(insert_cond))
+    parts.append(
+        inserts.select(
+            *[F.col(c) for c in data_cols], F.lit(False).alias("is_delete")
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2428,3 +2428,124 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cusum_ratio"
         ),
     )
+
+
+@query(
+    "events_mad_anomaly",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+sized AS (
+  SELECT event_type, hr, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, hr) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+med AS (
+  SELECT event_type, x AS med FROM sized WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT s.event_type, s.hr, s.x, m.med, ABS(s.x - m.med) AS d
+  FROM sized s JOIN med m ON m.event_type = s.event_type
+),
+dsized AS (
+  SELECT event_type, hr, x, med, d,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d, hr) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, d AS mad FROM dsized WHERE rn = (n + 1) // 2
+),
+flagged AS (
+  SELECT v.event_type, v.hr, v.x, v.med, a.mad,
+         CASE WHEN v.d * 10000 > 44478 * a.mad THEN 1 ELSE 0 END AS is_anom
+  FROM dev v JOIN mad a ON a.event_type = v.event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(MAX(med) AS BIGINT) AS med,
+       CAST(MAX(mad) AS BIGINT) AS mad,
+       CAST(SUM(is_anom) AS BIGINT) AS n_anomalies,
+       CAST(strftime(MIN(CASE WHEN is_anom = 1 THEN hr END),
+                     '%Y-%m-%d %H:00') AS VARCHAR) AS first_anomaly
+FROM flagged GROUP BY 1
+""",
+)
+def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection by median absolute deviation (the
+    Hampel filter's test statistic): per event type, hours where
+    |x - median| > 3 * 1.4826 * MAD. Complements the rolling z-score
+    monitor (mean/stddev are themselves dragged by the outliers they
+    should flag -- masking; median/MAD have a 50% breakdown point) and
+    CUSUM (level shifts vs point outliers).
+
+    agg_mad_robust is the dispersion-profiling sibling (per-group MAD
+    outlier counts over orders via interpolated percentiles); this is
+    the TIME-SERIES monitor form with an exact-integer contract and a
+    first-alarm timestamp.
+
+    Exactness: 'median' is the LOWER median by rank ((n+1)//2 over a
+    (value, hour) total order) -- a member of the data, never an
+    interpolated float, so med and MAD are exact integers and the
+    Hampel test is the integer comparison d * 10000 > 44478 * mad
+    (4.4478 = 3 * 1.4826 scaled) -- no float enters the query at all.
+    Plan: one (type, hour) aggregate, two rank windows partitioned by
+    type (no global sort), two O(types) broadcast joins, one final
+    rollup -- scan-bound and linear; the rank-median costs one sort of
+    each type's hours, the same shape the winsorized/percentile family
+    already pays."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    wtype = W.partitionBy("event_type")
+    sized = hourly.select(
+        "event_type",
+        "hr",
+        "x",
+        F.row_number().over(wtype.orderBy("x", "hr")).alias("rn"),
+        F.count("*").over(wtype).alias("n"),
+    )
+    med = sized.where(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select("event_type", F.col("x").alias("med"))
+    dev = sized.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "hr",
+        "x",
+        "med",
+        F.abs(F.col("x") - F.col("med")).alias("d"),
+    )
+    dsized = dev.select(
+        "*",
+        F.row_number().over(wtype.orderBy("d", "hr")).alias("rn"),
+        F.count("*").over(wtype).alias("n"),
+    )
+    mad = dsized.where(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select("event_type", F.col("d").alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "hr",
+        "med",
+        "mad",
+        (F.col("d") * 10000 > 44478 * F.col("mad")).cast("int").alias(
+            "is_anom"
+        ),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.max("med").cast("bigint").alias("med"),
+        F.max("mad").cast("bigint").alias("mad"),
+        F.sum("is_anom").cast("bigint").alias("n_anomalies"),
+        F.date_format(
+            F.min(F.when(F.col("is_anom") == 1, F.col("hr"))),
+            "yyyy-MM-dd HH:00",
+        )
+        .cast("string")
+        .alias("first_anomaly"),
+    )

@@ -498,3 +498,132 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lo", 6).alias("ci_lo"),
         F.round("hi", 6).alias("ci_hi"),
     )
+
+
+@query(
+    "curation_mixture_allocation",
+    oracle="""
+WITH w(lang, wp) AS (
+  VALUES ('en', 400), ('de', 200), ('es', 150), ('fr', 150), ('zh', 100)
+),
+base AS (
+  SELECT lang, wp, (200 * wp) // 1000 AS q0, (200 * wp) % 1000 AS frac
+  FROM w
+),
+tot AS (SELECT 200 - SUM(q0) AS leftover FROM base),
+extras AS (
+  SELECT lang, q0, frac,
+         ROW_NUMBER() OVER (ORDER BY frac DESC, lang) AS r
+  FROM base
+),
+quota AS (
+  SELECT lang, q0 + CASE WHEN r <= tot.leftover THEN 1 ELSE 0 END AS quota
+  FROM extras CROSS JOIN tot
+),
+ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+),
+avail AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_avail FROM documents GROUP BY 1),
+picks AS (
+  SELECT r.lang, r.doc_id FROM ranked r JOIN quota q USING (lang)
+  WHERE r.rn <= q.quota
+)
+SELECT q.lang,
+       COALESCE(a.n_avail, 0) AS n_avail,
+       CAST(q.quota AS BIGINT) AS quota,
+       CAST(COUNT(p.doc_id) AS BIGINT) AS n_picked,
+       CAST(COALESCE(SUM(p.doc_id), 0) AS BIGINT) AS picked_checksum
+FROM quota q
+LEFT JOIN avail a ON a.lang = q.lang
+LEFT JOIN picks p ON p.lang = q.lang
+GROUP BY 1, 2, 3
+""",
+)
+def curation_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data MIXTURE allocation (the data-mixing step of every
+    LLM pipeline -- Pile/Dolma-style source weighting): a 200-document
+    sample is allocated across languages by target permille weights
+    (en 400 / de 200 / es 150 / fr 150 / zh 100) with LARGEST-REMAINDER
+    rounding (Hamilton's method: integer base quotas, the leftover seats
+    go to the largest fractional parts, ties broken by language), then
+    each language's quota is filled by deterministic md5-rank sampling
+    (uniform over the language's documents, replayable on any engine).
+    Output is the per-language allocation audit: available docs, quota,
+    picked count (quota unless the stratum is short -- shortfall is
+    reported, not silently redistributed), and the picked-id checksum
+    that pins the EXACT sample, not just its size. Complements
+    docs_domain_mixture (which derives temperature-based WEIGHTS from
+    the corpus): this takes target weights as given and gates the exact
+    integer seat allocation + the concrete picked sample.
+
+    Exactness: weights are integer permille so quotas are pure integer
+    arithmetic (// and % -- no float seat math), and the md5 rank
+    totally orders each stratum. Plan: one O(langs) weight dim (literal
+    VALUES / createDataFrame, broadcast), one per-language rank window,
+    one aggregate -- at 100 TB the rank window is the only corpus-sized
+    pass and partitions by stratum."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = 200
+    w = spark.createDataFrame(
+        [("en", 400), ("de", 200), ("es", 150), ("fr", 150), ("zh", 100)],
+        "lang string, wp int",
+    )
+    base = w.select(
+        "lang",
+        F.expr(f"({k} * wp) div 1000").alias("q0"),
+        (F.lit(k) * F.col("wp") % 1000).alias("frac"),
+    )
+    tot = base.agg((F.lit(k) - F.sum("q0")).alias("leftover"))
+    from pyspark.sql.window import Window as W
+
+    extras = base.withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("frac"), "lang"))
+    )
+    quota = extras.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        (
+            F.col("q0")
+            + F.when(F.col("r") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("quota"),
+    )
+    ranked = docs.select(
+        "lang",
+        "doc_id",
+        F.row_number()
+        .over(
+            W.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rn"),
+    )
+    avail = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_avail")
+    )
+    picks = ranked.join(F.broadcast(quota), "lang").where(
+        F.col("rn") <= F.col("quota")
+    )
+    return (
+        quota.join(avail, "lang", "left")
+        .join(
+            picks.groupBy("lang").agg(
+                F.count("*").cast("bigint").alias("n_picked"),
+                F.sum("doc_id").cast("bigint").alias("picked_checksum"),
+            ),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            F.coalesce("n_avail", F.lit(0)).cast("bigint").alias("n_avail"),
+            F.col("quota").cast("bigint").alias("quota"),
+            F.coalesce("n_picked", F.lit(0)).cast("bigint").alias("n_picked"),
+            F.coalesce("picked_checksum", F.lit(0))
+            .cast("bigint")
+            .alias("picked_checksum"),
+        )
+    )

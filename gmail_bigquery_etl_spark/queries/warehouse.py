@@ -3176,3 +3176,258 @@ def warehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "warehouse_merge_into",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p FROM orders
+),
+s AS (
+  SELECT k, 'N' AS st,
+         p * (CASE WHEN k % 2 = 0 THEN 1.05 ELSE 0.95 END) AS p
+  FROM t WHERE k % 3 = 0
+  UNION ALL
+  SELECT k + 10000000, 'N', p * 0.5 FROM t WHERE k % 50 = 0
+),
+matched AS (
+  SELECT t.k,
+         CASE WHEN s.p > t.p THEN 'U' ELSE t.st END AS st,
+         CASE WHEN s.p > t.p THEN s.p ELSE t.p END AS p
+  FROM t JOIN s ON s.k = t.k
+  WHERE NOT (s.p > 450000)
+),
+untouched AS (
+  SELECT t.k, t.st, t.p FROM t LEFT JOIN s ON s.k = t.k WHERE s.k IS NULL
+),
+inserted AS (
+  SELECT s.k, s.st, s.p FROM s LEFT JOIN t ON t.k = s.k
+  WHERE t.k IS NULL AND s.p < 100000
+),
+final AS (
+  SELECT * FROM matched UNION ALL SELECT * FROM untouched
+  UNION ALL SELECT * FROM inserted
+)
+SELECT st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(p, 4) AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM final GROUP BY 1
+""",
+)
+def warehouse_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE INTO gated end-to-end: Delta's clause semantics
+    (WHEN MATCHED AND cond THEN DELETE / WHEN MATCHED AND cond THEN
+    UPDATE SET / WHEN NOT MATCHED AND cond THEN INSERT) COMPILED to a
+    CDC post-image batch (operators/merge.compile_merge_into) and
+    applied through the partition-scoped manifest sink -- so conditional
+    MERGE rides the same touched-buckets-only commit path as plain CDC.
+    The source exercises every clause path: matched+delete (repriced
+    over 450k), matched+update (source price beats target),
+    matched+no-clause (source price lower -- the row must survive
+    UNTOUCHED, the property that keeps the lowering partition-scoped),
+    not-matched+insert (cheap new keys), not-matched+filtered-out.
+    The final state aggregates per status against the relational MERGE
+    spec; sums quantize to DECIMAL(18,4) (addition-order-free)."""
+    from ..operators.merge import compile_merge_into
+    from ..streaming.merge_manifest import (
+        apply_merge_batch_bucketed,
+        read_manifest_as_of,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    t0 = orders.select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("p"),
+    )
+    root = _sink_root("merge_into", sf_dir)
+    apply_merge_batch_bucketed(
+        spark,
+        t0.withColumn("is_delete", F.lit(False)),
+        0,
+        root,
+        ["k"],
+        n_buckets=16,
+        commit_ts=1000.0,
+    )
+    src = t0.where(F.col("k") % 3 == 0).select(
+        "k",
+        F.lit("N").alias("st"),
+        (
+            F.col("p")
+            * F.when(F.col("k") % 2 == 0, F.lit(1.05)).otherwise(F.lit(0.95))
+        ).alias("p"),
+    ).unionByName(
+        t0.where(F.col("k") % 50 == 0).select(
+            (F.col("k") + 10000000).alias("k"),
+            F.lit("N").alias("st"),
+            (F.col("p") * 0.5).alias("p"),
+        )
+    )
+    target_state = read_manifest_as_of(spark, root)
+    batch = compile_merge_into(
+        target_state,
+        src,
+        ["k"],
+        update_set={"st": "'U'", "p": "s.p"},
+        update_cond="s.p > t.p",
+        delete_cond="s.p > 450000",
+        insert_cond="s.p < 100000",
+    )
+    apply_merge_batch_bucketed(
+        spark, batch, 1, root, ["k"], n_buckets=16, commit_ts=2000.0
+    )
+    state = read_manifest_as_of(spark, root)
+    return state.groupBy(F.col("st").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round("p", 4).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+def _zorder_sql_interleave(x: str, y: str) -> str:
+    """16-bit Morton code of two 8-bit dims as portable integer
+    arithmetic ((v >> i) & 1 times a power-of-two constant -- DuckDB's
+    >>/& match Spark's shiftright/& exactly on BIGINT)."""
+    terms = []
+    for i in range(8):
+        terms.append(f"(({x} >> {i}) & 1) * {1 << (2 * i + 1)}")
+        terms.append(f"(({y} >> {i}) & 1) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+@query(
+    "warehouse_zorder_skipping",
+    oracle=f"""
+WITH pts AS (
+  SELECT o_orderkey AS k,
+         o_custkey % 256 AS x,
+         LEAST(CAST(FLOOR(o_totalprice / 2000) AS BIGINT), 255) AS y
+  FROM orders
+),
+coded AS (
+  SELECT k, x, y, {_zorder_sql_interleave('x', 'y')} AS z FROM pts
+),
+placed AS (
+  SELECT x, y,
+         NTILE(64) OVER (ORDER BY z, k) AS zfile,
+         NTILE(64) OVER (ORDER BY y, x, k) AS lfile
+  FROM coded
+),
+stats AS (
+  SELECT 'zorder' AS layout, zfile AS f, MIN(x) AS min_x, MAX(x) AS max_x,
+         MIN(y) AS min_y, MAX(y) AS max_y, COUNT(*) AS n_rows,
+         COUNT(CASE WHEN x BETWEEN 32 AND 47 AND y BETWEEN 32 AND 47
+                    THEN 1 END) AS n_match
+  FROM placed GROUP BY 1, 2
+  UNION ALL
+  SELECT 'linear', lfile, MIN(x), MAX(x), MIN(y), MAX(y), COUNT(*),
+         COUNT(CASE WHEN x BETWEEN 32 AND 47 AND y BETWEEN 32 AND 47
+                    THEN 1 END)
+  FROM placed GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(COUNT(CASE WHEN max_x >= 32 AND min_x <= 47
+                        AND max_y >= 32 AND min_y <= 47 THEN 1 END)
+            AS BIGINT) AS n_files_scanned,
+       CAST(SUM(CASE WHEN max_x >= 32 AND min_x <= 47
+                      AND max_y >= 32 AND min_y <= 47 THEN n_rows
+                ELSE 0 END) AS BIGINT) AS n_rows_scanned,
+       CAST(SUM(n_match) AS BIGINT) AS n_rows_matching
+FROM stats GROUP BY 1
+""",
+)
+def warehouse_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout vs linear sort, audited by min-max file skipping
+    (Delta's OPTIMIZE ZORDER BY rationale, made measurable): orders map
+    to a 256x256 grid (custkey bucket x price bucket), rows are packed
+    into 64 equal files either by 16-bit Morton code (bit-interleaved
+    x/y -- the space-filling curve that keeps BOTH dims locally dense)
+    or by the linear (y, x) sort, and each file records min/max per
+    dim -- exactly the footer stats a data-skipping reader prunes on.
+    For the 2-D box predicate (x,y in [32,47]^2) the audit reports files
+    scanned and rows read under each layout: the linear layout prunes
+    only its leading dim, so the box touches a stripe of files; the
+    Morton layout bounds every file in both dims and scans a fraction.
+    Same matching rows either way (layout is physical, never semantic)
+    -- asserting n_rows_matching equal across layouts is the
+    correctness half of the audit. layout_zorder_buckets measures the
+    same curve's ZONE SPANS per bucket; this query closes the loop to
+    the metric that matters -- files and rows actually skipped for a
+    concrete predicate, under both layouts.
+
+    Everything is exact integer arithmetic (shifts/masks both engines
+    define identically on BIGINT) and NTILE over a total order, so the
+    file assignment -- and therefore the skipping counts -- are
+    bit-reproducible cross-engine. At 100 TB this is the layout-advisor
+    family (layout_compaction_plan's sibling): the audit math is the
+    same metadata pass a real OPTIMIZE job runs before rewriting, and
+    the NTILE becomes a repartitionByRange on the Morton key."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_custkey") % 256).alias("x"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 2000).cast("bigint"), F.lit(255)
+        ).alias("y"),
+    )
+    z = None
+    for i in range(8):
+        xt = F.shiftleft(
+            F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        yt = F.shiftleft(
+            F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        z = xt + yt if z is None else z + xt + yt
+    coded = pts.withColumn("z", z)
+    placed = coded.select(
+        "x",
+        "y",
+        F.ntile(64).over(W.orderBy("z", "k")).alias("zfile"),
+        F.ntile(64).over(W.orderBy("y", "x", "k")).alias("lfile"),
+    )
+    in_box = (
+        F.col("x").between(32, 47) & F.col("y").between(32, 47)
+    )
+    stats = (
+        placed.groupBy(F.lit("zorder").alias("layout"), F.col("zfile").alias("f"))
+        .agg(
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+            F.count("*").alias("n_rows"),
+            F.count(F.when(in_box, 1)).alias("n_match"),
+        )
+        .unionByName(
+            placed.groupBy(
+                F.lit("linear").alias("layout"), F.col("lfile").alias("f")
+            ).agg(
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+                F.min("y").alias("min_y"),
+                F.max("y").alias("max_y"),
+                F.count("*").alias("n_rows"),
+                F.count(F.when(in_box, 1)).alias("n_match"),
+            )
+        )
+    )
+    overlaps = (
+        (F.col("max_x") >= 32)
+        & (F.col("min_x") <= 47)
+        & (F.col("max_y") >= 32)
+        & (F.col("min_y") <= 47)
+    )
+    return stats.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.count(F.when(overlaps, 1)).cast("bigint").alias("n_files_scanned"),
+        F.sum(F.when(overlaps, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_scanned"),
+        F.sum("n_match").cast("bigint").alias("n_rows_matching"),
+    )
