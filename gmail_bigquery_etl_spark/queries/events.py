@@ -2549,3 +2549,370 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("first_anomaly"),
     )
+
+
+@query(
+    "events_survival_km",
+    oracle="""
+WITH t0 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY 1
+),
+conv AS (
+  SELECT e.user_id, MIN(e.ts) AS tc
+  FROM events e JOIN t0 ON t0.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= t0.t0
+  GROUP BY 1
+),
+horizon AS (SELECT MAX(ts) AS tmax FROM events),
+durs AS (
+  SELECT t0.user_id,
+         CASE WHEN c.tc IS NOT NULL
+                AND CAST(FLOOR(date_diff('second', t0.t0, c.tc) / 3600.0) AS BIGINT) <= 120
+              THEN CAST(FLOOR(date_diff('second', t0.t0, c.tc) / 3600.0) AS BIGINT)
+              ELSE LEAST(120, CAST(FLOOR(date_diff('second', t0.t0, h.tmax) / 3600.0) AS BIGINT))
+         END AS dur,
+         CASE WHEN c.tc IS NOT NULL
+                AND CAST(FLOOR(date_diff('second', t0.t0, c.tc) / 3600.0) AS BIGINT) <= 120
+              THEN 1 ELSE 0 END AS e
+  FROM t0 LEFT JOIN conv c ON c.user_id = t0.user_id CROSS JOIN horizon h
+),
+per_t AS (
+  SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(e) AS BIGINT) AS d
+  FROM durs GROUP BY 1
+),
+risk AS (
+  SELECT dur, n_total, d,
+         SUM(n_total) OVER (ORDER BY dur DESC
+                            ROWS UNBOUNDED PRECEDING) AS n_risk
+  FROM per_t
+),
+terms AS (
+  SELECT dur, n_risk, d,
+         CASE WHEN d < n_risk
+              THEN CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+                        AS DECIMAL(18,9))
+              ELSE CAST(0 AS DECIMAL(18,9)) END AS lt,
+         CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS hit_zero
+  FROM risk
+),
+surv AS (
+  SELECT dur, n_risk, d,
+         SUM(lt) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS cum,
+         MAX(hit_zero) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS z
+  FROM terms
+)
+SELECT CAST(dur AS BIGINT) AS t_hours,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CASE WHEN z = 1 THEN 0.0
+            ELSE ROUND(exp(CAST(cum AS DOUBLE)), 6) END AS survival
+FROM surv WHERE d > 0
+""",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve (the product-limit estimator, 1958)
+    for time-to-first-purchase WITH CENSORING -- the analysis
+    events_time_to_convert cannot do: users who never purchase (or
+    purchase past the 120 h horizon) are right-censored at their
+    observed follow-up, not dropped, so the curve is unbiased where a
+    converters-only latency quantile is survivor-biased. S(t) =
+    prod_{t_i <= t} (1 - d_i / n_i) over event hours, with n_i the
+    at-risk count (duration >= t_i).
+
+    Relational shape: durations aggregate to ONE ROW PER DISTINCT HOUR
+    (<= 121 rows by the horizon), the at-risk counts are a reverse
+    cumulative sum window over that bounded table, and the product is
+    exp of a cumulative sum of 9dp-DECIMAL-quantized ln terms -- exact
+    associative addition, one libm ln/exp per step (the cross-engine
+    float rule). The d_i = n_i boundary (everyone remaining converts)
+    sets survival exactly 0 via a windowed flag instead of ln(0),
+    which the engines disagree on (NULL vs -inf). Plan: two user
+    aggregates, one bounded-table window pass -- corpus-sized work is
+    two shuffles on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t0, "user_id")
+        .where(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    horizon = ev.agg(F.max("ts").alias("tmax"))
+    dur_conv = F.floor(
+        (F.unix_timestamp("tc") - F.unix_timestamp("t0")) / 3600.0
+    ).cast("bigint")
+    dur_cens = F.least(
+        F.lit(120),
+        F.floor(
+            (F.unix_timestamp("tmax") - F.unix_timestamp("t0")) / 3600.0
+        ).cast("bigint"),
+    )
+    converted = F.col("tc").isNotNull() & (dur_conv <= 120)
+    durs = (
+        t0.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(converted, dur_conv).otherwise(dur_cens).alias("dur"),
+            F.when(converted, 1).otherwise(0).alias("e"),
+        )
+    )
+    per_t = durs.groupBy("dur").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum("e").cast("bigint").alias("d"),
+    )
+    wdesc = W.orderBy(F.desc("dur")).rowsBetween(W.unboundedPreceding, 0)
+    wasc = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    risk = per_t.withColumn("n_risk", F.sum("n_total").over(wdesc))
+    terms = risk.select(
+        "dur",
+        "n_risk",
+        "d",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")), 9
+            ).cast("decimal(18,9)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,9)"))
+        .alias("lt"),
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0).alias("hit_zero"),
+    )
+    surv = terms.select(
+        "dur",
+        "n_risk",
+        "d",
+        F.sum("lt").over(wasc).alias("cum"),
+        F.max("hit_zero").over(wasc).alias("z"),
+    )
+    return surv.where(F.col("d") > 0).select(
+        F.col("dur").cast("bigint").alias("t_hours"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.when(F.col("z") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum").cast("double")), 6))
+        .alias("survival"),
+    )
+
+
+@query(
+    "events_theil_sen_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(ROUND(CAST(b.x - a.x AS DOUBLE) / (b.d - a.d), 9)
+              AS DECIMAL(18,9)) AS slope,
+         a.d AS di, b.d AS dj
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope, di, dj) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM pairs
+),
+ts AS (
+  SELECT event_type, slope AS ts_slope FROM ranked WHERE rn = (n + 1) // 2
+),
+ols AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(d) AS sx, SUM(x) AS sy, SUM(d * x) AS sxy, SUM(d * d) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT o.event_type,
+       CAST(o.n AS BIGINT) AS n_days,
+       CAST(o.n * (o.n - 1) / 2 AS BIGINT) AS n_pairs,
+       ROUND(CAST(t.ts_slope AS DOUBLE), 6) AS ts_slope,
+       ROUND(CAST(o.n * o.sxy - o.sx * o.sy AS DOUBLE)
+             / (o.n * o.sxx - o.sx * o.sx), 6) AS ols_slope
+FROM ols o JOIN ts t ON t.event_type = o.event_type
+""",
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend (the median of all pairwise slopes --
+    29.3% breakdown point where OLS is broken by one bad day) over the
+    per-type daily volume series, reported beside the OLS slope so the
+    gate captures the robust-vs-classical gap on the same data. The
+    pair set is DAYS^2 within each type -- bounded by the time
+    dimension, which grows with calendar time, not corpus size, so the
+    quadratic is capped (30 days -> <= 435 pairs/type) however large
+    the event table; the corpus-sized work is the one daily aggregate.
+
+    Exactness: slopes are one double division quantized to 9dp DECIMAL,
+    the median is the LOWER median by rank under a (slope, day-pair)
+    total order (the events_mad_anomaly convention), and the OLS slope
+    is computed from EXACT INTEGER sums (n*Sxy - Sx*Sy over bigint
+    day-index/count products) with a single final double division --
+    no float accumulation anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.round(
+            (F.col("b.x") - F.col("a.x")).cast("double")
+            / (F.col("b.d") - F.col("a.d")),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("slope"),
+        F.col("a.d").alias("di"),
+        F.col("b.d").alias("dj"),
+    )
+    wtype = W.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wtype.orderBy("slope", "di", "dj")).alias("rn"),
+        F.count("*").over(wtype).alias("n"),
+    )
+    ts = ranked.where(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select("event_type", F.col("slope").alias("ts_slope"))
+    ols = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("sx"),
+        F.sum("x").alias("sy"),
+        F.sum(F.col("d") * F.col("x")).alias("sxy"),
+        F.sum(F.col("d") * F.col("d")).alias("sxx"),
+    )
+    return ols.join(F.broadcast(ts), "event_type").select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        (F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("n_pairs"),
+        F.round(F.col("ts_slope").cast("double"), 6).alias("ts_slope"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("ols_slope"),
+    )
+
+
+@query(
+    "events_ks_drift",
+    oracle="""
+WITH a AS (
+  SELECT value AS v FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+    AND ts < TIMESTAMP '2024-01-08'
+),
+b AS (
+  SELECT value AS v FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+    AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+),
+nn AS (SELECT (SELECT COUNT(*) FROM a) AS n, (SELECT COUNT(*) FROM b) AS m),
+per_v AS (
+  SELECT v, CAST(SUM(ca) AS BIGINT) AS ca_i, CAST(SUM(cb) AS BIGINT) AS cb_i
+  FROM (
+    SELECT v, 1 AS ca, 0 AS cb FROM a
+    UNION ALL
+    SELECT v, 0, 1 FROM b
+  ) GROUP BY v
+),
+cum AS (
+  SELECT v,
+         SUM(ca_i) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(cb_i) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+  FROM per_v
+)
+SELECT CAST(nn.n AS BIGINT) AS n_a,
+       CAST(nn.m AS BIGINT) AS n_b,
+       CAST(MAX(ABS(cum.ca * nn.m - cum.cb * nn.n)) AS BIGINT) AS ks_num,
+       ROUND(CAST(MAX(ABS(cum.ca * nn.m - cum.cb * nn.n)) AS DOUBLE)
+             / (nn.n * nn.m), 6) AS ks_stat,
+       CAST(MAX(ABS(cum.ca * nn.m - cum.cb * nn.n))
+              > 1.358 * sqrt(CAST(nn.n + nn.m AS DOUBLE) / (nn.n * nn.m))
+                * nn.n * nn.m AS BOOLEAN) AS drift_at_5pct
+FROM cum CROSS JOIN nn
+GROUP BY nn.n, nn.m
+""",
+)
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between week-1 and
+    week-2 purchase values, computed EXACTLY: D = max_v |F_A(v) -
+    F_B(v)| is evaluated as the integer max |ca*m - cb*n| over the
+    merged distinct values (cross-multiplied so no float division
+    enters the supremum), then scaled once for the reported statistic
+    and compared against the alpha=0.05 critical value c(alpha) *
+    sqrt((n+m)/nm) with c=1.358. Complements events_psi_drift: PSI is
+    binned (insensitive to within-bin shifts and bin-choice dependent);
+    KS is distribution-free and binning-free.
+
+    Plan: one filtered scan per week, a per-distinct-value aggregate,
+    ONE window pass over the distinct values (ordered by value -- the
+    sort is over the value domain, bounded by measurement resolution,
+    not row count), one global max. The windowed cumulative counts
+    are the two empirical CDFs materialized side by side."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    a = base.where(F.col("ts") < "2024-01-08").select(F.col("value").alias("v"))
+    b = base.where(
+        (F.col("ts") >= "2024-01-08") & (F.col("ts") < "2024-01-15")
+    ).select(F.col("value").alias("v"))
+    nn = a.agg(F.count("*").alias("n")).crossJoin(
+        b.agg(F.count("*").alias("m"))
+    )
+    per_v = (
+        a.select("v", F.lit(1).alias("ca"), F.lit(0).alias("cb"))
+        .unionByName(b.select("v", F.lit(0).alias("ca"), F.lit(1).alias("cb")))
+        .groupBy("v")
+        .agg(
+            F.sum("ca").cast("bigint").alias("ca_i"),
+            F.sum("cb").cast("bigint").alias("cb_i"),
+        )
+    )
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("ca_i").over(wv).alias("ca"),
+        F.sum("cb_i").over(wv).alias("cb"),
+    )
+    d = cum.crossJoin(F.broadcast(nn)).select(
+        "n",
+        "m",
+        F.abs(F.col("ca") * F.col("m") - F.col("cb") * F.col("n")).alias(
+            "dev"
+        ),
+    )
+    return d.groupBy("n", "m").agg(
+        F.max("dev").cast("bigint").alias("ks_num"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_a"),
+        F.col("m").cast("bigint").alias("n_b"),
+        "ks_num",
+        F.round(
+            F.col("ks_num").cast("double") / (F.col("n") * F.col("m")), 6
+        ).alias("ks_stat"),
+        (
+            F.col("ks_num")
+            > F.lit(1.358)
+            * F.sqrt(
+                (F.col("n") + F.col("m")).cast("double")
+                / (F.col("n") * F.col("m"))
+            )
+            * F.col("n")
+            * F.col("m")
+        ).alias("drift_at_5pct"),
+    )

@@ -3431,3 +3431,393 @@ def warehouse_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_rows_scanned"),
         F.sum("n_match").cast("bigint").alias("n_rows_matching"),
     )
+
+
+@query(
+    "warehouse_rendezvous_resharding",
+    oracle="""
+WITH users AS (
+  SELECT DISTINCT user_id AS u FROM events WHERE user_id IS NOT NULL
+),
+shards AS (SELECT i AS shard FROM generate_series(0, 8) g(i)),
+scores AS (
+  SELECT u, shard,
+         CAST(('0x' || substring(
+           md5(CAST(u AS VARCHAR) || ':' || CAST(shard AS VARCHAR)),
+           1, 15)) AS BIGINT) AS score
+  FROM users CROSS JOIN shards
+),
+old_pick AS (
+  SELECT u, shard AS old_shard FROM (
+    SELECT u, shard,
+           ROW_NUMBER() OVER (PARTITION BY u
+                              ORDER BY score DESC, shard) AS rn
+    FROM scores WHERE shard < 8
+  ) WHERE rn = 1
+),
+new_pick AS (
+  SELECT u, shard AS new_shard FROM (
+    SELECT u, shard,
+           ROW_NUMBER() OVER (PARTITION BY u
+                              ORDER BY score DESC, shard) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT n.new_shard,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(CASE WHEN o.old_shard <> n.new_shard THEN 1 END)
+            AS BIGINT) AS n_moved
+FROM new_pick n JOIN old_pick o ON o.u = n.u
+GROUP BY 1
+""",
+)
+def warehouse_rendezvous_resharding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing resharding audit
+    (Thaler & Ravishankar 1996 -- the assignment scheme behind
+    consistent-hashing-free shard maps): every user scores each shard
+    by md5(user:shard) and lands on its argmax. The gate grows the
+    cluster 8 -> 9 shards and reports, per new shard, how many users
+    landed there and how many MOVED: HRW's minimal-disruption theorem
+    says a user moves iff the NEW shard wins its argmax, so n_moved is
+    nonzero ONLY for shard 8 and ~1/9 of users in expectation -- a
+    wrong hash domain or tiebreak shows up as movement into an old
+    shard and hash-fails. This is the shard-rebalancing math a 100 TB
+    deployment runs before repartitioning a keyed store; modulo
+    hashing (pmod(hash, n)) would move ~8/9 of users on the same
+    transition.
+
+    Plan: users x 9-row shard dim (broadcast literal), two argmax rank
+    windows partitioned by user, one join + rollup -- linear, one
+    shuffle on user. Scores are the engine-portable md5-60bit integers
+    with a total (score, shard) order."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.where(F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("u"))
+        .distinct()
+    )
+    shards = spark.createDataFrame([(i,) for i in range(9)], "shard int")
+    scores = users.crossJoin(F.broadcast(shards)).select(
+        "u",
+        "shard",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("u").cast("string"),
+                        F.lit(":"),
+                        F.col("shard").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("score"),
+    )
+    wu = W.partitionBy("u").orderBy(F.desc("score"), "shard")
+    old_pick = (
+        scores.where(F.col("shard") < 8)
+        .withColumn("rn", F.row_number().over(wu))
+        .where(F.col("rn") == 1)
+        .select("u", F.col("shard").alias("old_shard"))
+    )
+    new_pick = (
+        scores.withColumn("rn", F.row_number().over(wu))
+        .where(F.col("rn") == 1)
+        .select("u", F.col("shard").alias("new_shard"))
+    )
+    return (
+        new_pick.join(old_pick, "u")
+        .groupBy("new_shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.count(
+                F.when(F.col("old_shard") != F.col("new_shard"), 1)
+            )
+            .cast("bigint")
+            .alias("n_moved"),
+        )
+    )
+
+
+@query(
+    "warehouse_ivm_join_view",
+    oracle="""
+WITH live AS (
+  SELECT o_custkey, o_totalprice FROM orders
+  WHERE NOT (o_orderdate < TIMESTAMP '1997-01-01' AND o_custkey % 7 = 0)
+)
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(l.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM live l JOIN customer c ON c.c_custkey = l.o_custkey
+GROUP BY 1
+""",
+)
+def warehouse_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN view: V = orders JOIN customer
+    GROUP BY nation, kept current under insert/retract deltas of ORDERS
+    by the delta-join rule dV = dOrders JOIN customer (Gupta-Mumick's
+    extension of the counting algorithm to SPJ views: a join with a
+    static dimension distributes over deltas, multiplicities carried
+    through). Each of the three delta generations (pre-1997 inserts;
+    1997-98 inserts plus a correction feed retracting pre-1997 orders
+    of custkey % 7 == 0; 1999+ inserts) is joined against the broadcast
+    customer dim BEFORE entering the counting sink -- the view never
+    re-scans the base table NOR re-joins history. The oracle recomputes
+    the final view from scratch over the surviving orders, so the gate
+    proves delta-join maintenance lands exactly on the recompute
+    answer. Exact bigint cents; per batch the work is O(delta) joined
+    map-side (broadcast dim) + a merge against O(nations) state."""
+    from ..streaming.matview import apply_view_delta, read_view
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    base = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
+    c1, c2 = "1997-01-01", "1999-01-01"
+    d0 = base.where(F.col("o_orderdate") < c1).withColumn("mult", F.lit(1))
+    d1 = (
+        base.where(
+            (F.col("o_orderdate") >= c1) & (F.col("o_orderdate") < c2)
+        )
+        .withColumn("mult", F.lit(1))
+        .unionByName(
+            base.where(
+                (F.col("o_orderdate") < c1) & (F.col("o_custkey") % 7 == 0)
+            ).withColumn("mult", F.lit(-1))
+        )
+    )
+    d2 = base.where(F.col("o_orderdate") >= c2).withColumn("mult", F.lit(1))
+    root = _sink_root("ivm_join", sf_dir)
+    for i, d in enumerate([d0, d1, d2]):
+        # the delta-join: dV = dOrders |x| customer (broadcast static dim)
+        dv = d.join(F.broadcast(cust), "o_custkey").select(
+            "c_nationkey", "sum_cents", "mult"
+        )
+        apply_view_delta(spark, dv, i, root, ["c_nationkey"], ["sum_cents"])
+    view = read_view(spark, root)
+    return view.select(
+        "c_nationkey",
+        F.col("n_rows").cast("bigint").alias("n_orders"),
+        F.col("sum_cents").cast("bigint").alias("total_cents"),
+    )
+
+
+_DSAR_KEYS = [7, 14, 21]
+
+
+@query(
+    "warehouse_subject_access_report",
+    oracle="""
+WITH ks(k) AS (VALUES (7), (14), (21))
+SELECT 'customer' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT) AS key_checksum
+FROM customer JOIN ks ON c_custkey = ks.k
+UNION ALL
+SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT)
+FROM orders JOIN ks ON o_custkey = ks.k
+UNION ALL
+SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(l.l_orderkey * 10 + l.l_linenumber), 0) AS BIGINT)
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN ks ON o.o_custkey = ks.k
+""",
+)
+def warehouse_subject_access_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data-subject ACCESS report (GDPR Art. 15 -- the read twin of the
+    Art. 17 erasure warehouse_forget_keys gates): for a fixed subject
+    key set, enumerate every table holding the subject's data, directly
+    keyed (customer, orders) or reachable through a foreign key
+    (lineitem via orderkey), with row counts and a row-identity
+    checksum that pins WHICH rows, not just how many. In production
+    this query is generated from lineage metadata (the FK graph
+    warehouse_fk_audit checks); the shape per table is one broadcast
+    semi-join of a literal key dim -- O(table scan) each, trivially
+    parallel, and the scan prunes to the key columns."""
+    ks = spark.createDataFrame([(k,) for k in _DSAR_KEYS], "k bigint")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = cust.join(
+        F.broadcast(ks), cust["c_custkey"] == ks["k"]
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum("c_custkey"), F.lit(0))
+        .cast("bigint")
+        .alias("key_checksum"),
+    ).select(F.lit("customer").alias("table_name"), "n_rows", "key_checksum")
+    o = orders.join(
+        F.broadcast(ks), orders["o_custkey"] == ks["k"]
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum("o_orderkey"), F.lit(0))
+        .cast("bigint")
+        .alias("key_checksum"),
+    ).select(F.lit("orders").alias("table_name"), "n_rows", "key_checksum")
+    ords = orders.join(F.broadcast(ks), orders["o_custkey"] == ks["k"]).select(
+        "o_orderkey"
+    )
+    line = li.join(
+        ords, li["l_orderkey"] == ords["o_orderkey"]
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.col("l_orderkey") * 10 + F.col("l_linenumber")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("key_checksum"),
+    ).select(F.lit("lineitem").alias("table_name"), "n_rows", "key_checksum")
+    return c.unionByName(o).unionByName(line)
+
+
+@query(
+    "privacy_l_diversity",
+    oracle="""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS class_size,
+         CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS l_sensitive
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, class_size, l_sensitive,
+       CAST(l_sensitive < 3 AS BOOLEAN) AS violates_l3
+FROM classes
+""",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007 -- the attack
+    k-anonymity misses): a quasi-identifier class can be large (k-safe)
+    yet have every member share one SENSITIVE value, so membership
+    alone discloses it (homogeneity attack). Per (nation, segment)
+    class, count DISTINCT sensitive values (order priority of the
+    customers' orders) and flag classes below l=3. Composes with
+    privacy_k_anonymity into the release checklist: a class must pass
+    BOTH size and diversity. One join + one grouped count-distinct --
+    the distinct is per-class, so the shuffle key is the class, and
+    skew follows class size (the k-audit's own output names the big
+    classes)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"]
+    )
+    return (
+        joined.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("class_size"),
+            F.countDistinct("o_orderpriority")
+            .cast("bigint")
+            .alias("l_sensitive"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            "l_sensitive",
+            (F.col("l_sensitive") < 3).alias("violates_l3"),
+        )
+    )
+
+
+@query(
+    "quality_benford_audit",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+counts AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS observed FROM digits GROUP BY d
+),
+tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM counts),
+expected AS (
+  SELECT g.i AS d,
+         CAST(ROUND(ln(1.0 + 1.0 / g.i) / ln(10.0), 9) AS DECIMAL(18,9))
+           AS p
+  FROM generate_series(1, 9) g(i)
+)
+SELECT e.d,
+       COALESCE(c.observed, 0) AS observed,
+       CAST(ROUND(CAST(e.p AS DOUBLE) * t.n, 6) AS DOUBLE) AS expected,
+       ROUND(
+         CAST(COALESCE(c.observed, 0) - CAST(e.p AS DOUBLE) * t.n AS DOUBLE)
+           * (COALESCE(c.observed, 0) - CAST(e.p AS DOUBLE) * t.n)
+           / (CAST(e.p AS DOUBLE) * t.n),
+         6) AS chi2_term
+FROM expected e
+LEFT JOIN counts c ON c.d = e.d
+CROSS JOIN tot t
+""",
+)
+def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals -- the classic
+    forensic data-quality screen (fabricated or unit-mangled numeric
+    columns deviate from the log10(1 + 1/d) first-digit law long before
+    summary stats move). Per digit 1..9: observed count, expected count
+    under Benford, and the chi-square contribution -- the sum is the
+    test statistic, but emitting per-digit terms makes the audit
+    actionable (WHICH digit is inflated points at the bug: a 10x unit
+    error piles onto one leading digit).
+
+    Exactness: first digit via integer-truncated string prefix (no
+    log-of-value float path); expected probabilities are single libm
+    ln ratios quantized to 9dp DECIMAL (the cross-engine float rule)
+    before the one double multiply per digit. Plan: one scan, one
+    9-group aggregate, a 9-row literal dim -- scan-bound."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.col("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("observed")
+    )
+    tot = counts.agg(F.sum("observed").cast("bigint").alias("n"))
+    expected = spark.range(1, 10).select(
+        F.col("id").alias("d"),
+        F.round(F.log(1.0 + 1.0 / F.col("id")) / F.log(F.lit(10.0)), 9)
+        .cast("decimal(18,9)")
+        .alias("p"),
+    )
+    ep = F.col("p").cast("double") * F.col("n")
+    return (
+        expected.join(counts, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.coalesce("observed", F.lit(0)).cast("bigint").alias("observed"),
+            F.round(ep, 6).alias("expected"),
+            F.round(
+                (F.coalesce("observed", F.lit(0)) - ep)
+                * (F.coalesce("observed", F.lit(0)) - ep)
+                / ep,
+                6,
+            ).alias("chi2_term"),
+        )
+    )
