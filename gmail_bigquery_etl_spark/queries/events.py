@@ -2916,3 +2916,78 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("m")
         ).alias("drift_at_5pct"),
     )
+
+
+@query(
+    "events_cumulative_distinct",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+new_by_day AS (
+  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM firsts GROUP BY 1
+)
+SELECT CAST(strftime(d.day, '%Y-%m-%d') AS VARCHAR) AS day,
+       d.dau,
+       COALESCE(n.new_users, 0) AS new_users,
+       d.dau - COALESCE(n.new_users, 0) AS returning_users,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_distinct
+FROM daily d LEFT JOIN new_by_day n ON n.day = d.day
+""",
+)
+def events_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth dashboard's four headline series in one pass: DAU,
+    new users, returning users, and CUMULATIVE distinct users per day --
+    the last computed EXACTLY without any running count-distinct state:
+    cumulative distinct through day d equals the running SUM of
+    first-arrival counts (every user contributes to exactly one day's
+    first-arrivals), turning an unbounded-state distinct into one
+    first-seen aggregate plus a cumulative-sum window over O(days)
+    rows. The same identity is what makes the metric maintainable
+    incrementally at 100 TB (new day = yesterday's total + today's
+    first-timers); the approximate alternative (events_hll_daily_rollup)
+    trades this exactness for mergeable O(k) state. Day emitted as an
+    ISO string (the DATE fetch-coercion rule)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_day")
+    )
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    new_by_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    wday = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        daily.join(new_by_day, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+            (F.col("dau") - F.coalesce("new_users", F.lit(0))).alias(
+                "returning_users"
+            ),
+            F.sum(F.coalesce("new_users", F.lit(0)))
+            .over(wday)
+            .cast("bigint")
+            .alias("cumulative_distinct"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").cast("string").alias("day"),
+            "dau",
+            "new_users",
+            "returning_users",
+            "cumulative_distinct",
+        )
+    )

@@ -3821,3 +3821,247 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+@query(
+    "privacy_dp_median",
+    oracle="""
+WITH vals AS (
+  SELECT o_orderpriority AS pri,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+per_v AS (
+  SELECT pri, cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT pri, cents, cnt,
+         SUM(cnt) OVER (PARTITION BY pri ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         SUM(cnt) OVER (PARTITION BY pri) AS n
+  FROM per_v
+),
+scored AS (
+  SELECT pri, cents, c, n,
+         -ABS(2 * c - n) AS u,
+         CAST(ROUND(
+           0.25 * (-ABS(2 * c - n))
+           - ln(-ln((CAST(('0x' || substring(
+                 md5(pri || ':' || CAST(cents AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000000 + 1) / 1000002.0)),
+           9) AS DECIMAL(18,9)) AS score
+  FROM cum
+),
+dp AS (
+  SELECT pri, cents AS dp_median_cents, c AS dp_rank FROM (
+    SELECT pri, cents, c,
+           ROW_NUMBER() OVER (PARTITION BY pri
+                              ORDER BY score DESC, cents) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+tru AS (
+  SELECT pri, cents AS true_median_cents FROM (
+    SELECT pri, cents, c, n,
+           LAG(c, 1, 0) OVER (PARTITION BY pri ORDER BY cents) AS pc
+    FROM cum
+  ) WHERE 2 * pc < n + 1 AND 2 * c >= n + 1
+)
+SELECT t.pri AS o_orderpriority,
+       CAST(MAX(cu.n) AS BIGINT) AS n,
+       CAST(t.true_median_cents AS BIGINT) AS true_median_cents,
+       CAST(d.dp_median_cents AS BIGINT) AS dp_median_cents,
+       CAST(ABS(2 * d.dp_rank - MAX(cu.n)) AS BIGINT) AS rank_error_x2
+FROM tru t
+JOIN dp d ON d.pri = t.pri
+JOIN cum cu ON cu.pri = t.pri
+GROUP BY 1, 3, 4, d.dp_rank
+""",
+)
+def privacy_dp_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private median by the EXPONENTIAL MECHANISM
+    (McSherry-Talwar 2007 -- the selection-query complement of
+    privacy_dp_noisy_counts' Laplace mechanism): per order priority,
+    candidates are the group's distinct cent values, utility u(v) =
+    -|2*rank(v) - n| (how far v sits from the median, scaled x2 to stay
+    integer), and the mechanism samples proportional to exp(eps*u/4)
+    via the Gumbel-max trick -- argmax of eps*u/4 + Gumbel(md5 uniform),
+    which IS exponential-mechanism sampling, made engine-replayable by
+    the seeded uniform (production swaps a CSPRNG, nothing else
+    changes). Output reports the true lower median beside the DP pick
+    and the pick's doubled rank distance from the median -- the utility
+    loss a privacy review reads.
+
+    Plan: one (group, value) aggregate, one cumulative window per
+    group for ranks, one argmax window -- O(distinct values) after the
+    first aggregate. Scores quantize to 9dp DECIMAL before the argmax
+    (the cross-engine float rule: one ln per row, then total order
+    with a value tiebreak)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.where(F.col("o_totalprice").isNotNull()).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    per_v = vals.groupBy("pri", "cents").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    wcum = W.partitionBy("pri").orderBy("cents").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = per_v.select(
+        "pri",
+        "cents",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(W.partitionBy("pri")).alias("n"),
+    )
+    uu = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("pri"), F.lit(":"), F.col("cents").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+        + 1
+    ) / F.lit(1000002.0)
+    scored = cum.withColumn(
+        "score",
+        F.round(
+            F.lit(0.25) * (-F.abs(2 * F.col("c") - F.col("n")))
+            - F.log(-F.log(uu)),
+            9,
+        ).cast("decimal(18,9)"),
+    )
+    dp = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("pri").orderBy(F.desc("score"), "cents")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "pri",
+            F.col("cents").alias("dp_median_cents"),
+            F.col("c").alias("dp_rank"),
+        )
+    )
+    tru = (
+        cum.withColumn(
+            "pc",
+            F.lag("c", 1, 0).over(W.partitionBy("pri").orderBy("cents")),
+        )
+        .where(
+            (2 * F.col("pc") < F.col("n") + 1)
+            & (2 * F.col("c") >= F.col("n") + 1)
+        )
+        .select("pri", F.col("cents").alias("true_median_cents"))
+    )
+    nper = cum.groupBy("pri").agg(F.max("n").alias("n"))
+    return (
+        tru.join(dp, "pri")
+        .join(nper, "pri")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("true_median_cents").cast("bigint"),
+            F.col("dp_median_cents").cast("bigint"),
+            F.abs(2 * F.col("dp_rank") - F.col("n"))
+            .cast("bigint")
+            .alias("rank_error_x2"),
+        )
+    )
+
+
+@query(
+    "orders_gini_concentration",
+    oracle="""
+WITH vals AS (
+  SELECT o_orderpriority AS pri,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+ranked AS (
+  SELECT pri, cents,
+         ROW_NUMBER() OVER (PARTITION BY pri
+                            ORDER BY cents, o_orderkey) AS i,
+         COUNT(*) OVER (PARTITION BY pri) AS n,
+         SUM(cents) OVER (PARTITION BY pri) AS s
+  FROM vals
+)
+SELECT pri AS o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(CAST(2 * SUM(i * cents) - (MAX(n) + 1) * MAX(s) AS DOUBLE)
+             / (MAX(n) * MAX(s)), 6) AS gini,
+       ROUND(CAST(SUM(CASE WHEN i * 10 > n * 9 THEN cents ELSE 0 END)
+                  AS DOUBLE) / MAX(s), 6) AS top10_share,
+       ROUND(CAST(SUM(CASE WHEN i * 100 > n * 99 THEN cents ELSE 0 END)
+                  AS DOUBLE) / MAX(s), 6) AS top1_share
+FROM ranked GROUP BY 1
+""",
+)
+def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per priority class: the Gini coefficient
+    via the rank formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+    over ascending-sorted cents, plus the top-10% / top-1% revenue
+    shares (the Lorenz points dashboards actually quote). Every term is
+    an exact BIGINT sum over rank-weighted cents -- the only floats are
+    the two final divisions, pointwise identical cross-engine; the
+    top-decile membership test i*10 > n*9 is integer cross-
+    multiplication, no percent-of-count float. One rank window per
+    group + one aggregate; partitioned by priority, no global sort."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.where(F.col("o_totalprice").isNotNull()).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    wp = W.partitionBy("pri")
+    ranked = vals.select(
+        "pri",
+        "cents",
+        F.row_number().over(wp.orderBy("cents", "o_orderkey")).alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("cents").over(wp).alias("s"),
+    )
+    return ranked.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(
+            (
+                2 * F.sum(F.col("i") * F.col("cents"))
+                - (F.max("n") + 1) * F.max("s")
+            ).cast("double")
+            / (F.max("n") * F.max("s")),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(
+                F.when(F.col("i") * 10 > F.col("n") * 9, F.col("cents")).otherwise(
+                    0
+                )
+            ).cast("double")
+            / F.max("s"),
+            6,
+        ).alias("top10_share"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("i") * 100 > F.col("n") * 99, F.col("cents")
+                ).otherwise(0)
+            ).cast("double")
+            / F.max("s"),
+            6,
+        ).alias("top1_share"),
+    )

@@ -1034,3 +1034,72 @@ def test_dml_exclusive_manifest_commit_blocks_same_version_race(
     # the racer's manifest content survived untouched
     with open(_manifest_path(root, 1)) as f:
         assert json.load(f)["buckets"] == racer["buckets"]
+
+
+def test_streaming_merge_into_clauses_match_batch(spark, tmp_path):
+    """Conditional MERGE INTO as a STREAM: each micro-batch of source
+    rows compiles through compile_merge_into against the sink's current
+    state and applies via the bucketed merge (stream_batch_id keyed).
+    Final state must equal the one-shot relational merge of the whole
+    source -- valid here because the per-key clause outcome is
+    independent of batch boundaries (distinct keys per batch)."""
+    from gmail_bigquery_etl_spark.operators.merge import compile_merge_into
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        apply_merge_batch_bucketed,
+    )
+
+    root = str(tmp_path / "minto")
+    target = spark.createDataFrame(
+        [(i, "base", float(i * 10)) for i in range(40)],
+        "k int, st string, p double",
+    )
+    apply_merge_batch_bucketed(
+        spark,
+        target.withColumn("is_delete", F.lit(False)),
+        0, root, ["k"], n_buckets=4, commit_ts=1.0,
+    )
+    # source: k%3==0 repriced up (update), k%5==0 to 999 (delete-cond),
+    # new keys 100..109 cheap (insert), 110..119 expensive (filtered)
+    src_rows = (
+        [(k, "N", 999.0) for k in range(0, 40, 5)]
+        + [(k, "N", float(k * 10 + 1)) for k in range(3, 40, 3) if k % 5]
+        + [(k, "N", 5.0) for k in range(100, 110)]
+        + [(k, "N", 500.0) for k in range(110, 120)]
+    )
+    src = spark.createDataFrame(src_rows, "k int, st string, p double")
+
+    from gmail_bigquery_etl_spark.streaming.merge_manifest import (
+        read_manifest_as_of,
+    )
+
+    # stream simulation: 4 deterministic micro-batches by key hash
+    for bid in range(1, 5):
+        part = src.where(F.pmod(F.col("k"), 4) == bid - 1)
+        state = read_manifest_as_of(spark, root)
+        batch = compile_merge_into(
+            state, part, ["k"],
+            update_set={"st": "'U'", "p": "s.p"},
+            update_cond="s.p > t.p",
+            delete_cond="s.p > 900",
+            insert_cond="s.p < 100",
+        )
+        apply_merge_batch_bucketed(
+            spark, batch, bid, root, ["k"], n_buckets=4,
+            commit_ts=float(bid + 1), stream_batch_id=bid,
+        )
+    got = {
+        r.k: (r.st, r.p) for r in read_manifest_as_of(spark, root).collect()
+    }
+    # one-shot reference: relational clause semantics over the full source
+    want = {}
+    for k in range(40):
+        want[k] = ("base", float(k * 10))
+    for k, st, p in src_rows:
+        if k in want:
+            if p > 900:
+                del want[k]
+            elif p > want[k][1]:
+                want[k] = ("U", p)
+        elif p < 100:
+            want[k] = (st, p)
+    assert got == want
