@@ -4065,3 +4065,79 @@ def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top1_share"),
     )
+
+
+@query(
+    "orders_pareto_frontier",
+    oracle="""
+WITH pts AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')
+           AS age_days
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+),
+dedup AS (
+  SELECT age_days, MIN(cents) AS cents,
+         MIN(o_orderkey) AS o_orderkey
+  FROM pts
+  WHERE age_days >= 0
+  GROUP BY age_days
+),
+sky AS (
+  SELECT o_orderkey, age_days, cents,
+         MIN(cents) OVER (ORDER BY age_days
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS best_prev
+  FROM dedup
+)
+SELECT o_orderkey, CAST(age_days AS BIGINT) AS age_days,
+       CAST(cents AS BIGINT) AS cents
+FROM sky WHERE best_prev IS NULL OR cents < best_prev
+""",
+)
+def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline operator, Borzsonyi et al. ICDE'01):
+    the orders not dominated in (cheaper, fresher) -- every point on the
+    frontier has no other order that is both at most as old AND
+    cheaper. Computed with the SORT-BASED identity instead of the naive
+    dominance self-join: after reducing to the per-age minimum price
+    (ties keep the smallest key), a point is on the skyline iff its
+    price beats the RUNNING MINIMUM over all fresher ages -- one window
+    pass over O(distinct ages) rows, O(n log n) total versus the
+    O(n^2) NOT-EXISTS formulation, and the window partitions trivially
+    at 100 TB (per-age minima are a map-side aggregate; the running min
+    is over the bounded age domain). All comparisons are exact BIGINTs
+    (cents, day diffs)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.where(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.datediff(
+            F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("age_days"),
+    )
+    dedup = (
+        pts.where(F.col("age_days") >= 0)
+        .groupBy("age_days")
+        .agg(
+            F.min("cents").alias("cents"),
+            F.min("o_orderkey").alias("o_orderkey"),
+        )
+    )
+    wprev = W.orderBy("age_days").rowsBetween(W.unboundedPreceding, -1)
+    sky = dedup.withColumn("best_prev", F.min("cents").over(wprev))
+    return sky.where(
+        F.col("best_prev").isNull() | (F.col("cents") < F.col("best_prev"))
+    ).select(
+        "o_orderkey",
+        F.col("age_days").cast("bigint").alias("age_days"),
+        F.col("cents").cast("bigint").alias("cents"),
+    )
