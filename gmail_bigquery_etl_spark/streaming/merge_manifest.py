@@ -767,19 +767,62 @@ def forget_keys_bucketed(
             for b, d in m["legacy"]["buckets"].items():
                 if int(b) in targets_by_n[ln]:
                     dirs.add(d)
-    removed = {}
     bkey = F.broadcast(key_df)
-    for rel in sorted(dirs):
-        full = os.path.join(sink_root, rel)
-        df = spark.read.parquet(full)
-        before = df.count()
+    ordered = sorted(dirs)
+    # audit counts for EVERY dir in ONE job (key-projected union, tagged
+    # by dir, semi-joined against the probe keys) -- the per-dir
+    # before/after count pair cost 2 extra jobs per rewritten dir, which
+    # dominated wall time at many-generation sinks (3 jobs/dir -> 1 +
+    # 1/dir)
+    removed = {rel: 0 for rel in ordered}
+    if ordered:
+        tagged = None
+        for rel in ordered:
+            part = (
+                spark.read.parquet(os.path.join(sink_root, rel))
+                .select(*keys)
+                .withColumn("_rel", F.lit(rel))
+            )
+            tagged = part if tagged is None else tagged.unionByName(part)
+        for r in (
+            tagged.join(bkey, on=keys, how="left_semi")
+            .groupBy("_rel")
+            .count()
+            .collect()
+        ):
+            removed[r["_rel"]] = r["count"]
+    # rewrite grouped BY GENERATION: one anti-join + one partitioned
+    # write per generation dir instead of one Spark job per bucket dir
+    # (the per-dir form cost ~0.6 s of job overhead x every affected
+    # bucket x every generation); the swap stays per-dir, so partially-
+    # applied failure modes are unchanged
+    from collections import defaultdict
+
+    by_gen: dict[str, list[str]] = defaultdict(list)
+    for rel in ordered:
+        by_gen[os.path.dirname(rel)].append(rel)
+    for gen, rels in sorted(by_gen.items()):
+        df = _read_bucket_dirs(spark, sink_root, rels)[0]
         kept = df.join(bkey, on=keys, how="left_anti")
-        tmp = full + ".forget_tmp"
-        kept.write.mode("overwrite").parquet(tmp)
-        after = spark.read.parquet(tmp).count()
-        shutil.rmtree(full)
-        os.replace(tmp, full)
-        removed[rel] = before - after
+        tmpgen = os.path.join(sink_root, os.path.basename(gen) + ".forget_tmp")
+        (
+            kept.repartition(max(len(rels), 1), F.col(_BUCKET))
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET)
+            .parquet(tmpgen)
+        )
+        empty = kept.drop(_BUCKET).limit(0)
+        for rel in rels:
+            full = os.path.join(sink_root, rel)
+            src = os.path.join(tmpgen, os.path.basename(rel))
+            shutil.rmtree(full)
+            if os.path.isdir(src):
+                os.replace(src, full)
+            else:
+                # every row of this bucket was erased; the dir is still
+                # referenced by manifests and must read as empty, typed
+                empty.write.mode("overwrite").parquet(full)
+        shutil.rmtree(tmpgen, ignore_errors=True)
     return removed
 
 
