@@ -474,11 +474,18 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_learn_oracle(num_merges: int = 6, _final_vocab: bool = False) -> str:
+def _bpe_learn_oracle(
+    num_merges: int = 6,
+    _final_vocab: bool = False,
+    _fertility: bool = False,
+) -> str:
     """Unrolled-CTE DuckDB twin of the k-round BPE training loop.
     With ``_final_vocab`` the chain applies the LAST merge too and the
     tail emits encoded-corpus token stats instead of the merge table
-    (the text_bpe_encode_stats oracle).
+    (the text_bpe_encode_stats oracle). With ``_fertility`` the chain
+    additionally carries the WORD through every round and the tail
+    joins the encoded vocabulary back to per-LANGUAGE word frequencies
+    (the text_bpe_fertility_by_lang oracle).
 
     BPE's greedy merge rounds are deterministic, so k small rounds unroll
     as chained CTEs: each round extracts adjacent symbol pairs, argmaxes
@@ -489,13 +496,14 @@ def _bpe_learn_oracle(num_merges: int = 6, _final_vocab: bool = False) -> str:
     Spark side implements with F.aggregate (operators/bpe.py).
     MATERIALIZED pins each round's table so the chain doesn't inline
     exponentially."""
-    parts = [r"""
+    wcol = "w, " if _fertility else ""
+    parts = [rf"""
 WITH words AS (
   SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
   FROM documents
 ),
 s0 AS MATERIALIZED (
-  SELECT COUNT(*) AS f,
+  SELECT {wcol}COUNT(*) AS f,
          regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS enc
   FROM words WHERE len(w) >= 2 GROUP BY w
 )"""]
@@ -513,13 +521,37 @@ t{r} AS MATERIALIZED (
     FROM p{r} GROUP BY 1, 2
   ) ORDER BY n DESC, a, b LIMIT 1
 )""")
-        if r + 1 < num_merges or _final_vocab:
+        if r + 1 < num_merges or _final_vocab or _fertility:
             parts.append(f""",
 s{r + 1} AS MATERIALIZED (
-  SELECT f, replace(enc, chr(1)||t.a||chr(2)||chr(1)||t.b||chr(2),
+  SELECT {wcol}f, replace(enc, chr(1)||t.a||chr(2)||chr(1)||t.b||chr(2),
                     chr(1)||t.a||t.b||chr(2)) AS enc
   FROM s{r}, t{r} t
 )""")
+    if _fertility:
+        parts.append(f""",
+enc AS (
+  SELECT w, len({sym}) AS n_tok FROM s{num_merges}
+),
+wl AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE trim(lower(text)) <> ''
+),
+wlf AS (
+  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS f
+  FROM wl WHERE len(w) >= 1 GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(SUM(f) AS BIGINT) AS n_words,
+       CAST(SUM(f * COALESCE(e.n_tok, 1)) AS BIGINT) AS n_tokens,
+       CAST(SUM(f * len(wlf.w)) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(f * COALESCE(e.n_tok, 1)) AS DOUBLE) / SUM(f), 6)
+         AS tokens_per_word,
+       ROUND(CAST(SUM(f * len(wlf.w)) AS DOUBLE)
+             / SUM(f * COALESCE(e.n_tok, 1)), 6) AS chars_per_token
+FROM wlf LEFT JOIN enc e ON e.w = wlf.w
+GROUP BY lang""")
+        return "".join(parts)
     if _final_vocab:
         parts.append(f""",
 toks AS (
@@ -1058,4 +1090,56 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("e") - F.col("s")).cast("double") / F.max("n"), 6
         ).alias("dup_frac"),
+    )
+
+
+@query(
+    "text_bpe_fertility_by_lang",
+    oracle=_bpe_learn_oracle(6, _fertility=True),
+)
+def text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language: tokens-per-word and
+    chars-per-token of the corpus-trained BPE tokenizer, per language --
+    THE multilingual-fairness number tokenizer reports quote (a
+    tokenizer trained on majority-language text fragments minority-
+    language words into more tokens, inflating their training/serving
+    cost per character; fertility gaps are how that bias is measured).
+    The tokenizer is the engine's own 6-merge BPE (operators/bpe.py)
+    trained on the FULL corpus, applied back through the encoded
+    vocabulary: per-language word frequencies join the vocabulary's
+    final symbol counts (words under 2 chars encode as one token), so
+    the corpus is touched by exactly two linear passes and everything
+    else is vocabulary-sized. Counts are exact integers; the two
+    ratios are single final divisions. The oracle replays training,
+    encoding, and the per-language rollup in one unrolled CTE chain."""
+    from ..functions.text import whitespace_tokens
+    from ..operators.bpe import learn_bpe
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    _, vocab = learn_bpe(docs.select("text"), num_merges=6)
+    enc = vocab.select("w", F.size("syms").alias("n_tok"))
+    wl = (
+        docs.where(F.trim(F.lower(F.col("text"))) != "")
+        .select("lang", F.explode(whitespace_tokens("text")).alias("w"))
+        .where(F.length("w") >= 1)
+    )
+    wlf = wl.groupBy("lang", "w").agg(F.count("*").cast("bigint").alias("f"))
+    joined = wlf.join(enc, "w", "left").select(
+        "lang",
+        "f",
+        F.coalesce("n_tok", F.lit(1)).alias("n_tok"),
+        F.length("w").alias("n_ch"),
+    )
+    return joined.groupBy("lang").agg(
+        F.sum("f").cast("bigint").alias("n_words"),
+        F.sum(F.col("f") * F.col("n_tok")).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("f") * F.col("n_ch")).cast("bigint").alias("n_chars"),
+        F.round(
+            F.sum(F.col("f") * F.col("n_tok")).cast("double") / F.sum("f"), 6
+        ).alias("tokens_per_word"),
+        F.round(
+            F.sum(F.col("f") * F.col("n_ch")).cast("double")
+            / F.sum(F.col("f") * F.col("n_tok")),
+            6,
+        ).alias("chars_per_token"),
     )

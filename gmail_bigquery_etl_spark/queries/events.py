@@ -2991,3 +2991,78 @@ def events_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cumulative_distinct",
         )
     )
+
+
+@query(
+    "events_calibration_ece",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+           AS n_clicks,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS converted
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+scored AS (
+  SELECT converted,
+         CAST(n_clicks AS DOUBLE) / (n_clicks + 5) AS p_hat
+  FROM per_user
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(p_hat * 10) AS BIGINT), 9) AS bin,
+         CAST(ROUND(p_hat, 9) AS DECIMAL(18,9)) AS p9,
+         converted
+  FROM scored
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(p9) AS DOUBLE) / COUNT(*), 6) AS mean_predicted,
+       ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS actual_rate,
+       ROUND(ABS(CAST(SUM(p9) AS DOUBLE) / COUNT(*)
+                 - CAST(SUM(converted) AS DOUBLE) / COUNT(*)), 6)
+         AS abs_gap
+FROM binned GROUP BY 1
+""",
+)
+def events_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit (the reliability-diagram table behind Expected
+    Calibration Error): a deterministic activity-based conversion score
+    p_hat = clicks / (clicks + 5) is binned into 10 equal-width buckets
+    and each bucket reports mean predicted probability vs ACTUAL
+    conversion rate plus the absolute gap -- the per-bin terms whose
+    n-weighted sum is ECE (Guo et al. 2017). The eval-harness shape for
+    ANY model score landed as a column: swap p_hat for a real model's
+    output and the audit is unchanged -- this is the platform primitive,
+    the toy score just makes the gate self-contained. Exactness: p_hat
+    is one double division quantized to 9dp DECIMAL before the bin
+    SUM (addition-order-free); bin ids are integer floor; rates are
+    exact integer ratios. Plan: one user aggregate, one 10-group
+    aggregate -- two shuffles, scan-bound."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("bigint")
+        .alias("n_clicks"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("converted"),
+    )
+    p_hat = F.col("n_clicks").cast("double") / (F.col("n_clicks") + 5)
+    binned = per_user.select(
+        F.least(F.floor(p_hat * 10).cast("bigint"), F.lit(9)).alias("bin"),
+        F.round(p_hat, 9).cast("decimal(18,9)").alias("p9"),
+        "converted",
+    )
+    mean_pred = F.sum("p9").cast("double") / F.count("*")
+    actual = F.sum("converted").cast("double") / F.count("*")
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(mean_pred, 6).alias("mean_predicted"),
+        F.round(actual, 6).alias("actual_rate"),
+        F.round(F.abs(mean_pred - actual), 6).alias("abs_gap"),
+    )
