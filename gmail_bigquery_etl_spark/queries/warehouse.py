@@ -4148,3 +4148,70 @@ def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("age_days").cast("bigint").alias("age_days"),
         F.col("cents").cast("bigint").alias("cents"),
     )
+
+
+@query(
+    "orders_duplicate_payments",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+),
+pairs AS (
+  SELECT a.o_custkey AS cust, a.o_orderkey AS k_a, b.o_orderkey AS k_b,
+         a.cents,
+         ABS(date_diff('day', a.d, b.d)) AS gap_days
+  FROM o a JOIN o b
+    ON a.o_custkey = b.o_custkey AND a.cents = b.cents
+   AND a.o_orderkey < b.o_orderkey
+  WHERE ABS(date_diff('day', a.d, b.d)) <= 30
+)
+SELECT cust, k_a, k_b, cents, CAST(gap_days AS BIGINT) AS gap_days
+FROM pairs
+""",
+)
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection (the AP-audit / fraud screen every
+    finance warehouse runs): order pairs from the SAME customer with the
+    IDENTICAL amount within a 30-day window -- the double-submission
+    signature. Candidate generation is an equi-join on the composite
+    (customer, exact cents) key with the date window as a residual
+    predicate, so the join never goes customer x customer, let alone
+    orders x orders: fan-out is bounded by same-amount collisions
+    within one customer (amounts in cents are near-unique per
+    customer, the reason THIS key order -- not (customer, date-bucket)
+    -- is the standard screen). Exact integer cents and day gaps;
+    half-pairs via key ordering. At 100 TB the equi-join shuffles on
+    a high-cardinality composite key; a pathological same-amount
+    mega-customer would surface in profile_skew_advisor and take the
+    dedup family's bucket cap."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.where(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.cents") == F.col("b.cents"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .where(F.abs(F.datediff(F.col("a.d"), F.col("b.d"))) <= 30)
+        .select(
+            F.col("a.o_custkey").alias("cust"),
+            F.col("a.o_orderkey").alias("k_a"),
+            F.col("b.o_orderkey").alias("k_b"),
+            F.col("a.cents").alias("cents"),
+            F.abs(F.datediff(F.col("a.d"), F.col("b.d")))
+            .cast("bigint")
+            .alias("gap_days"),
+        )
+    )
