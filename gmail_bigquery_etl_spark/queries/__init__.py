@@ -314,4 +314,77 @@ _ROUND7_FRONT = [
 
 _rotate(_ROUND7_FRONT)
 
+
+# Round-9 rotation (the round-8 rotation was MISSED -- VERDICT r8's top
+# finding: CORRECTNESS_r08's 50-row sample was key-identical to r07's, so
+# the entire round-8 surface has zero driver evidence).  Priority:
+#   (a) the 25 queries NEVER driver-sampled in any round (all 22 round-8
+#       additions plus the 3 r7 entries that fell past the 50-row cap:
+#       curation_hard_negatives, events_ab_test_zstat,
+#       events_cusum_changepoints) -- exactly the list in VERDICT r8;
+#   (b) queries NEW in round 9, appended as they land;
+#   (c) code paths changed in round 9 (duplicate-payments positive
+#       control, DSAR scan sharing, sparse-cosine posting truncation);
+#   (d) backfill by OLDEST driver evidence (round-3 holders, alpha).
+# tests/test_rotation_debt.py now machine-checks (a): every registered
+# query must appear in the first 50 or in some CORRECTNESS_r*.json.
+_ROUND9_FRONT = [
+    # (a) never driver-sampled, ever (VERDICT r8 item #1)
+    "curation_hard_negatives",
+    "events_ab_test_zstat",
+    "events_cusum_changepoints",
+    "events_mad_anomaly",
+    "events_survival_km",
+    "events_theil_sen_trend",
+    "events_ks_drift",
+    "events_cumulative_distinct",
+    "events_calibration_ece",
+    "warehouse_forget_keys",
+    "warehouse_clone_diff",
+    "warehouse_schema_evolution",
+    "warehouse_merge_into",
+    "warehouse_zorder_skipping",
+    "warehouse_rendezvous_resharding",
+    "warehouse_ivm_join_view",
+    "warehouse_subject_access_report",
+    "privacy_l_diversity",
+    "quality_benford_audit",
+    "privacy_dp_median",
+    "orders_gini_concentration",
+    "orders_pareto_frontier",
+    "orders_duplicate_payments",
+    "text_bpe_fertility_by_lang",
+    "curation_mixture_allocation",
+    # (b) new in round 9 (appended as they land)
+    # (c) code paths changed in round 9
+    "text_sparse_cosine_topk",
+    # (d) backfill: oldest driver evidence (r3 holders), alphabetically
+    "agg_distinct_multi",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "conditional_funcs",
+    "dedup_clusters",
+    "dedup_exact_groups",
+    "dedup_exact_survivors_count",
+    "dedup_simhash_pairs_wide",
+    "dedup_survivor_stats",
+    "docs_balanced_sample",
+    "docs_stratified_split",
+    "docs_token_shards",
+    "embedding_near_dup_lsh",
+    "ingest_idempotent",
+    "ingest_incremental",
+    "ingest_point_lookup",
+    "ingest_shuffle_anti_join",
+    "ingest_via_datasource",
+    "join_anti_not_exists",
+    "join_cross_theta",
+    "join_full_outer",
+    "join_left_outer_agg",
+    "join_semi_exists",
+    "pivot_status_by_priority",
+]
+
+_rotate(_ROUND9_FRONT)
+
 __all__ = ["ALL_QUERIES", "ALL_ORACLES"]
