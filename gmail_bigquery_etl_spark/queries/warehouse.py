@@ -4153,22 +4153,33 @@ def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "orders_duplicate_payments",
     oracle="""
-WITH o AS (
-  SELECT o_orderkey, o_custkey,
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_custkey,
          CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
          CAST(o_orderdate AS DATE) AS d
   FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
 ),
+planted AS (
+  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, cents,
+         d + INTERVAL 7 DAY AS d
+  FROM base
+  WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 64 = 0
+),
+o AS (
+  SELECT * FROM base UNION ALL SELECT * FROM planted
+),
 pairs AS (
   SELECT a.o_custkey AS cust, a.o_orderkey AS k_a, b.o_orderkey AS k_b,
          a.cents,
-         ABS(date_diff('day', a.d, b.d)) AS gap_days
+         ABS(date_diff('day', a.d, b.d)) AS gap_days,
+         CASE WHEN b.o_orderkey >= 1000000000 THEN 1 ELSE 0 END AS is_planted
   FROM o a JOIN o b
     ON a.o_custkey = b.o_custkey AND a.cents = b.cents
    AND a.o_orderkey < b.o_orderkey
   WHERE ABS(date_diff('day', a.d, b.d)) <= 30
 )
-SELECT cust, k_a, k_b, cents, CAST(gap_days AS BIGINT) AS gap_days
+SELECT cust, k_a, k_b, cents, CAST(gap_days AS BIGINT) AS gap_days,
+       is_planted
 FROM pairs
 """,
 )
@@ -4186,16 +4197,39 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-pairs via key ordering. At 100 TB the equi-join shuffles on
     a high-cardinality composite key; a pathological same-amount
     mega-customer would surface in profile_skew_advisor and take the
-    dedup family's bucket cap."""
+    dedup family's bucket cap.
+
+    POSITIVE CONTROL (VERDICT r8 item #3): TPC-H amounts are
+    near-unique per customer, so the natural answer is 0 rows at the
+    gate scales -- a vacuous hash.  Both engines therefore plant a
+    deterministic duplicate slice (md5-selected 1/64 of orders,
+    re-emitted +7 days with an offset key) so the gate hashes a
+    non-empty answer with known membership: every planted source row
+    MUST reappear as an `is_planted = 1` pair, and a broken join key
+    or dropped residual predicate can no longer hash-match 0 == 0
+    (the er_quality_eval planted-ground-truth precedent)."""
     orders = load_table(spark, sf_dir, "orders")
-    o = orders.where(
+    base = orders.where(
         F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
     ).select(
-        "o_orderkey",
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
         "o_custkey",
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
         F.col("o_orderdate").cast("date").alias("d"),
     )
+    planted = base.where(
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 64
+        == 0
+    ).select(
+        (F.col("o_orderkey") + F.lit(1000000000)).alias("o_orderkey"),
+        "o_custkey",
+        "cents",
+        F.date_add(F.col("d"), 7).alias("d"),
+    )
+    o = base.unionByName(planted)
     a, b = o.alias("a"), o.alias("b")
     return (
         a.join(
@@ -4213,5 +4247,8 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.datediff(F.col("a.d"), F.col("b.d")))
             .cast("bigint")
             .alias("gap_days"),
+            F.when(F.col("b.o_orderkey") >= 1000000000, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_planted"),
         )
     )
