@@ -641,3 +641,16 @@ def test_parquet_aggregate_pushdown_reaches_scan(spark):
     assert spark.conf.get("spark.sql.sources.useV1SourceList", None) == before
     row = df.collect()[0]
     assert row.n_rows > 0 and row.min_price <= row.max_price
+
+
+def test_dsar_subject_filter_pushed_to_scans(spark):
+    """warehouse_subject_access_report (VERDICT r8 item #4): the literal
+    3-key subject IN must reach the customer and orders parquet scans as
+    a PushedFilter (row-group skipping), and the lineitem reachability
+    join must be a broadcast of the subject's own orders -- never a
+    shuffle of lineitem against a 3-row dim."""
+    plan = _plan(spark, "warehouse_subject_access_report")
+    assert "In(c_custkey, [14,21,7])" in plan, plan[:3000]
+    assert "In(o_custkey, [14,21,7])" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
