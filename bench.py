@@ -12,7 +12,8 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      BENCH_LOAD_GATE    (start-gate loadavg threshold, default 1.5;
                          0 disables),
      BENCH_LOAD_GATE_TIMEOUT (max seconds to wait for the gate,
-                         default 300).
+                         default 600; floored at 300 whenever the
+                         gate is enabled -- see inline note).
 
 Contention defenses (rounds 4/5 both benched on a loaded box):
 1. START GATE -- before any timing, wait (bounded) for 1-min loadavg to
@@ -108,7 +109,15 @@ def main() -> None:
     # Start gate: don't begin timing while the box is visibly busy with
     # someone else's work (the bench's own Spark session is idle here).
     gate = float(os.environ.get("BENCH_LOAD_GATE", "1.5"))
-    gate_timeout = float(os.environ.get("BENCH_LOAD_GATE_TIMEOUT", "300"))
+    gate_timeout = float(os.environ.get("BENCH_LOAD_GATE_TIMEOUT", "600"))
+    # BENCH_r08 was taken with gate_wait 100.0 (timed out, loadavg
+    # 1.5-2.1) and every co-listed slow query drifted +10-20% -- pure
+    # contention noise (VERDICT r8 item #7).  When a gate is wanted at
+    # all, floor the wait budget at 300 s so an env override can't
+    # reintroduce a contended official record; opting out of gating
+    # entirely is BENCH_LOAD_GATE=0, which stays untouched.
+    if gate > 0:
+        gate_timeout = max(gate_timeout, 300.0)
     gate_t0 = time.perf_counter()
     while (
         gate > 0
