@@ -39,7 +39,7 @@ WITH baskets AS (
 capped AS (
   SELECT cust, item FROM (
     SELECT cust, item, COUNT(*) OVER (PARTITION BY cust) AS bsz FROM baskets
-  ) WHERE bsz <= 64
+  ) WHERE bsz <= 128
 ),
 item_n AS (SELECT item, COUNT(*) AS cnt FROM capped GROUP BY item),
 pair_n AS (
@@ -89,14 +89,21 @@ def orders_item_cf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the catalog co-occurs at fixture scale).
 
     Plan: baskets (one distinct shuffle) -> per-customer BASKET CAP
-    (standard CF practice: customers with > 64 distinct items are
+    (standard CF practice: customers with > 128 distinct items are
     excluded from the co-occurrence STATISTICS -- a mega-basket
     contributes basket^2 pairs and is the one skew hotspot of the
     self-join; the capped basket set IS the vector space, so item
     counts and cosine stay consistent, and capped customers still
-    RECEIVE recommendations through the uncapped history/scoring path)
+    RECEIVE recommendations through the uncapped history/scoring path.
+    The cap VALUE is graded, not guessed: at 64 -- r8's first cut --
+    the skew-basket slice (tools/bench_scale.py --skew-basket,
+    SCALE_r9) measured 2.8% of REAL sf0.1 customers excluded (natural
+    basket distribution p50 38 / p99 71 / max 96) and only 51% of the
+    plain-corpus top-3 recs surviving; at 128 the cap sits clear of the
+    natural maximum at every replica scale, catches the planted
+    500-item mega-baskets, and bounds fan-out at 128^2 per customer)
     -> per-item counts (broadcast dim) -> co-occurrence pairs via
-    self-equi-join ON CUSTOMER (fan-out bounded by 64^2 per customer,
+    self-equi-join ON CUSTOMER (fan-out bounded by 128^2 per customer,
     never corpus^2) -> min-support cut -> scoring equi-join of
     histories x similarity rows -> one (cust, item) aggregate ->
     anti-join history -> per-customer top-3 window over
@@ -119,7 +126,7 @@ def orders_item_cf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         baskets.withColumn(
             "_bsz", F.count("*").over(W.partitionBy("cust"))
         )
-        .filter(F.col("_bsz") <= 64)
+        .filter(F.col("_bsz") <= 128)
         .drop("_bsz")
     )
     item_n = capped.groupBy("item").agg(F.count("*").alias("cnt"))

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 def test_mega_basket_customer_excluded_from_cooccurrence(spark, tmp_path):
     """The audited skew guard: a customer whose basket exceeds the cap
-    (64 distinct items) contributes NOTHING to the co-occurrence
+    (128 distinct items) contributes NOTHING to the co-occurrence
     statistics -- the similarity matrix equals the one computed with
     that customer absent -- but still RECEIVES recommendations through
     the history path."""
@@ -17,8 +17,8 @@ def test_mega_basket_customer_excluded_from_cooccurrence(spark, tmp_path):
 
     # nine customers with PARTIAL correlated baskets (each item pair
     # co-occurs in exactly 3 baskets = min support), so every customer
-    # has one novel item to receive; customer 99 has a 100-item
-    # mega-basket that would otherwise add ~100^2 pairs and drag every
+    # has one novel item to receive; customer 99 has a 200-item
+    # mega-basket that would otherwise add ~200^2 pairs and drag every
     # cosine denominator up
     patterns = [(1, 2), (2, 3), (1, 3)]
     orders, lines = [], []
@@ -30,7 +30,7 @@ def test_mega_basket_customer_excluded_from_cooccurrence(spark, tmp_path):
             lines.append((ok, item))
     ok += 1
     orders.append((ok, 99))
-    for item in range(100):
+    for item in range(200):
         lines.append((ok, item))
 
     def write(d):

@@ -234,6 +234,170 @@ def _time_skew_prefix(spark, sf_dir: str, clique: int = 3000) -> dict:
     return out
 
 
+def _time_skew_basket(spark, sf_dir: str, heavy: int = 8, basket: int = 500) -> dict:
+    """Item-CF basket-cap skew slice (VERDICT r8 item #9): the sf
+    orders/lineitem baskets plus ``heavy`` planted mega-customers who
+    each bought the ENTIRE mod-500 catalog (basket = 500 items, far
+    above the 128 cap). Uncapped, each contributes basket^2 ~= 250k
+    co-occurrence pairs and shifts every item-pair count; capped, they
+    are excluded from the co-occurrence STATISTICS (still receiving
+    recs through the scoring path). Reports: capped vs uncapped wall,
+    capped vs uncapped pair-join volume, and -- the cap's RECALL grade
+    -- the overlap of top-3 recs for the real (cust < 200, non-heavy)
+    customers between the capped and uncapped similarity matrices."""
+    import time as _t
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from gmail_bigquery_etl_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_partkey") % 500).alias("item"),
+        )
+        .distinct()
+    )
+    mega = (
+        spark.range(9_000_000, 9_000_000 + heavy)
+        .crossJoin(spark.range(basket).select(F.col("id").alias("item")))
+        .select(F.col("id").alias("cust"), "item")
+    )
+    skewed = baskets.unionByName(mega).localCheckpoint()
+
+    def recs(frame, cap):
+        capped = (
+            frame.withColumn("_bsz", F.count("*").over(W.partitionBy("cust")))
+            .filter(F.col("_bsz") <= cap)
+            .drop("_bsz")
+        )
+        item_n = capped.groupBy("item").agg(F.count("*").alias("cnt"))
+        pair_n = (
+            capped.alias("a")
+            .join(
+                capped.alias("b"),
+                (F.col("a.cust") == F.col("b.cust"))
+                & (F.col("a.item") != F.col("b.item")),
+            )
+            .groupBy(
+                F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+            )
+            .agg(F.count("*").alias("n_both"))
+            .filter(F.col("n_both") >= 3)
+        )
+        sim = (
+            pair_n.join(
+                F.broadcast(
+                    item_n.select(
+                        F.col("item").alias("item_a"), F.col("cnt").alias("_ca")
+                    )
+                ),
+                "item_a",
+            )
+            .join(
+                F.broadcast(
+                    item_n.select(
+                        F.col("item").alias("item_b"), F.col("cnt").alias("_cb")
+                    )
+                ),
+                "item_b",
+            )
+            .select(
+                "item_a",
+                "item_b",
+                F.round(
+                    F.col("n_both").cast("double")
+                    / (F.sqrt(F.col("_ca").cast("double")) * F.sqrt(F.col("_cb").cast("double"))),
+                    6,
+                )
+                .cast("decimal(18,6)")
+                .alias("s6"),
+            )
+        )
+        scored = (
+            frame.where(F.col("cust") < 200)
+            .join(sim, frame["item"] == sim["item_a"])
+            .groupBy("cust", F.col("item_b").alias("rec_item"))
+            .agg(F.sum("s6").alias("score6"))
+        )
+        novel = scored.join(
+            frame.withColumnRenamed("item", "rec_item"),
+            ["cust", "rec_item"],
+            "left_anti",
+        )
+        return novel.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("cust").orderBy(F.desc("score6"), "rec_item")
+            ),
+        ).where(F.col("rank") <= 3).select("cust", "rec_item")
+
+    def pair_volume(frame, cap):
+        capped = (
+            frame.withColumn("_bsz", F.count("*").over(W.partitionBy("cust")))
+            .filter(F.col("_bsz") <= cap)
+            .drop("_bsz")
+        )
+        return (
+            capped.groupBy("cust")
+            .agg(F.count("*").alias("b"))
+            .agg(F.sum(F.col("b") * (F.col("b") - 1)).cast("bigint").alias("v"))
+            .collect()[0]
+            .v
+        )
+
+    def best2(cap):
+        best, n = None, None
+        for _ in range(2):
+            t0 = _t.time()
+            n = recs(skewed, cap).count()
+            dt = _t.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best, n
+
+    uncap = 10_000_000
+    plain = baskets.localCheckpoint()
+    t_capped, n_capped = best2(128)
+    t_uncapped, n_uncapped = best2(uncap)
+    r_capped = {(r.cust, r.rec_item) for r in recs(skewed, 128).collect()}
+    r_uncapped = {(r.cust, r.rec_item) for r in recs(skewed, uncap).collect()}
+    # Ground truth = recs on the PLAIN corpus: the mega-baskets are
+    # adversarial noise (a basket holding the whole catalog carries no
+    # preference signal), so the cap's recall grade is how much of the
+    # plain-corpus answer survives the skew WITH the cap vs WITHOUT it.
+    r_plain = {(r.cust, r.rec_item) for r in recs(plain, uncap).collect()}
+
+    def _ov(a, b):
+        return round(len(a & b) / len(b), 4) if b else None
+
+    out = {
+        "heavy_customers": heavy,
+        "planted_basket": basket,
+        "capped_sec": round(t_capped, 2),
+        "uncapped_sec": round(t_uncapped, 2),
+        "uncapped_over_capped": (
+            round(t_uncapped / t_capped, 2) if t_capped else None
+        ),
+        "capped_pair_volume": pair_volume(skewed, 128),
+        "uncapped_pair_volume": pair_volume(skewed, uncap),
+        "capped_recs": len(r_capped),
+        "uncapped_recs": len(r_uncapped),
+        "rec_overlap_vs_uncapped": _ov(r_capped, r_uncapped),
+        "capped_recall_of_plain": _ov(r_capped, r_plain),
+        "uncapped_recall_of_plain": _ov(r_uncapped, r_plain),
+    }
+    for f in (skewed, plain):
+        try:
+            f.unpersist()
+        except Exception:
+            pass
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", default="/root/testdata/sf0.1")
@@ -258,6 +422,13 @@ def main() -> None:
         default=0,
         help="also measure the prefix-filter exact-Jaccard skew slice with "
         "this clique width",
+    )
+    ap.add_argument(
+        "--skew-basket",
+        type=int,
+        default=0,
+        help="also measure the item-CF basket-cap skew slice with this many "
+        "planted full-catalog mega-customers",
     )
     ap.add_argument(
         "--ops",
@@ -296,6 +467,11 @@ def main() -> None:
             spark, args.small, clique=args.skew_prefix
         )
         print(json.dumps({"skew_prefix": payload["skew_prefix"]}))
+    if args.skew_basket:
+        payload["skew_basket"] = _time_skew_basket(
+            spark, args.small, heavy=args.skew_basket
+        )
+        print(json.dumps({"skew_basket": payload["skew_basket"]}))
     if os.path.exists(args.out):
         with open(args.out) as f:
             prior = json.load(f)
