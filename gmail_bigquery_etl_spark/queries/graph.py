@@ -17,6 +17,7 @@ families).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from .registry import query
@@ -120,3 +121,293 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import kcore
 
     return kcore(_lsh_pairs(spark, sf_dir), k=3)
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle=f"""
+WITH {_SQL_LSH_CTES},
+pairs AS ({_SQL_LSH_SELECT}),
+ec AS MATERIALIZED (SELECT DISTINCT id_a AS a, id_b AS b FROM pairs),
+edges AS (
+  SELECT a AS u, b AS v FROM ec UNION ALL SELECT b, a FROM ec
+),
+deg AS (SELECT u AS node, COUNT(*) AS degree FROM edges GROUP BY u),
+tri AS (
+  SELECT e1.a, e1.b, e2.c
+  FROM ec e1
+  JOIN (SELECT a AS b, b AS c FROM ec) e2 USING (b)
+  JOIN (SELECT a, b AS c FROM ec) e3 USING (a, c)
+),
+tn AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+tc AS (SELECT node, COUNT(*) AS n_triangles FROM tn GROUP BY node)
+SELECT d.node,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN ROUND(2.0 * COALESCE(tc.n_triangles, 0)
+                       / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS coeff
+FROM deg d LEFT JOIN tc USING (node)
+""",
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the near-dup pair graph
+    (Watts-Strogatz 1998): coeff(v) = 2*T(v) / (deg(v)*(deg(v)-1)) --
+    what fraction of a node's neighbor pairs are themselves connected.
+    On a dedup graph this separates CLIQUE-like duplicate families
+    (coeff ~1: every variant matches every other, safe to collapse to
+    one survivor) from STAR/chain shapes (coeff ~0: a hub matching many
+    docs that don't match each other -- the transitive-closure trap
+    where collapsing the component would over-delete). Composes the
+    gated triangle enumeration (once-per-triangle via canonical a<b<c
+    joins) with one degree aggregate; exact integers until the single
+    final divide, so the gate is bit-for-bit. Scale: same sum-of-deg^2
+    join fan-out story as dedup_triangle_counts."""
+    from ..operators.components import triangle_counts
+
+    pairs = _lsh_pairs(spark, sf_dir).select("id_a", "id_b").distinct()
+    p = pairs.localCheckpoint()
+    edges = p.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
+        p.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    tri = triangle_counts(p)
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("n_triangles"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coeff"),
+        )
+    )
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled-CTE twin of the LPA driver loop: per round, each node's
+    votes are its neighbors' current labels plus its OWN label (the
+    self-vote damps the 2-cycle oscillation synchronous LPA is known
+    for on bipartite-ish subgraphs), and the winner is the most frequent
+    label with a MIN-label tiebreak -- fully deterministic, so the
+    unroll matches the Spark loop bit-for-bit at every depth."""
+    head = f"""WITH {_SQL_LSH_CTES},
+pairs AS ({_SQL_LSH_SELECT}),
+ec AS MATERIALIZED (SELECT DISTINCT id_a AS a, id_b AS b FROM pairs),
+edges AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM ec UNION ALL SELECT b, a FROM ec
+),
+l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM edges)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+v{i} AS (
+  SELECT e.u AS node, l.lbl FROM edges e JOIN l{i - 1} l ON l.node = e.v
+  UNION ALL
+  SELECT node, lbl FROM l{i - 1}
+),
+c{i} AS (SELECT node, lbl, COUNT(*) AS cnt FROM v{i} GROUP BY node, lbl),
+l{i} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, lbl) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)""")
+    tail = f"""
+SELECT node, lbl AS community FROM l{rounds}"""
+    return head + "".join(steps) + tail
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle(rounds=4))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (Raghavan et al. 2007) over the
+    near-dup pair graph -- the mode-label complement of min-label
+    connected components: where components merge ANY connected nodes,
+    LPA keeps densely-connected duplicate families separate when they
+    touch through a single borderline edge (the label majority inside
+    each dense blob out-votes the bridge). Determinism, the classic LPA
+    weakness, is pinned three ways: synchronous rounds (no visit
+    order), a self-vote (damps the known 2-cycle oscillation), and a
+    min-label tiebreak; 4 rounds unrolled exactly in the oracle. Each
+    round is one equi-join (neighbor labels) + one count aggregate +
+    one per-node top-1 window over O(distinct neighbor labels) rows --
+    all key-partitioned shuffles that scale out; localCheckpoint per
+    round truncates the plan like PageRank/components."""
+    pairs = _lsh_pairs(spark, sf_dir).select("id_a", "id_b").distinct()
+    p = pairs.localCheckpoint()
+    edges = (
+        p.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionAll(p.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window as W
+
+    lab = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(4):
+        votes = (
+            edges.join(
+                lab.select(F.col("node").alias("v"), "lbl"), "v"
+            ).select(F.col("u").alias("node"), "lbl")
+        ).unionByName(lab.select("node", "lbl"))
+        cnt = votes.groupBy("node", "lbl").agg(F.count("*").alias("cnt"))
+        lab = (
+            cnt.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lbl"))
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+    return lab.select("node", F.col("lbl").alias("community"))
+
+
+def _hits_oracle(rounds: int, unit: int) -> str:
+    """Unrolled-CTE twin of the HITS driver loop, in the PageRank
+    family's exact integer fixed-point: every round L1-normalizes both
+    score vectors to ``unit`` via integer floor division against the
+    1-row vector sum (DuckDB // == Spark div), so no float ever enters
+    the iteration and the gate is bit-for-bit."""
+    head = f"""WITH e AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+h0 AS (SELECT DISTINCT cust, CAST({unit} AS BIGINT) AS h FROM e)"""
+    steps = []
+    prev_h = "h0"
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+ar{i} AS (
+  SELECT e.item, SUM(h.h) AS raw FROM e JOIN {prev_h} h USING (cust)
+  GROUP BY e.item
+),
+sa{i} AS (SELECT SUM(raw) AS s FROM ar{i}),
+a{i} AS MATERIALIZED (
+  SELECT item, CAST((raw * {unit}) // s AS BIGINT) AS a
+  FROM ar{i} CROSS JOIN sa{i}
+),
+hr{i} AS (
+  SELECT e.cust, SUM(a.a) AS raw FROM e JOIN a{i} a USING (item)
+  GROUP BY e.cust
+),
+sh{i} AS (SELECT SUM(raw) AS s FROM hr{i}),
+h{i} AS MATERIALIZED (
+  SELECT cust, CAST((raw * {unit}) // s AS BIGINT) AS h
+  FROM hr{i} CROSS JOIN sh{i}
+)""")
+        prev_h = f"h{i}"
+    tail = f"""
+SELECT role, id, score_units, rank FROM (
+  SELECT 'authority' AS role, item AS id, a AS score_units,
+         ROW_NUMBER() OVER (ORDER BY a DESC, item) AS rank
+  FROM a{rounds}
+) WHERE rank <= 10
+UNION ALL
+SELECT role, id, score_units, rank FROM (
+  SELECT 'hub' AS role, cust AS id, h AS score_units,
+         ROW_NUMBER() OVER (ORDER BY h DESC, cust) AS rank
+  FROM h{rounds}
+) WHERE rank <= 10"""
+    return head + "".join(steps) + tail
+
+
+_HITS_UNIT = 10**6
+
+
+@query("graph_hits_scores", oracle=_hits_oracle(rounds=3, unit=_HITS_UNIT))
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the bipartite
+    customer->part purchase graph: authority(part) accumulates hub
+    scores of its buyers, hub(customer) accumulates authority of their
+    basket -- mutually reinforcing centrality that separates 'parts
+    popular with broad buyers' (authority) from 'customers whose
+    baskets concentrate on central parts' (hub); the bipartite
+    complement of PageRank on the dup graph. Exact integer fixed-point
+    like pagerank_units: each half-round is one equi-join + key-grouped
+    SUM, then L1 renormalization to 1e6 units by integer floor division
+    against the 1-row vector sum -- carried as a broadcast crossJoin
+    (the allowlisted <=4096-row NLJ build idiom), NEVER a driver
+    collect. Overflow headroom: raw <= n_side * unit ~= 1.5e11 at sf1,
+    * unit = 1.5e17 < 2^63. Top-10 per role with id tiebreaks. Scale:
+    the edge list shuffles on cust/item alternately -- 2 shuffles per
+    round, both key-partitioned; rounds are a fixed constant (3)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = e.select("cust").distinct().select(
+        "cust", F.lit(_HITS_UNIT).cast("bigint").alias("h")
+    )
+    a = None
+    for _ in range(3):
+        ar = e.join(h, "cust").groupBy("item").agg(F.sum("h").alias("raw"))
+        sa = ar.agg(F.sum("raw").alias("s"))
+        a = ar.crossJoin(F.broadcast(sa)).select(
+            "item",
+            F.expr(f"CAST((raw * {_HITS_UNIT}) div s AS BIGINT)").alias("a"),
+        ).localCheckpoint()
+        hr = e.join(a, "item").groupBy("cust").agg(F.sum("a").alias("raw"))
+        sh = hr.agg(F.sum("raw").alias("s"))
+        h = hr.crossJoin(F.broadcast(sh)).select(
+            "cust",
+            F.expr(f"CAST((raw * {_HITS_UNIT}) div s AS BIGINT)").alias("h"),
+        ).localCheckpoint()
+    from pyspark.sql import Window as W
+
+    # TakeOrdered-limit FIRST (no global sort of the full score table),
+    # then the rank window runs over exactly 10 rows.
+    top_a = (
+        a.orderBy(F.desc("a"), F.asc("item"))
+        .limit(10)
+        .withColumn(
+            "rank", F.row_number().over(W.orderBy(F.desc("a"), F.asc("item")))
+        )
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("item").alias("id"),
+            F.col("a").alias("score_units"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+    top_h = (
+        h.orderBy(F.desc("h"), F.asc("cust"))
+        .limit(10)
+        .withColumn(
+            "rank", F.row_number().over(W.orderBy(F.desc("h"), F.asc("cust")))
+        )
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("cust").alias("id"),
+            F.col("h").alias("score_units"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+    return top_a.unionByName(top_h)
