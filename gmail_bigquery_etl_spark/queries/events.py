@@ -3066,3 +3066,101 @@ def events_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(actual, 6).alias("actual_rate"),
         F.round(F.abs(mean_pred - actual), 6).alias("abs_gap"),
     )
+
+
+@query(
+    "events_seasonal_decompose",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+seas AS (
+  SELECT h,
+         CAST(FLOOR((SUM(y) / CAST(COUNT(*) AS DOUBLE)) * 1000 + 0.5)
+              AS BIGINT) AS s_milli
+  FROM hourly GROUP BY h
+),
+resid AS (
+  SELECT d, h, y, s_milli, y * 1000 - s_milli AS r_milli
+  FROM hourly JOIN seas USING (h)
+),
+stats AS (
+  SELECT SUM(CAST(r_milli AS HUGEINT) * r_milli) AS ssq,
+         SUM(r_milli) AS sr, COUNT(*) AS n
+  FROM resid
+),
+thr AS (
+  SELECT 3.0 * sqrt(CAST(ssq AS DOUBLE) / n
+                    - (CAST(sr AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n))
+         AS t3
+  FROM stats
+)
+SELECT CAST(r.d AS VARCHAR) AS day,
+       CAST(r.h AS BIGINT) AS hour,
+       r.y AS n_events,
+       ROUND(r.s_milli / 1000.0, 3) AS seasonal,
+       ROUND(r.r_milli / 1000.0, 3) AS residual
+FROM resid r CROSS JOIN thr
+WHERE ABS(CAST(r.r_milli AS DOUBLE)) > t3
+""",
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition + anomaly flags: the hour-of-day profile
+    (the dominant season of event traffic) estimated as per-hour means
+    over all days, residual = observed - seasonal, and hours whose
+    residual exceeds 3 sigma of the residual distribution flagged --
+    anomalies scored AGAINST the season, so a quiet 3am spike flags
+    while the daily 6pm peak does not (the failure mode of the raw
+    z-score this complements). Determinism: seasonal means quantize to
+    exact milli-units via FLOOR(mean*1000 + 0.5) (one IEEE division of
+    exact integer sums -- identical both engines; the +0.5 floor
+    sidesteps the DuckDB-rounds-vs-Spark-truncates cast trap);
+    residuals and their sum-of-squares stay exact integers (HUGEINT /
+    DECIMAL(38,0) accumulator), and sigma's one sqrt is pointwise on a
+    1-row aggregate carried as a broadcast crossJoin. Output bounded by
+    days*24 cells."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("ts").cast("date").alias("d"), F.hour("ts").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    seas = hourly.groupBy("h").agg(
+        F.floor(
+            (F.sum("y") / F.count("*").cast("double")) * 1000 + 0.5
+        )
+        .cast("bigint")
+        .alias("s_milli")
+    )
+    resid = hourly.join(seas, "h").select(
+        "d", "h", "y", "s_milli",
+        (F.col("y") * 1000 - F.col("s_milli")).alias("r_milli"),
+    )
+    stats = resid.agg(
+        F.sum(
+            F.col("r_milli").cast("decimal(38,0)") * F.col("r_milli")
+        ).alias("ssq"),
+        F.sum("r_milli").alias("sr"),
+        F.count("*").alias("n"),
+    )
+    thr = stats.select(
+        (
+            3.0
+            * F.sqrt(
+                F.col("ssq").cast("double") / F.col("n")
+                - (F.col("sr").cast("double") / F.col("n"))
+                * (F.col("sr").cast("double") / F.col("n"))
+            )
+        ).alias("t3")
+    )
+    return (
+        resid.crossJoin(F.broadcast(thr))
+        .where(F.abs(F.col("r_milli").cast("double")) > F.col("t3"))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("h").cast("bigint").alias("hour"),
+            F.col("y").alias("n_events"),
+            F.round(F.col("s_milli") / 1000.0, 3).alias("seasonal"),
+            F.round(F.col("r_milli") / 1000.0, 3).alias("residual"),
+        )
+    )
