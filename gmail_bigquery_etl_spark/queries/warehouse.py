@@ -4258,3 +4258,241 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_planted"),
         )
     )
+
+
+@query(
+    "agg_tukey_fences",
+    oracle="""
+WITH q AS (
+  SELECT o_orderpriority AS priority,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+         ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q3
+  FROM orders GROUP BY o_orderpriority
+),
+f AS (
+  SELECT priority, n_rows, q1, q3,
+         ROUND(q3 - q1, 4) AS iqr,
+         ROUND(q1 - 1.5 * (q3 - q1), 4) AS fence_lo,
+         ROUND(q3 + 1.5 * (q3 - q1), 4) AS fence_hi
+  FROM q
+)
+SELECT f.priority, f.n_rows, f.q1, f.q3, f.iqr, f.fence_lo, f.fence_hi,
+       CAST(COUNT(CASE WHEN o.o_totalprice < f.fence_lo THEN 1 END)
+            AS BIGINT) AS n_below,
+       CAST(COUNT(CASE WHEN o.o_totalprice > f.fence_hi THEN 1 END)
+            AS BIGINT) AS n_above
+FROM orders o JOIN f ON o.o_orderpriority = f.priority
+GROUP BY 1, 2, 3, 4, 5, 6, 7
+""",
+)
+def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screen per group (the boxplot rule, Tukey
+    1977): fences at Q1 - 1.5*IQR / Q3 + 1.5*IQR and the count of rows
+    beyond each -- the quartile-based robust-outlier face beside the
+    MAD z-score (events_mad_anomaly) and winsorized stats. Plan: one
+    exact-percentile aggregate over the 5-value priority domain
+    (agg_percentiles' R-7 interpolation idiom, rounded to 4dp so both
+    engines' interpolation agrees), then the fences broadcast back for
+    one counting pass -- two scans, both whole-stage-codegen
+    comparisons against literal-per-group thresholds. Fence arithmetic
+    is pointwise on already-rounded doubles, identical cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.percentile(
+        F.col("o_totalprice"), F.array(F.lit(0.25), F.lit(0.75))
+    )
+    q = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("bigint").alias("n_rows"), pct.alias("_p")
+    )
+    f = q.select(
+        "priority",
+        "n_rows",
+        F.round(F.col("_p")[0], 4).alias("q1"),
+        F.round(F.col("_p")[1], 4).alias("q3"),
+    ).select(
+        "*",
+        F.round(F.col("q3") - F.col("q1"), 4).alias("iqr"),
+        F.round(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 4).alias(
+            "fence_lo"
+        ),
+        F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 4).alias(
+            "fence_hi"
+        ),
+    )
+    return (
+        orders.join(
+            F.broadcast(f), orders["o_orderpriority"] == f["priority"]
+        )
+        .groupBy(
+            "priority", "n_rows", "q1", "q3", "iqr", "fence_lo", "fence_hi"
+        )
+        .agg(
+            F.count(
+                F.when(F.col("o_totalprice") < F.col("fence_lo"), 1)
+            )
+            .cast("bigint")
+            .alias("n_below"),
+            F.count(
+                F.when(F.col("o_totalprice") > F.col("fence_hi"), 1)
+            )
+            .cast("bigint")
+            .alias("n_above"),
+        )
+    )
+
+
+_FD_CANDIDATES = [
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderdate", "o_orderstatus"),
+    ("o_orderstatus", "o_orderpriority"),
+    ("o_orderkey", "o_orderstatus"),
+]
+
+
+def _fd_oracle() -> str:
+    legs = []
+    for lhs, rhs in _FD_CANDIDATES:
+        legs.append(f"""
+SELECT '{lhs}->{rhs}' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COALESCE(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_violating,
+       CAST(COALESCE(MAX(n_rhs), 0) AS BIGINT) AS max_rhs,
+       COALESCE(MAX(n_rhs), 0) <= 1 AS holds
+FROM (
+  SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n_rhs FROM orders GROUP BY {lhs}
+)""")
+    return "\nUNION ALL\n".join(legs)
+
+
+@query("profile_fd_candidates", oracle=_fd_oracle())
+def profile_fd_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling (the Metanome/data-profiling
+    staple): for each candidate FD lhs -> rhs, the number of lhs groups,
+    how many of them violate the dependency (more than one distinct rhs
+    value), the worst violation width, and the holds verdict. Feeds the
+    layout advisors: a HELD dependency (o_orderkey -> anything) marks a
+    key / denormalization opportunity, a near-held one (few violating
+    groups) marks dirty data for the expectations family to quarantine.
+    Each candidate is ONE grouped count-distinct -- shuffle keyed on its
+    own lhs -- and the 4-leg union is embarrassingly parallel; at 100 TB
+    the count-distinct swaps to the gated HLL profile for wide lhs
+    domains (profile_hll_columns)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = None
+    for lhs, rhs in _FD_CANDIDATES:
+        g = orders.groupBy(lhs).agg(F.countDistinct(rhs).alias("n_rhs"))
+        leg = g.agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_violating"),
+            F.coalesce(F.max("n_rhs"), F.lit(0))
+            .cast("bigint")
+            .alias("max_rhs"),
+        ).select(
+            F.lit(f"{lhs}->{rhs}").alias("fd"),
+            "n_groups",
+            "n_violating",
+            "max_rhs",
+            (F.col("max_rhs") <= 1).alias("holds"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+@query(
+    "warehouse_table_diff",
+    oracle="""
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderstatus AS status,
+         ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           AS hx
+  FROM orders
+),
+src AS (SELECT k, cents, status FROM base WHERE hx % 17 <> 0),
+dst AS (
+  SELECT k,
+         CASE WHEN hx % 23 = 0 THEN cents + 1 ELSE cents END AS cents,
+         status
+  FROM base WHERE hx % 19 <> 0
+),
+j AS (
+  SELECT COALESCE(s.k, d.k) AS k,
+         CASE WHEN d.k IS NULL THEN 'only_source'
+              WHEN s.k IS NULL THEN 'only_target'
+              WHEN s.cents <> d.cents OR s.status <> d.status THEN 'changed'
+              ELSE 'equal' END AS status,
+         CASE WHEN s.cents IS NOT NULL AND d.cents IS NOT NULL
+                   AND s.cents <> d.cents THEN 1 ELSE 0 END AS price_diff
+  FROM src s FULL OUTER JOIN dst d ON s.k = d.k
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(k) AS BIGINT) AS key_checksum,
+       CAST(SUM(price_diff) AS BIGINT) AS n_price_diff
+FROM j GROUP BY status
+""",
+)
+def warehouse_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system table reconciliation (the datafold/data-diff shape
+    every migration validation runs): FULL OUTER join of a source and a
+    target snapshot on the primary key, rows classified only_source /
+    only_target / changed / equal, with a key checksum per class (pins
+    WHICH rows diverge, not just how many) and the per-column change
+    count. The two snapshots are derived from orders with md5-selected
+    deletes-on-each-side and value drift so both engines construct the
+    identical pair deterministically -- the planted-divergence pattern
+    (er_quality_eval / duplicate-payments precedent) that keeps the gate
+    falsifiable: all four classes are non-empty. Scale: one
+    key-partitioned full outer join + one 4-group aggregate; at 100 TB
+    the join co-locates if both sides share the key bucketing
+    (join_bucketed_colocated), and the class counts are the standard
+    pre-cutover acceptance report."""
+    from ..operators.kmv import kmv_hash
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+        kmv_hash("o_orderkey").alias("hx"),
+    )
+    src = base.where(F.col("hx") % 17 != 0).select("k", "cents", "status")
+    dst = base.where(F.col("hx") % 19 != 0).select(
+        "k",
+        F.when(F.col("hx") % 23 == 0, F.col("cents") + 1)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        "status",
+    )
+    s, d = src.alias("s"), dst.alias("d")
+    j = s.join(d, F.col("s.k") == F.col("d.k"), "full_outer").select(
+        F.coalesce(F.col("s.k"), F.col("d.k")).alias("k"),
+        F.when(F.col("d.k").isNull(), "only_source")
+        .when(F.col("s.k").isNull(), "only_target")
+        .when(
+            (F.col("s.cents") != F.col("d.cents"))
+            | (F.col("s.status") != F.col("d.status")),
+            "changed",
+        )
+        .otherwise("equal")
+        .alias("status"),
+        F.when(
+            F.col("s.cents").isNotNull()
+            & F.col("d.cents").isNotNull()
+            & (F.col("s.cents") != F.col("d.cents")),
+            1,
+        )
+        .otherwise(0)
+        .alias("price_diff"),
+    )
+    return j.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("k").cast("bigint").alias("key_checksum"),
+        F.sum("price_diff").cast("bigint").alias("n_price_diff"),
+    )
