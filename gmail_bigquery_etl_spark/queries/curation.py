@@ -1143,3 +1143,284 @@ def text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chars_per_token"),
     )
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_SQL_TOKS.format(c='text')} AS ws FROM documents
+  WHERE trim(lower(text)) <> ''
+),
+bg AS (
+  SELECT doc_id, lang, doc_id % 2 = 0 AS is_train,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> struct_pack(a := ws[i], b := ws[i + 1])))
+           AS p
+  FROM toks WHERE len(ws) >= 2
+),
+c_ab AS (
+  SELECT p.a AS a, p.b AS b, COUNT(*) AS cab FROM bg WHERE is_train
+  GROUP BY 1, 2
+),
+c_a AS (
+  SELECT p.a AS a, COUNT(*) AS ca FROM bg WHERE is_train GROUP BY 1
+),
+v AS (SELECT COUNT(DISTINCT p.b) + 1 AS vs FROM bg WHERE is_train),
+scored AS (
+  SELECT bg.doc_id, bg.lang, bg.is_train,
+         COUNT(*) AS n_bg,
+         SUM(CAST(ROUND(-LN((COALESCE(cab, 0) + 1.0)
+                            / (COALESCE(ca, 0) + vs)), 6)
+             AS DECIMAL(18,6))) AS nll
+  FROM bg
+  LEFT JOIN c_ab ON c_ab.a = bg.p.a AND c_ab.b = bg.p.b
+  LEFT JOIN c_a ON c_a.a = bg.p.a
+  CROSS JOIN v
+  GROUP BY 1, 2, 3
+)
+SELECT lang, is_train,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bg) AS BIGINT) AS total_bigrams,
+       CAST(SUM(nll) AS DOUBLE) AS total_nll,
+       CAST(COUNT(CASE WHEN CAST(nll AS DOUBLE) > 4.0 * n_bg THEN 1 END)
+            AS BIGINT) AS n_high_perplexity
+FROM scored GROUP BY lang, is_train
+""",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy scoring -- the CCNet quality-filter shape
+    one order up from the gated unigram LM: train an add-one-smoothed
+    bigram model p(b|a) = (c(ab)+1)/(c(a)+V) on the even-doc_id HALF of
+    the corpus, score EVERY document, and report per (lang, split) so
+    the train-vs-heldout gap (the model's generalization, the thing a
+    real perplexity filter thresholds on) is part of the gated answer.
+    Plan: one bigram explode (the zip_with-over-slices idiom), two
+    vocabulary-sized train aggregates broadcast back onto the scoring
+    pass, a 1-row V crossJoin, per-doc decimal NLL sums (each -ln
+    rounded to 6dp first -- the registry libm rule), two rollups.
+    100 TB: LM tables are vocabulary-sized broadcasts; everything else
+    is one linear pass over bigrams."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = (
+        docs.where(F.trim(F.lower(F.col("text"))) != "")
+        .select(
+            "doc_id", "lang", whitespace_tokens("text").alias("ws")
+        )
+        .filter(F.size("ws") >= 2)
+    )
+    bg = ws.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.size("ws") - 1),
+                F.slice("ws", 2, F.size("ws") - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id", "lang", "is_train",
+        F.col("p.a").alias("a"), F.col("p.b").alias("b"),
+    )
+    train = bg.where(F.col("is_train"))
+    c_ab = train.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    c_a = train.groupBy("a").agg(F.count("*").alias("ca"))
+    v = train.agg((F.countDistinct("b") + 1).alias("vs"))
+    scored = (
+        bg.join(F.broadcast(c_ab), ["a", "b"], "left")
+        .join(F.broadcast(c_a), "a", "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id", "lang", "is_train")
+        .agg(
+            F.count("*").alias("n_bg"),
+            F.sum(
+                F.round(
+                    -F.log(
+                        (F.coalesce(F.col("cab"), F.lit(0)) + 1.0)
+                        / (F.coalesce(F.col("ca"), F.lit(0)) + F.col("vs"))
+                    ),
+                    6,
+                ).cast("decimal(18,6)")
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("lang", "is_train").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_bg").cast("bigint").alias("total_bigrams"),
+        F.sum("nll").cast("double").alias("total_nll"),
+        F.count(
+            F.when(F.col("nll").cast("double") > 4.0 * F.col("n_bg"), 1)
+        )
+        .cast("bigint")
+        .alias("n_high_perplexity"),
+    )
+
+
+_BLOCKLIST = [
+    "slow scan",
+    "hash join",
+    "big batch",
+    "fast merge",
+    "bad vector",
+]
+
+
+@query(
+    "curation_blocklist_filter",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS.format(c='text')} AS ws FROM documents
+  WHERE trim(lower(text)) <> ''
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS phrase
+  FROM toks WHERE len(ws) >= 2
+),
+hits AS (
+  SELECT doc_id, phrase FROM bg
+  WHERE phrase IN ({", ".join("'" + p + "'" for p in _BLOCKLIST)})
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(COUNT(DISTINCT phrase) AS BIGINT) AS n_phrases,
+       CASE WHEN COUNT(*) >= 4 THEN 'drop' ELSE 'review' END AS action
+FROM hits GROUP BY doc_id
+""",
+)
+def curation_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist phrase filtering -- the banned-phrase screen every
+    training-data pipeline runs before anything model-based (license
+    boilerplate, slurs, site chrome): documents matched against a
+    curated phrase dictionary, with per-doc match counts, distinct
+    phrases hit, and a drop/review action at the match-count threshold.
+    Implementation is the SCALABLE shape, not regexp_contains-per-
+    phrase: the doc explodes once into adjacent-word phrases and the
+    dictionary applies as an IN-list literal filter (at dictionary
+    sizes beyond literals it becomes a broadcast semi-join against the
+    phrase dim -- same plan shape, zero per-phrase scans). Exact
+    integers; action thresholds in the query so the gate pins them."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = (
+        docs.where(F.trim(F.lower(F.col("text"))) != "")
+        .select("doc_id", whitespace_tokens("text").alias("ws"))
+        .filter(F.size("ws") >= 2)
+    )
+    bg = ws.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.size("ws") - 1),
+                F.slice("ws", 2, F.size("ws") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("phrase"),
+    )
+    hits = bg.where(F.col("phrase").isin(_BLOCKLIST))
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_matches"),
+        F.countDistinct("phrase").cast("bigint").alias("n_phrases"),
+        F.when(F.count("*") >= 4, "drop")
+        .otherwise("review")
+        .alias("action"),
+    )
+
+
+@query(
+    "docs_shard_overlap_audit",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' near dup' FROM documents
+  WHERE doc_id % 25 = 0
+),
+el AS (
+  SELECT DISTINCT doc_id % 7 AS shard, md5(text) AS h FROM corpus
+),
+sz AS (SELECT shard, COUNT(*) AS n FROM el GROUP BY shard),
+ov AS (
+  SELECT a.shard AS shard_a, b.shard AS shard_b, COUNT(*) AS n_shared
+  FROM el a JOIN el b ON a.h = b.h AND a.shard < b.shard
+  GROUP BY 1, 2
+)
+SELECT ov.shard_a, ov.shard_b,
+       CAST(ov.n_shared AS BIGINT) AS n_shared,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       ROUND(CAST(ov.n_shared AS DOUBLE)
+             / (sa.n + sb.n - ov.n_shared), 6) AS jaccard
+FROM ov JOIN sz sa ON sa.shard = ov.shard_a
+        JOIN sz sb ON sb.shard = ov.shard_b
+""",
+)
+def docs_shard_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard duplication audit -- the pre-training sanity check
+    that training shards don't secretly share content (exact copies that
+    slipped past dedup inflate effective epochs on the duplicated
+    slice): shards assigned doc_id % 7, shard elements are exact-text
+    fingerprints (md5), and every shard PAIR reports its shared-content
+    count and Jaccard. The augmented corpus's planted exact copies land
+    5 shards away from their source (100000 % 7 = 5), so the answer is
+    non-empty with known membership -- a falsifiable gate, not a
+    vacuous all-zeros. Plan: one distinct over (shard, fingerprint),
+    one self-equi-join ON THE FINGERPRINT (output bounded by true
+    duplication, never shard-size^2), two broadcast size joins. At
+    100 TB the same audit runs from per-shard KMV sketches
+    (agg_kmv_set_ops) when exact counts aren't worth the join."""
+    corpus = _aug_texts(load_table(spark, sf_dir, "documents"))
+    el = corpus.select(
+        (F.col("doc_id") % 7).alias("shard"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    ).distinct()
+    sz = el.groupBy("shard").agg(F.count("*").alias("n"))
+    a, b = el.alias("a"), el.alias("b")
+    ov = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.shard") < F.col("b.shard")),
+        )
+        .groupBy(
+            F.col("a.shard").alias("shard_a"),
+            F.col("b.shard").alias("shard_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sz.select(F.col("shard").alias("shard_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("shard").alias("shard_b"), F.col("n").alias("n_b"))
+    return (
+        ov.join(F.broadcast(sa), "shard_a")
+        .join(F.broadcast(sb), "shard_b")
+        .select(
+            "shard_a",
+            "shard_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _aug_texts(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) twin of text._augmented_corpus: base + exact
+    copies (%10, +100000) + near copies (%25, +200000, ' near dup')."""
+    base = docs.select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup")).alias("text"),
+    )
+    return spread(base.unionAll(exact).unionAll(near))
