@@ -355,9 +355,20 @@ _ROUND9_FRONT = [
     "orders_duplicate_payments",
     "text_bpe_fertility_by_lang",
     "curation_mixture_allocation",
-    # (b) new in round 9 (appended as they land)
-    # (c) code paths changed in round 9
+    # (b) new in round 9
+    "graph_clustering_coeff",
+    "graph_label_propagation",
+    "graph_hits_scores",
+    "events_seasonal_decompose",
+    "agg_tukey_fences",
+    "profile_fd_candidates",
+    "warehouse_table_diff",
+    "text_bigram_lm_score",
+    "curation_blocklist_filter",
+    "docs_shard_overlap_audit",
+    # (c) code paths changed in round 9 (array-pair dots; basket cap 128)
     "text_sparse_cosine_topk",
+    "orders_item_cf_recs",
     # (d) backfill: oldest driver evidence (r3 holders), alphabetically
     "agg_distinct_multi",
     "agg_grouping_sets",
@@ -371,18 +382,6 @@ _ROUND9_FRONT = [
     "docs_balanced_sample",
     "docs_stratified_split",
     "docs_token_shards",
-    "embedding_near_dup_lsh",
-    "ingest_idempotent",
-    "ingest_incremental",
-    "ingest_point_lookup",
-    "ingest_shuffle_anti_join",
-    "ingest_via_datasource",
-    "join_anti_not_exists",
-    "join_cross_theta",
-    "join_full_outer",
-    "join_left_outer_agg",
-    "join_semi_exists",
-    "pivot_status_by_priority",
 ]
 
 _rotate(_ROUND9_FRONT)

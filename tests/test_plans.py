@@ -166,6 +166,13 @@ _ALLOWED_NLJ = {
     # broadcast crossJoin of the 9-row literal shard dim (the salts-dim
     # small-side replication class)
     "warehouse_rendezvous_resharding",
+    # broadcast crossJoins of the 1-row L1-norm aggregates (one per HITS
+    # half-round, the pagerank-family normalization scalar)
+    "graph_hits_scores",
+    # broadcast crossJoin of the 1-row 3-sigma threshold aggregate
+    "events_seasonal_decompose",
+    # broadcast crossJoin of the 1-row train-vocabulary-size aggregate
+    "text_bigram_lm_score",
     }
 
 # Build-side row bound for every allowlisted NLJ: the biggest legitimate
