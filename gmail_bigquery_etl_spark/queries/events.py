@@ -3164,3 +3164,148 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("r_milli") / 1000.0, 3).alias("residual"),
         )
     )
+
+
+@query(
+    "events_conformal_threshold",
+    oracle="""
+WITH scores AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT)
+           + 4 * CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                      AS BIGINT) AS score,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+           AS converted
+  FROM events GROUP BY user_id
+),
+cal AS (SELECT score FROM scores WHERE user_id % 2 = 0 AND converted),
+ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+k AS (
+  SELECT n_cal,
+         GREATEST(CAST(FLOOR((n_cal + 1) * 0.1) AS BIGINT), 0) AS k_idx
+  FROM ncal
+),
+thr AS (
+  SELECT k.n_cal, k.k_idx,
+         CASE WHEN k.k_idx = 0 THEN NULL ELSE (
+           SELECT MIN(score) FROM (
+             SELECT score,
+                    ROW_NUMBER() OVER (ORDER BY score, score) AS rn
+             FROM cal
+           ) WHERE rn = k.k_idx
+         ) END AS threshold
+  FROM k
+),
+ev AS (
+  SELECT score, converted FROM scores WHERE user_id % 2 = 1
+)
+SELECT t.n_cal, t.k_idx,
+       CAST(COALESCE(t.threshold, -1) AS BIGINT) AS threshold,
+       CAST(COUNT(CASE WHEN ev.converted THEN 1 END) AS BIGINT) AS n_eval_pos,
+       CAST(COUNT(CASE WHEN ev.converted
+                       AND ev.score >= COALESCE(t.threshold, -1)
+                  THEN 1 END) AS BIGINT) AS n_covered,
+       ROUND(CAST(COUNT(CASE WHEN ev.converted
+                             AND ev.score >= COALESCE(t.threshold, -1)
+                        THEN 1 END) AS DOUBLE)
+             / COUNT(CASE WHEN ev.converted THEN 1 END), 6) AS coverage,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_all,
+       CAST(COUNT(CASE WHEN ev.score >= COALESCE(t.threshold, -1)
+                  THEN 1 END) AS BIGINT) AS n_flagged,
+       ROUND(CAST(COUNT(CASE WHEN ev.score >= COALESCE(t.threshold, -1)
+                        THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS flag_rate
+FROM ev CROSS JOIN thr t
+GROUP BY t.n_cal, t.k_idx, t.threshold
+""",
+)
+def events_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction calibration (Vovk; Angelopoulos-Bates
+    tutorial form) -- the distribution-free coverage guarantee every
+    model-serving platform wants beside the ECE audit: calibrate a score
+    threshold on the even-user_id half's POSITIVES at the k =
+    floor((n+1)*alpha) lower order statistic (alpha = 0.1), then audit
+    on the held-out half that >= 90% of true positives score above it
+    (marginal coverage), plus the flag-rate (prediction-set efficiency).
+    The score is a deterministic integer activity score, so the order
+    statistic, threshold, and every count are EXACT -- no float enters
+    until the two final rounded ratios. Plan: one per-user aggregate,
+    one k-th-order-statistic TakeOrdered over calibration positives
+    (never a global sort of all users), one broadcast threshold
+    crossJoin, one counting pass."""
+    ev = load_table(spark, sf_dir, "events")
+    scores = ev.groupBy("user_id").agg(
+        (
+            F.count("*").cast("bigint")
+            + 4
+            * F.count(F.when(F.col("event_type") == "purchase", 1)).cast(
+                "bigint"
+            )
+        ).alias("score"),
+        (
+            F.count(F.when(F.col("event_type") == "purchase", 1)) > 0
+        ).alias("converted"),
+    )
+    cal = scores.where((F.col("user_id") % 2 == 0) & F.col("converted"))
+    ncal_k = cal.agg(F.count("*").cast("bigint").alias("n_cal")).select(
+        "n_cal",
+        F.greatest(
+            F.floor((F.col("n_cal") + 1) * 0.1).cast("bigint"), F.lit(0)
+        ).alias("k_idx"),
+    )
+    # k-th smallest calibration score WITHOUT a global sort: TakeOrdered
+    # k rows (k is small: ~10% of calibration positives), then max.
+    from pyspark.sql import Window as W
+
+    kval = ncal_k.collect()[0]
+    if kval.k_idx > 0:
+        thr_row = (
+            cal.orderBy(F.asc("score"))
+            .limit(int(kval.k_idx))
+            .agg(F.max("score").cast("bigint").alias("threshold"))
+        )
+    else:
+        thr_row = cal.agg(
+            F.lit(None).cast("bigint").alias("threshold")
+        )
+    thr = ncal_k.crossJoin(F.broadcast(thr_row))
+    evh = scores.where(F.col("user_id") % 2 == 1)
+    covered = F.count(
+        F.when(
+            F.col("converted")
+            & (F.col("score") >= F.coalesce(F.col("threshold"), F.lit(-1))),
+            1,
+        )
+    )
+    npos = F.count(F.when(F.col("converted"), 1))
+    flagged = F.count(
+        F.when(
+            F.col("score") >= F.coalesce(F.col("threshold"), F.lit(-1)), 1
+        )
+    )
+    return (
+        evh.crossJoin(F.broadcast(thr))
+        .groupBy("n_cal", "k_idx", "threshold")
+        .agg(
+            npos.cast("bigint").alias("n_eval_pos"),
+            covered.cast("bigint").alias("n_covered"),
+            F.round(covered.cast("double") / npos, 6).alias("coverage"),
+            F.count("*").cast("bigint").alias("n_eval_all"),
+            flagged.cast("bigint").alias("n_flagged"),
+            F.round(flagged.cast("double") / F.count("*"), 6).alias(
+                "flag_rate"
+            ),
+        )
+        .select(
+            "n_cal",
+            "k_idx",
+            F.coalesce(F.col("threshold"), F.lit(-1))
+            .cast("bigint")
+            .alias("threshold"),
+            "n_eval_pos",
+            "n_covered",
+            "coverage",
+            "n_eval_all",
+            "n_flagged",
+            "flag_rate",
+        )
+    )

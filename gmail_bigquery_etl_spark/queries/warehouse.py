@@ -4496,3 +4496,123 @@ def warehouse_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("key_checksum"),
         F.sum("price_diff").cast("bigint").alias("n_price_diff"),
     )
+
+
+@query(
+    "privacy_t_closeness",
+    oracle="""
+WITH base AS (
+  SELECT c_nationkey, c_mktsegment, o.o_orderpriority AS sv
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+),
+vals AS (SELECT DISTINCT sv FROM base),
+gl AS (SELECT sv, CAST(COUNT(*) AS BIGINT) AS p FROM base GROUP BY sv),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot, CAST(COUNT(DISTINCT sv) AS BIGINT) AS m FROM base),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_c
+  FROM base GROUP BY 1, 2
+),
+grid AS (
+  SELECT cl.c_nationkey, cl.c_mktsegment, cl.n_c, v.sv,
+         COALESCE(q.q, 0) AS q, g.p
+  FROM classes cl
+  CROSS JOIN vals v
+  JOIN gl g ON g.sv = v.sv
+  LEFT JOIN (
+    SELECT c_nationkey, c_mktsegment, sv, CAST(COUNT(*) AS BIGINT) AS q
+    FROM base GROUP BY 1, 2, 3
+  ) q ON q.c_nationkey = cl.c_nationkey
+     AND q.c_mktsegment = cl.c_mktsegment AND q.sv = v.sv
+),
+cums AS (
+  SELECT c_nationkey, c_mktsegment, n_c, sv,
+         SUM(q) OVER (PARTITION BY c_nationkey, c_mktsegment
+                      ORDER BY sv ROWS UNBOUNDED PRECEDING) AS cq,
+         SUM(p) OVER (PARTITION BY c_nationkey, c_mktsegment
+                      ORDER BY sv ROWS UNBOUNDED PRECEDING) AS cp
+  FROM grid
+)
+SELECT c.c_nationkey, c.c_mktsegment, c.n_c AS class_size,
+       ROUND(CAST(SUM(ABS(c.cq * n.n_tot - c.cp * c.n_c)) AS DOUBLE)
+             / (CAST(c.n_c AS DOUBLE) * n.n_tot * (n.m - 1)), 6) AS t_dist,
+       CAST(SUM(ABS(c.cq * n.n_tot - c.cp * c.n_c)) AS DOUBLE)
+             / (CAST(c.n_c AS DOUBLE) * n.n_tot * (n.m - 1)) > 0.2
+         AS violates_t02
+FROM cums c CROSS JOIN n
+GROUP BY c.c_nationkey, c.c_mktsegment, c.n_c, n.n_tot, n.m
+""",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. ICDE 2007) -- the third leg of the
+    release-checklist triad with privacy_k_anonymity and
+    privacy_l_diversity: a class can be k-large AND l-diverse yet still
+    leak if its sensitive-value DISTRIBUTION diverges from the global
+    one (skewness attack). Per quasi-identifier class, the ordinal Earth
+    Mover's Distance between class and global order-priority
+    distributions = mean absolute difference of the cumulative
+    distributions -- computed entirely on exact integer cross products
+    |cumQ*N - cumP*Nc| (no per-step float), ONE divide + round at the
+    end. The value grid is classes x 5 priorities (bounded domain), so
+    the cumulative windows are 5-row partitions; t > 0.2 is the
+    conventional release threshold. Scale: one join + three hash
+    aggregates keyed on the class; everything after is dimension-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    base = cust.join(orders, cust["c_custkey"] == orders["o_custkey"]).select(
+        "c_nationkey", "c_mktsegment", F.col("o_orderpriority").alias("sv")
+    )
+    vals = base.select("sv").distinct()
+    glob = base.groupBy("sv").agg(F.count("*").cast("bigint").alias("p"))
+    n = base.agg(
+        F.count("*").cast("bigint").alias("n_tot"),
+        F.countDistinct("sv").cast("bigint").alias("m"),
+    )
+    classes = base.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_c")
+    )
+    qcounts = base.groupBy("c_nationkey", "c_mktsegment", "sv").agg(
+        F.count("*").cast("bigint").alias("q")
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(vals))
+        .join(F.broadcast(glob), "sv")
+        .join(qcounts, ["c_nationkey", "c_mktsegment", "sv"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_c",
+            "sv",
+            F.coalesce(F.col("q"), F.lit(0)).alias("q"),
+            "p",
+        )
+    )
+    w = (
+        W.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("sv")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cums = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_c",
+        F.sum("q").over(w).alias("cq"),
+        F.sum("p").over(w).alias("cp"),
+    )
+    t_num = F.sum(F.abs(F.col("cq") * F.col("n_tot") - F.col("cp") * F.col("n_c")))
+    t = t_num.cast("double") / (
+        F.col("n_c").cast("double") * F.col("n_tot") * (F.col("m") - 1)
+    )
+    return (
+        cums.crossJoin(F.broadcast(n))
+        .groupBy("c_nationkey", "c_mktsegment", "n_c", "n_tot", "m")
+        .agg(F.round(t, 6).alias("t_dist"), (t > 0.2).alias("violates_t02"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("n_c").alias("class_size"),
+            "t_dist",
+            "violates_t02",
+        )
+    )
