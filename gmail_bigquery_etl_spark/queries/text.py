@@ -1559,3 +1559,125 @@ def dedup_incremental_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max("bucket_sz").cast("bigint").alias("max_bucket"),
         )
     )
+
+
+def _lsh_tuning_oracle(widths: list[int]) -> str:
+    """Per-config banding CTEs over ONE shared signature build: for each
+    rows-per-band width r, bucket on i // r, mirror the operator's
+    2..max_bucket membership cap, and score candidates against the
+    PLANTED duplicate pairs (the er_quality_eval ground-truth pattern:
+    both engines construct the truth identically, so recall is exact)."""
+    head = f"""WITH corpus AS ({_SQL_AUGMENTED}),
+shingled AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES.format(c='text')}) AS grams FROM corpus
+),
+hashed AS (
+  SELECT doc_id, list_transform(grams, s -> {_SQL_HASH.format(s='s')} % {MINHASH_P}) AS hs
+  FROM shingled
+),
+coeffs AS ({_sql_coeffs(16)}),
+sigs AS (
+  SELECT doc_id, i,
+         list_min(list_transform(hs, h -> (h * a + b) % {MINHASH_P})) AS mh
+  FROM hashed, coeffs
+),
+truth AS (
+  SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 'exact' AS kind
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, doc_id + 200000, 'near'
+  FROM documents WHERE doc_id % 25 = 0
+)"""
+    legs = []
+    for r in widths:
+        head += f""",
+bands_{r} AS MATERIALIZED (
+  SELECT doc_id, i // {r} AS band,
+         string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS band_key
+  FROM sigs GROUP BY doc_id, i // {r}
+),
+cand_{r} AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands_{r} a
+  JOIN (SELECT band, band_key FROM bands_{r}
+        GROUP BY band, band_key HAVING COUNT(*) BETWEEN 2 AND 1000) ok
+    ON ok.band = a.band AND ok.band_key = a.band_key
+  JOIN bands_{r} b ON b.band = a.band AND b.band_key = a.band_key
+   AND a.doc_id < b.doc_id
+)"""
+        legs.append(f"""
+SELECT CAST({r} AS BIGINT) AS rows_per_band,
+       CAST({16 // r} AS BIGINT) AS n_bands,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{r}) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{r} c
+        JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_found,
+       ROUND((SELECT COUNT(*) FROM cand_{r} c
+              JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b)
+             / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 6) AS recall""")
+    return head + "\nUNION ALL\n".join(legs)
+
+
+@query("dedup_lsh_tuning_curve", oracle=_lsh_tuning_oracle([2, 4, 8]))
+def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding S-curve, MEASURED (the tuning harness behind every
+    MinHash deployment): with 16 minhashes, candidate recall against the
+    planted duplicate pairs and candidate-set size for rows-per-band
+    r in {2, 4, 8} -- P(band collision) = jaccard^r, so narrow bands
+    (r=2) catch low-similarity pairs at higher candidate cost and wide
+    bands (r=8) are near-exact-only; this query turns that theory into
+    the gated numbers an operator would pick parameters from (the
+    eval-harness family: er_quality_eval, retrieval_quality_eval,
+    ann_recall_scoreboard). ONE signature build (the gated minhash
+    pipeline) serves all three configs; per config one banding
+    aggregate + in-bucket pair expansion under the operator's own
+    2..1000 bucket cap, scored by an equi-join against the
+    deterministic planted-pair truth. Scale: identical posture to the
+    gated pair generator x a constant 3."""
+    from ..operators.dedup import grams_stage, lsh_candidate_pairs_from_grams
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _augmented_corpus(docs)
+    grams = grams_stage(corpus, "text", "doc_id", 3).localCheckpoint()
+    truth = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 100000).alias("id_b"),
+        )
+        .unionAll(
+            docs.where(F.col("doc_id") % 25 == 0).select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 200000).alias("id_b"),
+            )
+        )
+        .localCheckpoint()
+    )
+    out = None
+    for r in [2, 4, 8]:
+        cand = lsh_candidate_pairs_from_grams(
+            grams, "doc_id", num_hashes=16, bands=16 // r
+        )
+        found = cand.join(truth, ["id_a", "id_b"])
+        n_tr = truth.select(F.count("*").cast("bigint").alias("n_truth"))
+        leg = (
+            cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+            .crossJoin(
+                F.broadcast(
+                    found.agg(F.count("*").cast("bigint").alias("n_found"))
+                )
+            )
+            .crossJoin(F.broadcast(n_tr))
+            .select(
+                F.lit(r).cast("bigint").alias("rows_per_band"),
+                F.lit(16 // r).cast("bigint").alias("n_bands"),
+                "n_candidates",
+                "n_truth",
+                "n_found",
+                F.round(
+                    F.col("n_found").cast("double") / F.col("n_truth"), 6
+                ).alias("recall"),
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
