@@ -1418,3 +1418,87 @@ def curation_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("query_id", "cand_id", "rank", F.round("score", 6).alias("score"))
     )
+
+
+@query(
+    "embedding_drift_audit",
+    oracle="""
+WITH px AS (
+  SELECT label % 2 = 0 AS slice_even, j - 1 AS dim,
+         CAST(embedding[j] AS DOUBLE) AS val
+  FROM embeddings, generate_series(1, 64) AS t(j)
+),
+m AS (
+  SELECT dim,
+         ROUND(AVG(CASE WHEN slice_even THEN val END), 6) AS mean_even,
+         ROUND(AVG(CASE WHEN NOT slice_even THEN val END), 6) AS mean_odd,
+         CAST(COUNT(CASE WHEN slice_even THEN 1 END) AS BIGINT) AS n_even,
+         CAST(COUNT(CASE WHEN NOT slice_even THEN 1 END) AS BIGINT) AS n_odd
+  FROM px GROUP BY dim
+),
+d AS (
+  SELECT dim, mean_even, mean_odd, n_even, n_odd,
+         ROUND(ABS(mean_even - mean_odd), 6) AS drift
+  FROM m
+)
+SELECT CAST(dim AS BIGINT) AS dim, mean_even, mean_odd, n_even, n_odd,
+       drift, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY drift DESC, dim) AS rank FROM d
+) WHERE rank <= 8
+""",
+)
+def embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift audit -- the vector-side twin of the scalar drift
+    family (PSI / KS): per-DIMENSION mean of the embedding column across
+    two population slices (label parity stands in for time windows or
+    model versions), ranked by absolute mean shift. The top drifted
+    dimensions are the standard first diagnostic when retrieval quality
+    drops after a re-embed or upstream data change: a uniform shift
+    means normalization drift, a few concentrated dims mean semantic
+    drift. Plan: ONE positional explode of the vector column (dims x
+    rows, linear), one per-dim conditional aggregate (64 groups -- a
+    bounded domain), top-8 via TakeOrdered then an 8-row rank window.
+    Means follow the gated embedding_centroids ROUND(AVG, 6) idiom."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    px = emb.select(
+        (F.col("label") % 2 == 0).alias("slice_even"),
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select("slice_even", "dim", F.col("val").cast("double").alias("val"))
+    m = px.groupBy("dim").agg(
+        F.round(F.avg(F.when(F.col("slice_even"), F.col("val"))), 6).alias(
+            "mean_even"
+        ),
+        F.round(
+            F.avg(F.when(~F.col("slice_even"), F.col("val"))), 6
+        ).alias("mean_odd"),
+        F.count(F.when(F.col("slice_even"), 1))
+        .cast("bigint")
+        .alias("n_even"),
+        F.count(F.when(~F.col("slice_even"), 1))
+        .cast("bigint")
+        .alias("n_odd"),
+    )
+    d = m.select(
+        "*",
+        F.round(F.abs(F.col("mean_even") - F.col("mean_odd")), 6).alias(
+            "drift"
+        ),
+    )
+    return (
+        d.orderBy(F.desc("drift"), F.asc("dim"))
+        .limit(8)
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("drift"), F.asc("dim"))),
+        )
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            "mean_even",
+            "mean_odd",
+            "n_even",
+            "n_odd",
+            "drift",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
