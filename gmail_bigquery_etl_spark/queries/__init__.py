@@ -213,10 +213,6 @@ _ROUND6_FRONT = [
     "dedup_exact_groups",
     "dedup_exact_survivors_count",
     "dedup_simhash_pairs_wide",
-    "dedup_survivor_stats",
-    "docs_balanced_sample",
-    "docs_stratified_split",
-    "docs_token_shards",
 ]
 
 _rotate(_ROUND6_FRONT)
@@ -366,6 +362,10 @@ _ROUND9_FRONT = [
     "text_bigram_lm_score",
     "curation_blocklist_filter",
     "docs_shard_overlap_audit",
+    "privacy_t_closeness",
+    "events_conformal_threshold",
+    "dedup_lsh_tuning_curve",
+    "embedding_drift_audit",
     # (c) code paths changed in round 9 (array-pair dots; basket cap 128)
     "text_sparse_cosine_topk",
     "orders_item_cf_recs",
@@ -378,10 +378,6 @@ _ROUND9_FRONT = [
     "dedup_exact_groups",
     "dedup_exact_survivors_count",
     "dedup_simhash_pairs_wide",
-    "dedup_survivor_stats",
-    "docs_balanced_sample",
-    "docs_stratified_split",
-    "docs_token_shards",
 ]
 
 _rotate(_ROUND9_FRONT)
