@@ -4616,3 +4616,68 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violates_t02",
         )
     )
+
+
+@query(
+    "warehouse_pit_join",
+    oracle="""
+WITH versions AS (
+  SELECT o_custkey,
+         CAST(o_orderdate AS TIMESTAMP) AS eff_from,
+         arg_max(o_orderpriority, o_orderkey) AS status
+  FROM orders GROUP BY 1, 2
+),
+facts AS (
+  SELECT o.o_custkey, CAST(l.l_shipdate AS TIMESTAMP) AS ts,
+         CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+pit AS (
+  SELECT f.cents, v.status
+  FROM facts f
+  ASOF LEFT JOIN versions v
+    ON f.o_custkey = v.o_custkey AND f.ts >= v.eff_from
+)
+SELECT COALESCE(status, 'none') AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_facts,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM pit GROUP BY 1
+""",
+)
+def warehouse_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join -- the feature-store training-data
+    correctness primitive: every fact row (lineitem, keyed by ship
+    date) joins the dimension VERSION that was active at the fact's own
+    timestamp (the customer's order-priority status history derived
+    from their order feed), never a later one -- the temporal-leakage
+    bug PIT joins exist to prevent. Facts that predate the key's first
+    version stay NULL -> 'none' (no future version leaks backward; the
+    gate pins that class count). Versions are deduped to one per (key,
+    date) with an arg_max tiebreak so both engines' as-of pick is
+    well-defined. Spark side is the gated union+window single-pass
+    as-of operator (operators/asof.py -- one shuffle on the key, no
+    range-join explosion); the oracle is DuckDB's NATIVE ASOF JOIN, an
+    independent implementation of the same semantics."""
+    from ..operators.asof import asof_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    versions = orders.groupBy(
+        "o_custkey", F.col("o_orderdate").cast("timestamp").alias("ts")
+    ).agg(
+        F.expr("max_by(o_orderpriority, o_orderkey)").alias("status")
+    )
+    facts = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_custkey",
+        F.col("l_shipdate").cast("timestamp").alias("ts"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    pit = asof_join(facts, versions, on="o_custkey")
+    return pit.groupBy(
+        F.coalesce(F.col("status"), F.lit("none")).alias("status")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_facts"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
