@@ -212,7 +212,6 @@ _ROUND6_FRONT = [
     "dedup_clusters",
     "dedup_exact_groups",
     "dedup_exact_survivors_count",
-    "dedup_simhash_pairs_wide",
 ]
 
 _rotate(_ROUND6_FRONT)
@@ -366,6 +365,7 @@ _ROUND9_FRONT = [
     "events_conformal_threshold",
     "dedup_lsh_tuning_curve",
     "embedding_drift_audit",
+    "warehouse_pit_join",
     # (c) code paths changed in round 9 (array-pair dots; basket cap 128)
     "text_sparse_cosine_topk",
     "orders_item_cf_recs",
@@ -377,7 +377,6 @@ _ROUND9_FRONT = [
     "dedup_clusters",
     "dedup_exact_groups",
     "dedup_exact_survivors_count",
-    "dedup_simhash_pairs_wide",
 ]
 
 _rotate(_ROUND9_FRONT)
