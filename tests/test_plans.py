@@ -173,6 +173,14 @@ _ALLOWED_NLJ = {
     "events_seasonal_decompose",
     # broadcast crossJoin of the 1-row train-vocabulary-size aggregate
     "text_bigram_lm_score",
+    # broadcast crossJoins of the 5-row sensitive-value dim + the 1-row
+    # (N, m) totals aggregate
+    "privacy_t_closeness",
+    # broadcast crossJoin of the 1-row conformal-threshold aggregate
+    "events_conformal_threshold",
+    # crossJoins of 1-row candidate/found/truth count aggregates per
+    # emitted config row (the agg_kmv_set_ops scalar class)
+    "dedup_lsh_tuning_curve",
     }
 
 # Build-side row bound for every allowlisted NLJ: the biggest legitimate

@@ -46,3 +46,45 @@ def test_front_has_no_duplicates():
 
     names = list(ALL_QUERIES)
     assert len(names) == len(set(names))
+
+
+def test_duplicate_payments_positive_control(spark):
+    """VERDICT r8 item #3: the duplicate-payments gate must be
+    falsifiable. Every md5-selected planted order must reappear as
+    exactly one is_planted pair (source, source+1e9), so the answer is
+    non-empty with KNOWN membership."""
+    from pyspark.sql import functions as F
+
+    from gmail_bigquery_etl_spark.catalog import load_table
+    from gmail_bigquery_etl_spark.queries import ALL_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = ALL_QUERIES["orders_duplicate_payments"](spark, sf)
+    planted = out.where(F.col("is_planted") == 1)
+    orders = load_table(spark, sf, "orders")
+    expected = orders.where(
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 64
+        == 0
+    ).count()
+    got = {(r.k_a, r.k_b) for r in planted.collect()}
+    want = {
+        (r.o_orderkey, r.o_orderkey + 1000000000)
+        for r in orders.where(
+            F.conv(
+                F.substring(
+                    F.md5(F.col("o_orderkey").cast("string")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 64
+            == 0
+        ).collect()
+    }
+    assert expected > 0
+    assert want <= got  # every planted source reappears as a pair
