@@ -3309,3 +3309,93 @@ def events_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flag_rate",
         )
     )
+
+
+@query(
+    "events_forecast_backtest",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+split AS (SELECT MAX(d) - INTERVAL 7 DAY AS cut FROM hourly),
+train AS (SELECT h.* FROM hourly h CROSS JOIN split WHERE h.d <= cut),
+test AS (SELECT h.* FROM hourly h CROSS JOIN split WHERE h.d > cut),
+seas AS (
+  SELECT h, CAST(FLOOR((SUM(y) / CAST(COUNT(*) AS DOUBLE)) * 1000 + 0.5)
+                 AS BIGINT) AS f_milli
+  FROM train GROUP BY h
+),
+last_val AS (
+  SELECT h, arg_max(y, d) * 1000 AS f_milli FROM train GROUP BY h
+),
+scored AS (
+  SELECT 'seasonal_naive' AS model, t.y, s.f_milli
+  FROM test t JOIN seas s USING (h)
+  UNION ALL
+  SELECT 'last_value', t.y, l.f_milli
+  FROM test t JOIN last_val l USING (h)
+)
+SELECT model,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(ABS(y * 1000 - f_milli)) AS BIGINT) AS mae_milli_sum,
+       ROUND(SUM(ABS(y * 1000 - f_milli)) / (1000.0 * COUNT(*)), 6) AS mae,
+       ROUND(SUM(CAST(ABS(y * 1000 - f_milli) AS DOUBLE)
+                 / (y * 1000)) / COUNT(*), 6) AS mape
+FROM scored GROUP BY model
+""",
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest harness -- the eval-harness family applied to
+    time series: hold out the final 7 days of hourly volumes, forecast
+    each (day, hour) cell with two baselines every forecasting paper
+    reports (seasonal-naive = hour-of-day train mean; last-value = the
+    hour's most recent train observation), and score MAE + MAPE. The
+    baselines ARE the deliverable: any real model must beat the gated
+    numbers, and the harness slots it in as a third UNION leg.
+    Determinism: forecasts quantize to exact milli-units (the seasonal
+    decompose FLOOR(x*1000+0.5) idiom), absolute errors stay exact
+    integers; MAPE's per-cell terms are exact-integer ratios evaluated
+    pointwise-IEEE identically on both engines and summed over a
+    bounded <=168-cell grid before one final round. Plan: one
+    hourly aggregate, a 1-row cutoff crossJoin, two 24-row forecast
+    dims broadcast onto the 168-cell test grid."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("ts").cast("date").alias("d"), F.hour("ts").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    split = hourly.agg(F.date_sub(F.max("d"), 7).alias("cut"))
+    train = hourly.crossJoin(F.broadcast(split)).where(
+        F.col("d") <= F.col("cut")
+    )
+    test = hourly.crossJoin(F.broadcast(split)).where(
+        F.col("d") > F.col("cut")
+    )
+    seas = train.groupBy("h").agg(
+        F.floor((F.sum("y") / F.count("*").cast("double")) * 1000 + 0.5)
+        .cast("bigint")
+        .alias("f_milli")
+    )
+    last_val = train.groupBy("h").agg(
+        (F.expr("max_by(y, d)") * 1000).cast("bigint").alias("f_milli")
+    )
+    scored = (
+        test.join(F.broadcast(seas), "h")
+        .select(F.lit("seasonal_naive").alias("model"), "y", "f_milli")
+        .unionByName(
+            test.join(F.broadcast(last_val), "h").select(
+                F.lit("last_value").alias("model"), "y", "f_milli"
+            )
+        )
+    )
+    err = F.abs(F.col("y") * 1000 - F.col("f_milli"))
+    return scored.groupBy("model").agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum(err).cast("bigint").alias("mae_milli_sum"),
+        F.round(F.sum(err) / (1000.0 * F.count("*")), 6).alias("mae"),
+        F.round(
+            F.sum(err.cast("double") / (F.col("y") * 1000)) / F.count("*"),
+            6,
+        ).alias("mape"),
+    )

@@ -1681,3 +1681,107 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+@query(
+    "text_novelty_curve",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES.format(c='text')}) AS gram
+  FROM documents
+),
+firsts AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM tok GROUP BY gram
+),
+nd AS (SELECT MAX(doc_id) + 1 AS n_docs FROM documents),
+intro AS (
+  SELECT CAST(first_doc * 10 // n_docs AS BIGINT) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS new_grams
+  FROM firsts CROSS JOIN nd GROUP BY 1
+),
+vol AS (
+  SELECT CAST(doc_id * 10 // n_docs AS BIGINT) AS decile,
+         CAST(SUM(len({_SQL_SHINGLES.format(c='text')})) AS BIGINT)
+           AS gram_instances
+  FROM documents CROSS JOIN nd GROUP BY 1
+)
+SELECT v.decile, v.gram_instances,
+       COALESCE(i.new_grams, 0) AS new_grams,
+       CAST(SUM(COALESCE(i.new_grams, 0)) OVER (
+         ORDER BY v.decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS vocab_so_far,
+       ROUND(COALESCE(i.new_grams, 0)
+             / CAST(v.gram_instances AS DOUBLE), 6) AS novelty_rate
+FROM vol v LEFT JOIN intro i ON i.decile = v.decile
+""",
+)
+def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth / novelty curve (the Heaps'-law diagnostic
+    every corpus-curation report carries): sweep the corpus in a
+    deterministic doc order, and per doc-id decile report how many
+    NEVER-SEEN-BEFORE word trigrams appear vs total trigram volume --
+    the novelty rate. A healthy diverse corpus keeps the tail rate
+    well above zero; a saturating curve means additional data is
+    re-treading the same n-grams (diminishing returns for training --
+    the corpus-level twin of the per-doc repetition scores).
+    First-occurrence is one MIN aggregate per gram; gram VOLUME per
+    decile needs no explode at all (it is the shingle-list LENGTH
+    summed per doc, so the explode feeds only the first-occurrence
+    aggregate); deciles come from the max-doc-id 1-row broadcast; the
+    cumulative vocabulary is a 10-row window. Exact integers plus one
+    rounded rate."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    from ..functions.text import ngram_shingles_from_tokens, whitespace_tokens
+
+    tok = docs.select(
+        "doc_id", whitespace_tokens("text").alias("_t")
+    ).select(
+        "doc_id", F.explode(ngram_shingles_from_tokens("_t", 3)).alias("gram")
+    )
+    firsts = tok.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    nd = docs.agg((F.max("doc_id") + 1).alias("n_docs"))
+    intro = (
+        firsts.crossJoin(F.broadcast(nd))
+        .groupBy(
+            F.expr("CAST(first_doc * 10 div n_docs AS BIGINT)").alias(
+                "decile"
+            )
+        )
+        .agg(F.count("*").cast("bigint").alias("new_grams"))
+    )
+    vol = (
+        docs.select(
+            "doc_id",
+            F.size(
+                ngram_shingles_from_tokens(whitespace_tokens("text"), 3)
+            ).alias("n_grams"),
+        )
+        .crossJoin(F.broadcast(nd))
+        .groupBy(
+            F.expr("CAST(doc_id * 10 div n_docs AS BIGINT)").alias("decile")
+        )
+        .agg(F.sum("n_grams").cast("bigint").alias("gram_instances"))
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        vol.join(intro, "decile", "left")
+        .select(
+            "decile",
+            "gram_instances",
+            F.coalesce(F.col("new_grams"), F.lit(0)).alias("new_grams"),
+        )
+        .select(
+            "*",
+            F.sum("new_grams").over(w).cast("bigint").alias("vocab_so_far"),
+        )
+        .select(
+            "decile",
+            "gram_instances",
+            "new_grams",
+            "vocab_so_far",
+            F.round(
+                F.col("new_grams") / F.col("gram_instances").cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+    )

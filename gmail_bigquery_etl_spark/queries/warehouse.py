@@ -4681,3 +4681,103 @@ def warehouse_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_facts"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+@query(
+    "orders_theil_inequality",
+    oracle="""
+WITH rev AS (
+  SELECT c.c_nationkey AS nation,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY o.o_custkey, c.c_nationkey
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s
+  FROM rev
+),
+term AS (
+  SELECT nation, cents, n, s,
+         CAST(ROUND((cents * CAST(n AS DOUBLE) / s)
+                    * LN(cents * CAST(n AS DOUBLE) / s), 9)
+              AS DECIMAL(28,9)) AS t9
+  FROM rev CROSS JOIN tot
+),
+within AS (
+  SELECT nation,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(cents) AS BIGINT) AS s_g,
+         CAST(SUM(t9) AS DOUBLE) AS t_sum
+  FROM term GROUP BY nation
+)
+SELECT w.nation, w.n_g, w.s_g,
+       ROUND(w.t_sum / t.n
+             - (CAST(w.s_g AS DOUBLE) / t.s)
+               * LN((CAST(w.s_g AS DOUBLE) / w.n_g)
+                    / (CAST(t.s AS DOUBLE) / t.n)), 6) AS theil_within_contrib,
+       ROUND((CAST(w.s_g AS DOUBLE) / t.s)
+             * LN((CAST(w.s_g AS DOUBLE) / w.n_g)
+                  / (CAST(t.s AS DOUBLE) / t.n)), 6) AS theil_between_contrib
+FROM within w CROSS JOIN tot t
+""",
+)
+def orders_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index with its between/within-group
+    DECOMPOSITION (Theil 1967) -- the property Gini famously lacks and
+    the reason economists decompose with Theil: per customer-revenue
+    distribution, each nation's contribution splits into within-nation
+    inequality (its customers' spread) and between-nation inequality
+    (its mean vs the global mean), and the two columns SUM to the
+    global index. Complements the gated Gini/Lorenz row. Determinism:
+    per-customer terms (x/mu)*ln(x/mu) are rounded to 9dp then
+    DECIMAL-summed (the registry libm rule -- identical IEEE inputs
+    because cents and counts are exact integers); the final per-nation
+    arithmetic is pointwise on exact aggregates. Plan: one join + one
+    per-customer aggregate, a broadcast 1-row totals crossJoin, one
+    25-group rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(cust, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy("o_custkey", F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+        .select("nation", "cents")
+    )
+    tot = rev.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    ratio = F.col("cents") * F.col("n").cast("double") / F.col("s")
+    term = rev.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "cents",
+        "n",
+        "s",
+        F.round(ratio * F.log(ratio), 9).cast("decimal(28,9)").alias("t9"),
+    )
+    within = term.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("cents").cast("bigint").alias("s_g"),
+        F.sum("t9").cast("double").alias("t_sum"),
+    )
+    share = F.col("s_g").cast("double") / F.col("s")
+    mean_ratio = (F.col("s_g").cast("double") / F.col("n_g")) / (
+        F.col("s").cast("double") / F.col("n")
+    )
+    return within.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "n_g",
+        "s_g",
+        F.round(
+            F.col("t_sum") / F.col("n") - share * F.log(mean_ratio), 6
+        ).alias("theil_within_contrib"),
+        F.round(share * F.log(mean_ratio), 6).alias("theil_between_contrib"),
+    )
