@@ -1687,11 +1687,12 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_novelty_curve",
     oracle=f"""
 WITH tok AS (
-  SELECT doc_id, unnest({_SQL_SHINGLES.format(c='text')}) AS gram
+  SELECT doc_id, unnest(list_transform({_SQL_SHINGLES.format(c='text')},
+                                       s -> {_SQL_HASH.format(s='s')})) AS gh
   FROM documents
 ),
 firsts AS (
-  SELECT gram, MIN(doc_id) AS first_doc FROM tok GROUP BY gram
+  SELECT gh, MIN(doc_id) AS first_doc FROM tok GROUP BY gh
 ),
 nd AS (SELECT MAX(doc_id) + 1 AS n_docs FROM documents),
 intro AS (
@@ -1729,16 +1730,29 @@ def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed per doc, so the explode feeds only the first-occurrence
     aggregate); deciles come from the max-doc-id 1-row broadcast; the
     cumulative vocabulary is a 10-row window. Exact integers plus one
-    rounded rate."""
+    rounded rate. Scale: ONE linear explode + hash-keyed MIN aggregate
+    is the whole cost (SCALE_r9 2.51x wall at 10x rows on fixed cores
+    -- sublinear per row; the 10-row output and 8-byte shuffle keys
+    leave nothing structural to cap)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     from ..functions.text import ngram_shingles_from_tokens, whitespace_tokens
+
+    # grams hash to 60-bit ints BEFORE the explode/shuffle (the kmv_hash
+    # idiom, identical in the oracle): the first-occurrence aggregate
+    # shuffles 8-byte keys instead of ~20-byte trigram strings.
+    from ..operators.kmv import kmv_hash
 
     tok = docs.select(
         "doc_id", whitespace_tokens("text").alias("_t")
     ).select(
-        "doc_id", F.explode(ngram_shingles_from_tokens("_t", 3)).alias("gram")
+        "doc_id",
+        F.explode(
+            F.transform(
+                ngram_shingles_from_tokens("_t", 3), lambda s: kmv_hash(s)
+            )
+        ).alias("gh"),
     )
-    firsts = tok.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    firsts = tok.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
     nd = docs.agg((F.max("doc_id") + 1).alias("n_docs"))
     intro = (
         firsts.crossJoin(F.broadcast(nd))
