@@ -209,9 +209,6 @@ _ROUND6_FRONT = [
     "agg_grouping_sets",
     "agg_rollup",
     "conditional_funcs",
-    "dedup_clusters",
-    "dedup_exact_groups",
-    "dedup_exact_survivors_count",
 ]
 
 _rotate(_ROUND6_FRONT)
@@ -366,6 +363,9 @@ _ROUND9_FRONT = [
     "dedup_lsh_tuning_curve",
     "embedding_drift_audit",
     "warehouse_pit_join",
+    "orders_theil_inequality",
+    "events_forecast_backtest",
+    "text_novelty_curve",
     # (c) code paths changed in round 9 (array-pair dots; basket cap 128)
     "text_sparse_cosine_topk",
     "orders_item_cf_recs",
@@ -374,9 +374,6 @@ _ROUND9_FRONT = [
     "agg_grouping_sets",
     "agg_rollup",
     "conditional_funcs",
-    "dedup_clusters",
-    "dedup_exact_groups",
-    "dedup_exact_survivors_count",
 ]
 
 _rotate(_ROUND9_FRONT)
