@@ -181,6 +181,12 @@ _ALLOWED_NLJ = {
     # crossJoins of 1-row candidate/found/truth count aggregates per
     # emitted config row (the agg_kmv_set_ops scalar class)
     "dedup_lsh_tuning_curve",
+    # broadcast crossJoins of the 1-row (n, s) totals aggregate
+    "orders_theil_inequality",
+    # broadcast crossJoin of the 1-row holdout-cutoff aggregate
+    "events_forecast_backtest",
+    # broadcast crossJoin of the 1-row max-doc-id aggregate
+    "text_novelty_curve",
     }
 
 # Build-side row bound for every allowlisted NLJ: the biggest legitimate
