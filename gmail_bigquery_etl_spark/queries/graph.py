@@ -251,8 +251,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label tiebreak; 4 rounds unrolled exactly in the oracle. Each
     round is one equi-join (neighbor labels) + one count aggregate +
     one per-node max_by argmax over O(distinct neighbor labels) rows --
-    all key-partitioned hash aggregates with map-side partials (1.93x
-    at 10x); localCheckpoint per round truncates the plan like
+    all key-partitioned hash aggregates with map-side partials (the
+    rounds alone measure 1.54x at 10x; composite with the shared LSH
+    pipeline sits in a 2.1-3.0x noise band -- SCALE_r9 notes);
+    localCheckpoint per round truncates the plan like
     PageRank/components."""
     pairs = _lsh_pairs(spark, sf_dir).select("id_a", "id_b").distinct()
     p = pairs.localCheckpoint()
@@ -276,8 +278,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # argmax by (cnt DESC, lbl ASC) as ONE hash aggregate with
         # map-side partials -- max_by on (cnt, -lbl) is deterministic
         # here because lbl is unique within a node's vote rows; the
-        # window+filter formulation costs a per-round sort and measured
-        # 2.47x at 10x, this one 1.9x.
+        # window+filter formulation costs a per-round sort (single-run
+        # A/B: 2.47x vs 1.93x at 10x for this form).
         lab = (
             cnt.groupBy("node")
             .agg(
