@@ -366,6 +366,17 @@ _ROUND9_FRONT = [
     "orders_theil_inequality",
     "events_forecast_backtest",
     "text_novelty_curve",
+    # (b, continued) second round-9 session: the statistics/profiling
+    # wave.  These 7 bring the never-driver-sampled set to EXACTLY the
+    # front-50, so CORRECTNESS_r09 covers all of (a)+(b) and nothing
+    # with prior evidence occupies a scarce slot.
+    "graph_adamic_adar",
+    "events_spearman_corr",
+    "events_acf_lags",
+    "events_fdr_bh",
+    "agg_mann_whitney",
+    "profile_ind_candidates",
+    "curation_neyman_allocation",
     # (c) code paths changed in round 9 (array-pair dots; basket cap 128)
     "text_sparse_cosine_topk",
     "orders_item_cf_recs",

@@ -3399,3 +3399,495 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mape"),
     )
+
+
+@query(
+    "events_spearman_corr",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         SUM(CASE WHEN event_type = 'click'
+             THEN CAST(value AS DECIMAL(18,4))
+             ELSE CAST(0 AS DECIMAL(18,4)) END) AS x,
+         SUM(CASE WHEN event_type = 'purchase'
+             THEN CAST(value AS DECIMAL(18,4))
+             ELSE CAST(0 AS DECIMAL(18,4)) END) AS y
+  FROM events
+  GROUP BY 1
+),
+r AS (
+  SELECT x, y,
+         2 * RANK() OVER (ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY x) - 1 AS rx2,
+         2 * RANK() OVER (ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY y) - 1 AS ry2
+  FROM daily
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx2) AS BIGINT) AS sx2,
+         CAST(SUM(ry2) AS BIGINT) AS sy2,
+         CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy2,
+         CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx2,
+         CAST(SUM(ry2 * ry2) AS BIGINT) AS syy2,
+         CAST(SUM(x) AS DOUBLE) AS px,
+         CAST(SUM(y) AS DOUBLE) AS py,
+         CAST(SUM(x * y) AS DOUBLE) AS pxy,
+         CAST(SUM(x * x) AS DOUBLE) AS pxx,
+         CAST(SUM(y * y) AS DOUBLE) AS pyy
+  FROM r
+)
+SELECT n,
+       sxy2 AS rank_comoment,
+       CASE WHEN (n * sxx2 - sx2 * sx2) > 0
+             AND (n * syy2 - sy2 * sy2) > 0
+            THEN ROUND(
+              (CAST(n AS DOUBLE) * sxy2 - CAST(sx2 AS DOUBLE) * sy2)
+              / sqrt((CAST(n AS DOUBLE) * sxx2 - CAST(sx2 AS DOUBLE) * sx2)
+                     * (CAST(n AS DOUBLE) * syy2
+                        - CAST(sy2 AS DOUBLE) * sy2)), 6)
+            END AS rho_spearman,
+       CASE WHEN (n * pxx - px * px) > 0 AND (n * pyy - py * py) > 0
+            THEN ROUND((n * pxy - px * py)
+                       / sqrt((n * pxx - px * px) * (n * pyy - py * py)), 6)
+            END AS rho_pearson
+FROM m
+""",
+)
+def events_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (Spearman 1904) between the daily
+    click-value and purchase-value series, reported BESIDE the linear
+    Pearson rho over the same exact inputs -- the robust/rank face of
+    the correlation family (events_corr_matrix is the Pearson matrix;
+    MAD/winsorized/Theil-Sen are the same move for dispersion/trend).
+    A monotone-but-nonlinear coupling shows up as |spearman| >>
+    |pearson|; a few outlier days show up as the reverse.
+
+    Tie handling is the textbook AVERAGE rank, kept EXACT by carrying
+    2*avg_rank = 2*RANK() + count(ties) - 1 as an integer (no .5
+    floats); Spearman is then Pearson over the doubled ranks -- the
+    factor 2 cancels in the closed form. All co-moments are exact
+    (BIGINT for ranks, DECIMAL(18,4) sums for values, cast to double
+    only at the 1-row closed form, identical expression both engines);
+    degenerate zero-variance series emit NULL via identical guards.
+    Plan: one day-grain aggregate (the corpus-sized pass), then rank
+    windows over the BOUNDED day domain (~30 rows -- the documented
+    bounded-table window idiom) and a 1-row reduce. The rank_comoment
+    column pins the exact tie-averaged ranking, not just the rounded
+    rho. Reference computes no statistics at all (survey 2.4)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    zero = F.lit(0).cast("decimal(18,4)")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", _dec(F.col("value")))
+            .otherwise(zero)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", _dec(F.col("value")))
+            .otherwise(zero)
+        ).alias("y"),
+    )
+    r = daily.select(
+        "x",
+        "y",
+        (
+            2 * F.rank().over(W.orderBy("x"))
+            + F.count("*").over(W.partitionBy("x"))
+            - 1
+        ).alias("rx2"),
+        (
+            2 * F.rank().over(W.orderBy("y"))
+            + F.count("*").over(W.partitionBy("y"))
+            - 1
+        ).alias("ry2"),
+    )
+    m = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rx2").cast("bigint").alias("sx2"),
+        F.sum("ry2").cast("bigint").alias("sy2"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy2"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx2"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy2"),
+        F.sum("x").cast("double").alias("px"),
+        F.sum("y").cast("double").alias("py"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("pxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("pxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("pyy"),
+    )
+    n = F.col("n").cast("double")
+    svx = n * F.col("sxx2") - F.col("sx2").cast("double") * F.col("sx2")
+    svy = n * F.col("syy2") - F.col("sy2").cast("double") * F.col("sy2")
+    pvx = n * F.col("pxx") - F.col("px") * F.col("px")
+    pvy = n * F.col("pyy") - F.col("py") * F.col("py")
+    return m.select(
+        "n",
+        F.col("sxy2").alias("rank_comoment"),
+        F.when(
+            (n * F.col("sxx2") - F.col("sx2") * F.col("sx2") > 0)
+            & (n * F.col("syy2") - F.col("sy2") * F.col("sy2") > 0),
+            F.round(
+                (n * F.col("sxy2") - F.col("sx2").cast("double") * F.col("sy2"))
+                / F.sqrt(svx * svy),
+                6,
+            ),
+        ).alias("rho_spearman"),
+        F.when(
+            (pvx > 0) & (pvy > 0),
+            F.round(
+                (n * F.col("pxy") - F.col("px") * F.col("py"))
+                / F.sqrt(pvx * pvy),
+                6,
+            ),
+        ).alias("rho_pearson"),
+    )
+
+
+@query(
+    "events_acf_lags",
+    oracle="""
+WITH hr AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t, COUNT(*) AS c
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(t) AS mn, MAX(t) AS mx FROM hr),
+spine AS (
+  SELECT unnest(generate_series((SELECT mn FROM bounds),
+                                (SELECT mx FROM bounds))) AS t
+),
+series AS (
+  SELECT s.t, CAST(COALESCE(hr.c, 0) AS BIGINT) AS c
+  FROM spine s LEFT JOIN hr ON hr.t = s.t
+),
+g AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(c) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(c * c) AS DECIMAL(38,0)) AS q
+  FROM series
+),
+lags AS (SELECT unnest(generate_series(1, 12)) AS lag),
+lagged AS (
+  SELECT l.lag,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS n_pairs,
+         CAST(SUM(a.c * b.c) AS DECIMAL(38,0)) AS p,
+         CAST(SUM(a.c) AS DECIMAL(38,0)) AS sa,
+         CAST(SUM(b.c) AS DECIMAL(38,0)) AS sb
+  FROM lags l
+  JOIN series a ON TRUE
+  JOIN series b ON b.t = a.t + l.lag
+  GROUP BY l.lag
+)
+SELECT CAST(l.lag AS BIGINT) AS lag,
+       CAST(l.n_pairs AS BIGINT) AS n_pairs,
+       CAST(g.n * g.n * l.p - g.n * g.s * (l.sa + l.sb)
+            + l.n_pairs * g.s * g.s AS BIGINT) AS cov_units,
+       CASE WHEN g.n * g.q - g.s * g.s > 0
+            THEN ROUND(
+              CAST(g.n * g.n * l.p - g.n * g.s * (l.sa + l.sb)
+                   + l.n_pairs * g.s * g.s AS DOUBLE)
+              / CAST(g.n * (g.n * g.q - g.s * g.s) AS DOUBLE), 6)
+            END AS acf
+FROM lagged l, g
+ORDER BY lag
+""",
+)
+def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event-count series at lags
+    1..12 (Box & Jenkins 1970) -- the diagnostic that tells a capacity/
+    anomaly pipeline WHICH seasonality to model before it fits one: a
+    daily cycle shows as a ridge rising toward lag 24, short-memory
+    burstiness as a fast-decaying lag-1..3 head. Completes the
+    time-series family: seasonal decomposition ASSUMES the 24h period
+    this measures, CUSUM/MAD flag level shifts, the backtest scores
+    forecasts.
+
+    The series is the GAP-FILLED hourly count (a silent hour is c=0,
+    not a missing row -- the same spine move as events_gap_fill_hourly;
+    hour index = floor(epoch/3600), identical integer both engines).
+    Exactness: with integer counts, the mean-centered ACF numerator and
+    denominator are cleared of the 1/n fractions analytically --
+    cov_units = n^2*P_k - n*S*(A_k+B_k) + (n-k)*S^2 and the n-scaled
+    variance n*Q - S^2 are EXACT DECIMAL(38,0) integers (also emitted,
+    pinning the whole computation bit-for-bit); the single double
+    divide rounds to 6dp. Plan: one hour-grain count aggregate (the
+    corpus-sized pass), a bounded spine (hours in range), the lag
+    expansion as a 12-row broadcast against an equi-join on t+lag --
+    never a window over the corpus -- and an O(lags) reduce. At 100 TB
+    the series table is still only O(hours): tiny. Reference has no
+    time-series surface."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        (F.unix_timestamp(F.col("ts")).cast("bigint") / F.lit(3600))
+        .cast("bigint")
+        .alias("t")
+    ).agg(F.count("*").alias("c"))
+    bounds = hr.agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("t")
+    )
+    series = (
+        spine.join(hr, "t", "left")
+        .select("t", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    d38 = "decimal(38,0)"
+    g = series.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("c").cast(d38).alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast(d38).alias("q"),
+    )
+    lags = spark.range(1, 13).select(F.col("id").alias("lag"))
+    a = series.select(F.col("t").alias("ta"), F.col("c").alias("ca"))
+    b = series.select(F.col("t").alias("tb"), F.col("c").alias("cb"))
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast(d38).alias("n_pairs"),
+            F.sum(F.col("ca") * F.col("cb")).cast(d38).alias("p"),
+            F.sum("ca").cast(d38).alias("sa"),
+            F.sum("cb").cast(d38).alias("sb"),
+        )
+    )
+    j = lagged.crossJoin(F.broadcast(g))
+    cov = (
+        F.col("n") * F.col("n") * F.col("p")
+        - F.col("n") * F.col("s") * (F.col("sa") + F.col("sb"))
+        + F.col("n_pairs") * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    return j.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        cov.cast("bigint").alias("cov_units"),
+        F.when(
+            F.col("n") * F.col("q") - F.col("s") * F.col("s") > 0,
+            F.round(cov.cast("double") / den.cast("double"), 6),
+        ).alias("acf"),
+    )
+
+
+# Abramowitz & Stegun 26.2.17 polynomial for the standard normal tail --
+# evaluated POINTWISE over an already-6dp-rounded |z| with identical
+# literal constants on both engines (the registry's libm rule: exp is
+# rounded-after on both sides).  Max abs error 7.5e-8, far inside the
+# 6dp gate.
+_PHI_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_PHI_K = 0.2316419
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _sql_norm_two_sided_p(z: str) -> str:
+    b1, b2, b3, b4, b5 = _PHI_B
+    return f"""ROUND(
+      2.0 * {_INV_SQRT_2PI} * exp(-({z}) * ({z}) / 2.0)
+          * (((({b5} * (1.0 / (1.0 + {_PHI_K} * abs({z})))
+                 + {b4}) * (1.0 / (1.0 + {_PHI_K} * abs({z})))
+                 + {b3}) * (1.0 / (1.0 + {_PHI_K} * abs({z})))
+                 + {b2}) * (1.0 / (1.0 + {_PHI_K} * abs({z})))
+                 + {b1}) * (1.0 / (1.0 + {_PHI_K} * abs({z})))
+    , 6)"""
+
+
+def _spark_norm_two_sided_p(z: F.Column) -> F.Column:
+    b1, b2, b3, b4, b5 = _PHI_B
+    k = 1.0 / (1.0 + _PHI_K * F.abs(z))
+    poly = ((((F.lit(b5) * k + b4) * k + b3) * k + b2) * k + b1) * k
+    return F.round(
+        2.0 * _INV_SQRT_2PI * F.exp(-z * z / 2.0) * poly, 6
+    )
+
+
+_FDR_ALPHA_MILLI = 50  # alpha = 0.05, carried as integer permille*10
+
+
+@query(
+    "events_fdr_bh",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(value AS DECIMAL(18,4)) AS v,
+         CASE WHEN CAST(date_part('day', ts) AS INT) <= 15
+              THEN 0 ELSE 1 END AS w
+  FROM events
+  UNION ALL
+  SELECT 'planted_shift' AS event_type,
+         CAST(value AS DECIMAL(18,4))
+           + CASE WHEN CAST(date_part('day', ts) AS INT) <= 15
+                  THEN CAST(0 AS DECIMAL(18,4))
+                  ELSE CAST(50 AS DECIMAL(18,4)) END AS v,
+         CASE WHEN CAST(date_part('day', ts) AS INT) <= 15
+              THEN 0 ELSE 1 END AS w
+  FROM events WHERE event_type = 'click'
+),
+s AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN w = 0 THEN v END) AS DOUBLE) AS sa,
+         CAST(SUM(CASE WHEN w = 1 THEN v END) AS DOUBLE) AS sb,
+         CAST(SUM(CASE WHEN w = 0 THEN v * v END) AS DOUBLE) AS qa,
+         CAST(SUM(CASE WHEN w = 1 THEN v * v END) AS DOUBLE) AS qb
+  FROM base GROUP BY event_type
+),
+z AS (
+  SELECT event_type, n_a, n_b,
+         ROUND((sa / n_a - sb / n_b)
+               / sqrt((qa - sa * sa / n_a) / (n_a - 1) / n_a
+                      + (qb - sb * sb / n_b) / (n_b - 1) / n_b), 6) AS z
+  FROM s
+  WHERE n_a >= 2 AND n_b >= 2
+    AND (qa - sa * sa / n_a) + (qb - sb * sb / n_b) > 0
+),
+p AS (
+  SELECT event_type, n_a, n_b, z,
+         {_sql_norm_two_sided_p("z")} AS p_value
+  FROM z
+),
+ranked AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (ORDER BY p_value, event_type) AS BIGINT)
+           AS p_rank,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_tests
+  FROM p
+),
+cut AS (
+  SELECT *,
+         ROUND(CAST(p_rank * {_FDR_ALPHA_MILLI} AS DOUBLE)
+               / (1000.0 * n_tests), 6) AS bh_cutoff
+  FROM ranked
+),
+star AS (
+  SELECT *,
+         MAX(CASE WHEN p_value <= bh_cutoff THEN p_rank ELSE 0 END)
+           OVER () AS i_star
+  FROM cut
+)
+SELECT event_type, n_a, n_b, z, p_value, p_rank, n_tests, bh_cutoff,
+       p_rank <= i_star AS rejected
+FROM star
+""",
+)
+def events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control for a drift battery: Welch z-tests of
+    early-month vs late-month mean value PER EVENT TYPE, then the
+    Benjamini-Hochberg step-up (Benjamini & Hochberg 1995) at FDR
+    alpha=0.05 -- the correction every metrics platform needs once it
+    monitors K metrics at once (at K=6, alpha-per-test would fire a
+    false alarm ~26% of the time somewhere). Reject p_(i) for all
+    i <= i* = max{{i: p_(i) <= i*alpha/K}}.
+
+    The gate is FALSIFIABLE by construction (the repo's planted-truth
+    precedent, er_quality_eval / orders_duplicate_payments): a
+    'planted_shift' pseudo-metric -- click values shifted +50 in the
+    late window only, derived identically on both engines -- MUST be
+    rejected while the undrifted real types give the step-up a null
+    field to hold on. p-values come from the Abramowitz-Stegun 26.2.17
+    normal-tail polynomial over the already-6dp-rounded z (identical
+    literal constants both sides; the registry's round-after-libm rule
+    for exp, same as the novelty curve's ln). Welch z itself is a
+    closed form over EXACT DECIMAL(18,4) co-moment sums. Plan: one
+    conditional-aggregate pass over events (the union's second leg
+    re-scans only clicks), then all windows run over the K-row test
+    table (bounded domain). Reference has no statistics surface."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = F.when(F.dayofmonth(F.col("ts")) <= 15, 0).otherwise(1)
+    zero = F.lit(0).cast("decimal(18,4)")
+    base = ev.select(
+        "event_type", _dec(F.col("value")).alias("v"), w.alias("w")
+    ).unionAll(
+        ev.where(F.col("event_type") == "click").select(
+            F.lit("planted_shift").alias("event_type"),
+            (
+                _dec(F.col("value"))
+                + F.when(
+                    F.dayofmonth(F.col("ts")) <= 15, zero
+                ).otherwise(F.lit(50).cast("decimal(18,4)"))
+            ).alias("v"),
+            w.alias("w"),
+        )
+    )
+    s = base.groupBy("event_type").agg(
+        F.sum(F.when(F.col("w") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("w") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("w") == 0, F.col("v"))).cast("double").alias("sa"),
+        F.sum(F.when(F.col("w") == 1, F.col("v"))).cast("double").alias("sb"),
+        F.sum(F.when(F.col("w") == 0, F.col("v") * F.col("v")))
+        .cast("double")
+        .alias("qa"),
+        F.sum(F.when(F.col("w") == 1, F.col("v") * F.col("v")))
+        .cast("double")
+        .alias("qb"),
+    )
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    z = s.where(
+        (F.col("n_a") >= 2)
+        & (F.col("n_b") >= 2)
+        & (
+            (F.col("qa") - F.col("sa") * F.col("sa") / F.col("n_a"))
+            + (F.col("qb") - F.col("sb") * F.col("sb") / F.col("n_b"))
+            > 0
+        )
+    ).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(
+            (F.col("sa") / F.col("n_a") - F.col("sb") / F.col("n_b"))
+            / F.sqrt(va / F.col("n_a") + vb / F.col("n_b")),
+            6,
+        ).alias("z"),
+    )
+    p = z.select(
+        "*", _spark_norm_two_sided_p(F.col("z")).alias("p_value")
+    )
+    ranked = p.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy("p_value", "event_type"))
+        .cast("bigint")
+        .alias("p_rank"),
+        F.count("*").over(W.partitionBy()).cast("bigint").alias("n_tests"),
+    )
+    cut = ranked.select(
+        "*",
+        F.round(
+            (F.col("p_rank") * _FDR_ALPHA_MILLI).cast("double")
+            / (1000.0 * F.col("n_tests")),
+            6,
+        ).alias("bh_cutoff"),
+    )
+    star = cut.select(
+        "*",
+        F.max(
+            F.when(
+                F.col("p_value") <= F.col("bh_cutoff"), F.col("p_rank")
+            ).otherwise(F.lit(0))
+        )
+        .over(W.partitionBy())
+        .alias("i_star"),
+    )
+    return star.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "z",
+        "p_value",
+        "p_rank",
+        "n_tests",
+        "bh_cutoff",
+        (F.col("p_rank") <= F.col("i_star")).alias("rejected"),
+    )

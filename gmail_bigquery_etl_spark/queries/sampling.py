@@ -627,3 +627,158 @@ def curation_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("picked_checksum"),
         )
     )
+
+
+@query(
+    "curation_neyman_allocation",
+    oracle="""
+WITH s AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0))
+                  * CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+  FROM documents
+  GROUP BY lang
+),
+sd AS (
+  SELECT lang, n_docs,
+         ROUND(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+                    / CAST(n_docs AS DOUBLE)
+                    / CAST(n_docs - 1 AS DOUBLE)), 6) AS s_chars
+  FROM s
+  WHERE n_docs >= 2
+),
+w AS (
+  SELECT lang, n_docs, s_chars,
+         CAST(ROUND(CAST(n_docs AS DOUBLE) * s_chars * 1000.0, 0)
+              AS BIGINT) AS w_milli
+  FROM sd
+),
+tot AS (
+  SELECT SUM(w_milli) AS tw, SUM(n_docs) AS tn,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM w
+),
+seats AS (
+  SELECT w.lang, w.n_docs, w.s_chars, w.w_milli,
+         (500 * w.w_milli) // tot.tw AS q0n,
+         (500 * w.w_milli) % tot.tw AS remn,
+         (500 * w.n_docs) // tot.tn AS q0p,
+         (500 * w.n_docs) % tot.tn AS remp
+  FROM w, tot
+),
+lo AS (
+  SELECT 500 - SUM(q0n) AS leftn, 500 - SUM(q0p) AS leftp FROM seats
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY remn DESC, lang) AS rn,
+         ROW_NUMBER() OVER (ORDER BY remp DESC, lang) AS rp
+  FROM seats
+)
+SELECT r.lang, r.n_docs, r.s_chars, r.w_milli,
+       CAST(r.q0n + CASE WHEN r.rn <= lo.leftn THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_neyman,
+       CAST(r.q0p + CASE WHEN r.rp <= lo.leftp THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_prop
+FROM ranked r, lo
+""",
+)
+def curation_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal (Neyman 1934) stratified sample allocation: a
+    500-document annotation/eval budget split across language strata
+    proportional to N_h * S_h -- stratum size TIMES within-stratum
+    standard deviation of document length -- against the PROPORTIONAL
+    allocation baseline in the same row. This is the survey-sampling
+    face of the sampling family: curation_mixture_allocation takes
+    target weights as GIVEN (data mixing), this DERIVES the weights
+    that minimize the estimator variance for a fixed budget (eval-set
+    and labeling-budget design). High-variance strata buy more seats
+    than their headcount alone would.
+
+    Exactness: per-stratum moment sums are DECIMAL(38,0) integers
+    (n_chars is integral); S_h is the one libm sqrt, rounded 6dp both
+    sides, then re-integerized as w_milli = round(N_h * S_h * 1000) so
+    EVERY seat computation downstream -- Hamilton largest-remainder
+    quotas (integer div/mod, leftover seats to the largest remainders,
+    ties by language) -- is pure integer arithmetic, no float seat
+    math and no order-dependent double totals. Plan: one grouped
+    moment aggregate over documents (the only corpus-sized pass), then
+    O(langs) windows and a broadcast 1-row total join -- the
+    mixture-allocation shape. Strata with n_docs < 2 (undefined S_h)
+    are excluded by identical guards. Reference has no sampling
+    surface (survey 2.4)."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    d38 = "decimal(38,0)"
+    x = F.col("n_chars").cast(d38)
+    s = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(x).cast(d38).alias("sx"),
+        F.sum(x * x).cast(d38).alias("sxx"),
+    )
+    sd = s.where(F.col("n_docs") >= 2).select(
+        "lang",
+        "n_docs",
+        F.round(
+            F.sqrt(
+                (F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+                / F.col("n_docs").cast("double")
+                / (F.col("n_docs") - 1).cast("double")
+            ),
+            6,
+        ).alias("s_chars"),
+    )
+    w = sd.select(
+        "*",
+        F.round(
+            F.col("n_docs").cast("double") * F.col("s_chars") * 1000.0, 0
+        )
+        .cast("bigint")
+        .alias("w_milli"),
+    )
+    wc = w.localCheckpoint()
+    tot = wc.agg(
+        F.sum("w_milli").alias("tw"),
+        F.sum("n_docs").alias("tn"),
+    )
+    seats = wc.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "s_chars",
+        "w_milli",
+        F.expr("(500 * w_milli) div tw").alias("q0n"),
+        ((500 * F.col("w_milli")) % F.col("tw")).alias("remn"),
+        F.expr("(500 * n_docs) div tn").alias("q0p"),
+        ((500 * F.col("n_docs")) % F.col("tn")).alias("remp"),
+    )
+    lo = seats.agg(
+        (F.lit(500) - F.sum("q0n")).alias("leftn"),
+        (F.lit(500) - F.sum("q0p")).alias("leftp"),
+    )
+    ranked = seats.select(
+        "*",
+        F.row_number().over(W.orderBy(F.desc("remn"), "lang")).alias("rn"),
+        F.row_number().over(W.orderBy(F.desc("remp"), "lang")).alias("rp"),
+    )
+    return ranked.crossJoin(F.broadcast(lo)).select(
+        "lang",
+        "n_docs",
+        "s_chars",
+        "w_milli",
+        (
+            F.col("q0n")
+            + F.when(F.col("rn") <= F.col("leftn"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_neyman"),
+        (
+            F.col("q0p")
+            + F.when(F.col("rp") <= F.col("leftp"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_prop"),
+    )

@@ -1998,3 +1998,138 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "agg_mann_whitney",
+    oracle="""
+WITH vals AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS DECIMAL(38,0)) AS c1,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+              AS DECIMAL(38,0)) AS c2
+  FROM lineitem
+  WHERE l_returnflag IN ('R', 'A')
+  GROUP BY 1
+),
+runs AS (
+  SELECT v, c1, c2, c1 + c2 AS c,
+         COALESCE(SUM(c1 + c2) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS m
+  FROM vals
+),
+agg AS (
+  SELECT CAST(SUM(c1) AS DECIMAL(38,0)) AS n1,
+         CAST(SUM(c2) AS DECIMAL(38,0)) AS n2,
+         CAST(SUM(c1 * (2 * m + c + 1)) AS DECIMAL(38,0)) AS r1_x2,
+         CAST(SUM(c * c * c - c) AS DECIMAL(38,0)) AS tie_term
+  FROM runs
+)
+SELECT CAST(n1 AS BIGINT) AS n1,
+       CAST(n2 AS BIGINT) AS n2,
+       CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+       CAST(tie_term AS BIGINT) AS tie_term,
+       ROUND(
+         (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
+         / (2.0 * sqrt(
+             CAST(n1 * n2 AS DOUBLE) / 12.0
+             * (CAST(n1 + n2 + 1 AS DOUBLE)
+                - CAST(tie_term AS DOUBLE)
+                  / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))), 6) AS z,
+       abs(
+         (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
+         / (2.0 * sqrt(
+             CAST(n1 * n2 AS DOUBLE) / 12.0
+             * (CAST(n1 + n2 + 1 AS DOUBLE)
+                - CAST(tie_term AS DOUBLE)
+                  / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))))
+       ) > 1.959964 AS significant
+FROM agg
+WHERE n1 > 0 AND n2 > 0
+""",
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947) comparing the
+    l_quantity distribution between returned ('R') and 'A'-flagged line
+    items -- the NONPARAMETRIC two-sample location test beside the
+    parametric Welch battery (events_fdr_bh) and the distribution-shape
+    tests (exact KS, PSI): rank-based, so one fat tail can't fake a
+    mean shift. Quantity's 50-value domain makes ties the norm, so this
+    gates the full tie machinery: average ranks carried EXACTLY as
+    2*rank (for a value preceded by m rows with c ties, each row's
+    doubled avg rank is 2m+c+1 -- integers, no .5 floats), and the
+    variance tie-correction sum(t^3 - t). U and the tie term are
+    emitted as exact integers (u1_x2 = 2*U1); only the final z is a
+    double, rounded 6dp, with the 5% decision against the literal
+    critical value 1.959964 (the ab-test precedent: no erf on either
+    engine).
+
+    Plan shape is the scale story: ranks are NOT a corpus-wide sort --
+    one grouped count per distinct value (the corpus-sized pass, a hash
+    aggregate), then the running-rank window walks the BOUNDED value
+    domain (50 rows; the equidepth-histogram idiom) and a 1-row reduce
+    closes the form. DECIMAL(38,0) accumulators keep 2*R1 ~ N^2 exact
+    far past bigint scale. Reference parity: none (survey 2.4 -- the
+    reference ships raw rows to BigQuery)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    vals = (
+        li.where(F.col("l_returnflag").isin("R", "A"))
+        .groupBy(F.col("l_quantity").cast("bigint").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast(d38)
+            .alias("c1"),
+            F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+            .cast(d38)
+            .alias("c2"),
+        )
+    )
+    runs = vals.select(
+        "v",
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        F.coalesce(
+            F.sum(F.col("c1") + F.col("c2")).over(
+                W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast(d38),
+        ).alias("m"),
+    )
+    agg = runs.agg(
+        F.sum("c1").cast(d38).alias("n1"),
+        F.sum("c2").cast(d38).alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("m") + F.col("c") + 1))
+        .cast(d38)
+        .alias("r1_x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast(d38)
+        .alias("tie_term"),
+    )
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    zex = (u1_x2.cast("double") - (F.col("n1") * F.col("n2")).cast("double")) / (
+        2.0
+        * F.sqrt(
+            (F.col("n1") * F.col("n2")).cast("double")
+            / 12.0
+            * (
+                (F.col("n1") + F.col("n2") + 1).cast("double")
+                - F.col("tie_term").cast("double")
+                / (
+                    (F.col("n1") + F.col("n2"))
+                    * (F.col("n1") + F.col("n2") - 1)
+                ).cast("double")
+            )
+        )
+    )
+    return agg.where((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        u1_x2.cast("bigint").alias("u1_x2"),
+        F.col("tie_term").cast("bigint").alias("tie_term"),
+        F.round(zex, 6).alias("z"),
+        (F.abs(zex) > 1.959964).alias("significant"),
+    )

@@ -4781,3 +4781,129 @@ def orders_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("theil_within_contrib"),
         F.round(share * F.log(mean_ratio), 6).alias("theil_between_contrib"),
     )
+
+
+_IND_CANDIDATES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+# Planted violation (the duplicate-payments / er_quality_eval precedent:
+# a discovery gate must be falsifiable, and every NATURAL containment in
+# the fixture holds at every scale): md5-selected orders get their
+# custkey shifted out of customer's key space, simulating orphaned FKs
+# with known membership. Both engines derive the dirty column
+# identically, so the violated verdict has exact expected counts.
+_IND_PLANT = ("orders_dirty", "dirty_custkey", "customer", "c_custkey")
+_IND_PLANT_SQL = """(
+  SELECT CASE WHEN ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+                                      1, 15))::BIGINT % 19 = 0
+              THEN o_custkey + 1000000 ELSE o_custkey END AS dirty_custkey
+  FROM orders
+)"""
+
+
+def _ind_oracle() -> str:
+    legs = []
+    for lt, lc, rt, rc in _IND_CANDIDATES + [_IND_PLANT]:
+        src = _IND_PLANT_SQL if lt == "orders_dirty" else lt
+        legs.append(f"""
+SELECT '{lt}.{lc} c= {rt}.{rc}' AS ind,
+       CAST(COUNT(*) AS BIGINT) AS n_lhs,
+       CAST(COALESCE(SUM(CASE WHEN miss THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_missing,
+       ROUND(CAST(COUNT(*) - COALESCE(SUM(CASE WHEN miss THEN 1 ELSE 0 END),
+                                      0) AS DOUBLE)
+             / COUNT(*), 6) AS coverage,
+       COALESCE(SUM(CASE WHEN miss THEN 1 ELSE 0 END), 0) = 0 AS holds
+FROM (
+  SELECT l.{lc}, r.{rc} IS NULL AS miss
+  FROM (SELECT DISTINCT {lc} FROM {src} WHERE {lc} IS NOT NULL) l
+  LEFT JOIN (SELECT DISTINCT {rc} FROM {rt}) r ON r.{rc} = l.{lc}
+)""")
+    return "\nUNION ALL\n".join(legs)
+
+
+@query("profile_ind_candidates", oracle=_ind_oracle())
+def profile_ind_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unary inclusion-dependency discovery (the SPIDER/Metanome
+    profiling staple, De Marchi et al. 2002): for each candidate
+    column pair A.x c= B.y, how many distinct values of x exist, how
+    many are missing from y, the containment coefficient, and the
+    holds verdict -- the FOREIGN-KEY-CANDIDATE face of schema
+    profiling next to profile_fd_candidates (keys within a table) and
+    warehouse_fk_audit (which checks ROW-level orphans for one known
+    FK; this DISCOVERS which pairs could be FKs at all). Because every
+    natural containment in the fixture holds, the gate would otherwise
+    be all-true and unfalsifiable, so the 7th candidate is a PLANTED
+    orphan slice: md5-selected orders with custkey shifted out of the
+    customer key space -- it must report holds=false with the exact
+    missing-value count (the duplicate-payments precedent). Per
+    candidate: two distinct-projections and one left join ON the value
+    -- each leg shuffles on its own key, the 7-leg union is
+    embarrassingly parallel, and at 100 TB the distinct projections
+    are the only corpus-sized passes (value-set sizes, not row counts,
+    drive the join). Reference outsources all integrity checking to
+    BigQuery (survey 2.4)."""
+
+    def _lhs(lt: str, lc: str):
+        if lt == "orders_dirty":
+            orders = load_table(spark, sf_dir, "orders")
+            sel = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("o_orderkey").cast("string")), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 19
+                == 0
+            )
+            return orders.select(
+                F.when(sel, F.col("o_custkey") + 1000000)
+                .otherwise(F.col("o_custkey"))
+                .alias("val")
+            ).distinct()
+        return (
+            load_table(spark, sf_dir, lt)
+            .where(F.col(lc).isNotNull())
+            .select(F.col(lc).alias("val"))
+            .distinct()
+        )
+
+    out = None
+    for lt, lc, rt, rc in _IND_CANDIDATES + [_IND_PLANT]:
+        lhs = _lhs(lt, lc)
+        rhs = (
+            load_table(spark, sf_dir, rt)
+            .select(F.col(rc).alias("rval"))
+            .distinct()
+        )
+        j = lhs.join(rhs, lhs["val"] == rhs["rval"], "left").select(
+            F.col("rval").isNull().alias("miss")
+        )
+        leg = j.agg(
+            F.count("*").cast("bigint").alias("n_lhs"),
+            F.coalesce(
+                F.sum(F.when(F.col("miss"), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_missing"),
+        ).select(
+            F.lit(f"{lt}.{lc} c= {rt}.{rc}").alias("ind"),
+            "n_lhs",
+            "n_missing",
+            F.round(
+                (F.col("n_lhs") - F.col("n_missing")).cast("double")
+                / F.col("n_lhs"),
+                6,
+            ).alias("coverage"),
+            (F.col("n_missing") == 0).alias("holds"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out

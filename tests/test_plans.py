@@ -187,6 +187,12 @@ _ALLOWED_NLJ = {
     "events_forecast_backtest",
     # broadcast crossJoin of the 1-row max-doc-id aggregate
     "text_novelty_curve",
+    # broadcast crossJoins of the 12-row lag dim + the 1-row global
+    # moment aggregate (the salts-dim / scalar classes)
+    "events_acf_lags",
+    # broadcast crossJoins of the 1-row weight-total and leftover-seats
+    # aggregates (the mixture-allocation scalar class)
+    "curation_neyman_allocation",
     }
 
 # Build-side row bound for every allowlisted NLJ: the biggest legitimate
