@@ -172,3 +172,34 @@ def test_streaming_maintenance_guarantee(spark, tmp_path):
     )
     rows = read_mg_summary(spark, sink).collect()
     _assert_mg_guarantee(rows, exact, 4)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.dictionaries(
+        st.integers(min_value=0, max_value=40).map(lambda i: f"w{i}"),
+        st.integers(min_value=1, max_value=200),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(min_value=1, max_value=12),
+)
+def test_mg_guarantee_property(spark, counts, k):
+    """Property pin over random multisets and random k: the summary
+    never exceeds k counters, never overestimates, never underestimates
+    by more than (N - M)/(k+1), and never misses an item heavier than
+    that deficit bound."""
+    rows = [(item, c) for item, c in counts.items()]
+    df = spark.createDataFrame(rows, "item string, n bigint").select(
+        "item", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("_i")
+    )
+    summary = mg_build(df, "item", k=k).collect()
+    _assert_mg_guarantee(summary, counts, k)
