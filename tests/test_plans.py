@@ -681,3 +681,48 @@ def test_dsar_subject_filter_pushed_to_scans(spark):
     assert "In(o_custkey, [14,21,7])" in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mann_whitney_window_runs_on_aggregated_values(spark):
+    """The docstring's scale claim, machine-checked: ranks come from
+    grouped counts per distinct value (one partial+final hash
+    aggregate), and the running-rank Window sits ABOVE an aggregate --
+    never directly over the lineitem scan. A corpus-wide rank would
+    show a Window whose subtree has no HashAggregate."""
+    plan = _plan(spark, "agg_mann_whitney")
+    assert "Window" in plan
+    # the aggregate feeding the window appears before it in the tree
+    # (executedPlan prints root-first: Window's child subtree follows)
+    win_at = plan.index("Window")
+    assert "HashAggregate" in plan[win_at:], plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_acf_has_no_window_and_no_global_sort(spark):
+    """ACF's lag expansion is a 12-row broadcast + equi-join on t+lag;
+    the claim 'never a window over the corpus' is literal: no Window
+    operator at all, and no global Sort."""
+    plan = _plan(spark, "events_acf_lags")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_adamic_adar_wedge_is_equi_join(spark):
+    """The wedge join must be a hash/sort-merge equi-join on the order
+    key (fan-out bounded by basket size squared), never a nested-loop
+    over items."""
+    plan = _plan(spark, "graph_adamic_adar")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_ind_candidates_distinct_projection_reaches_scan(spark):
+    """Each IND leg must prune to its single candidate column at the
+    parquet scan (value-set sizes, not row widths, drive the joins)."""
+    plan = _plan(spark, "profile_ind_candidates")
+    assert "ReadSchema: struct<o_custkey" in plan
+    assert "ReadSchema: struct<c_custkey" in plan
+    assert "CartesianProduct" not in plan
