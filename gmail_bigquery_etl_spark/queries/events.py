@@ -3617,8 +3617,11 @@ def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     the series table is still only O(hours): tiny. Reference has no
     time-series surface."""
     ev = load_table(spark, sf_dir, "events")
+    # floor(), not a truncating cast: the oracle buckets with
+    # floor(epoch/3600), and truncation diverges from floor for
+    # negative (pre-1970) epochs.
     hr = ev.groupBy(
-        (F.unix_timestamp(F.col("ts")).cast("bigint") / F.lit(3600))
+        F.floor(F.unix_timestamp(F.col("ts")) / F.lit(3600))
         .cast("bigint")
         .alias("t")
     ).agg(F.count("*").alias("c"))

@@ -469,9 +469,11 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     THE ORDER KEY -- fan-out bounded by lines-per-order squared (~7^2),
     never corpus^2, the adjudicated market-basket shape -- plus two
     broadcast-sized item-degree joins; min-support (common orders >= 2)
-    is the standard a-priori cut. The first wedge stage only keeps
-    baskets of >= 2 items (a 1-item order makes no wedge and ln(1)=0
-    would divide by zero -- both engines guard identically).
+    is the standard a-priori cut. The bsize >= 2 filter after the
+    wedge join is belt-and-suspenders only: every order that produces
+    a wedge has >= 2 distinct items by construction, so ln(1)=0 can
+    never reach the divide; both engines carry the same redundant
+    guard for symmetry.
     Reference has no graph/recsys surface (dedup is SELECT DISTINCT,
     survey 2.4 A1)."""
     li = load_table(spark, sf_dir, "lineitem")

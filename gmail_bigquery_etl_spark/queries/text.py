@@ -1731,9 +1731,10 @@ def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate); deciles come from the max-doc-id 1-row broadcast; the
     cumulative vocabulary is a 10-row window. Exact integers plus one
     rounded rate. Scale: ONE linear explode + hash-keyed MIN aggregate
-    is the whole cost (SCALE_r9 2.51x wall at 10x rows on fixed cores
-    -- sublinear per row; the 10-row output and 8-byte shuffle keys
-    leave nothing structural to cap)."""
+    is the whole cost (1.08x wall at 10x rows on fixed cores, median
+    of 4 idle runs, band 0.86-1.45 -- a first single-run 2.51x reading
+    was load noise; the 10-row output and 8-byte shuffle keys leave
+    nothing structural to cap)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     from ..functions.text import ngram_shingles_from_tokens, whitespace_tokens
 

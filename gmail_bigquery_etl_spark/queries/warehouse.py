@@ -4864,11 +4864,18 @@ def profile_ind_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 % 19
                 == 0
             )
-            return orders.select(
-                F.when(sel, F.col("o_custkey") + 1000000)
-                .otherwise(F.col("o_custkey"))
-                .alias("val")
-            ).distinct()
+            return (
+                orders.select(
+                    F.when(sel, F.col("o_custkey") + 1000000)
+                    .otherwise(F.col("o_custkey"))
+                    .alias("val")
+                )
+                # symmetry with the oracle leg's IS NOT NULL filter
+                # (o_custkey is non-null today; a nullable source must
+                # not silently break hash parity)
+                .where(F.col("val").isNotNull())
+                .distinct()
+            )
         return (
             load_table(spark, sf_dir, lt)
             .where(F.col(lc).isNotNull())

@@ -144,9 +144,11 @@ def test_acf_lag1_matches_bruteforce(spark):
 
 def test_neyman_seats_conserve_and_favor_variance(spark):
     """Both allocations must sum exactly to the 500-seat budget
-    (Hamilton's method conserves seats by construction), and the
-    Neyman column must differ from proportional wherever the stddev
-    ordering differs from the headcount ordering."""
+    (Hamilton's method conserves seats by construction), and each
+    column must equal an independent pure-integer Hamilton recompute
+    from its own weights (w_milli for Neyman, n_docs for
+    proportional) -- which also pins that Neyman seats really follow
+    N_h*S_h, not headcount."""
     rows = ALL_QUERIES["curation_neyman_allocation"](spark, SF).collect()
     assert sum(r.alloc_neyman for r in rows) == 500
     assert sum(r.alloc_prop for r in rows) == 500
@@ -154,6 +156,23 @@ def test_neyman_seats_conserve_and_favor_variance(spark):
     # w_milli really is round(N*s*1000)
     for r in rows:
         assert r.w_milli == int(round(r.n_docs * r.s_chars * 1000))
+
+    def hamilton(weights):  # {lang: w} -> {lang: seats}
+        tw = sum(weights.values())
+        base = {k: (500 * w) // tw for k, w in weights.items()}
+        rem = sorted(
+            weights, key=lambda k: (-((500 * weights[k]) % tw), k)
+        )
+        left = 500 - sum(base.values())
+        for k in rem[:left]:
+            base[k] += 1
+        return base
+
+    ney = hamilton({r.lang: r.w_milli for r in rows})
+    prop = hamilton({r.lang: r.n_docs for r in rows})
+    for r in rows:
+        assert r.alloc_neyman == ney[r.lang]
+        assert r.alloc_prop == prop[r.lang]
 
 
 def test_adamic_adar_pair_matches_bruteforce(spark):
