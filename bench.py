@@ -24,6 +24,12 @@ Contention defenses (rounds 4/5 both benched on a loaded box):
    warm min get one extra run each and report best-of-(N+1). A noise
    spike that inflated both main-pass samples of one query (the
    BENCH_r05 `set_ops` 4.7 s case) self-corrects inside the artifact.
+3. ENVIRONMENT FINGERPRINT -- the output line carries steal_pct
+   (hypervisor CPU steal across the timed window) and duckdb_canary
+   (3 fixed oracles timed single-thread in the same session), so a
+   uniform drift like BENCH_r09's +7% is classifiable from the
+   artifact alone: canary at parity + uniform Spark drift = slower VM
+   instance under parallel load, not a code regression.
 
 Each query is materialized with the noop writer (full computation, no
 driver collect, no Python transfer) -- the honest end-to-end cost of the
@@ -56,6 +62,62 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gmail_bigquery_etl_spark.queries import ALL_QUERIES  # noqa: E402
 from gmail_bigquery_etl_spark.session import get_spark  # noqa: E402
+
+# Environment fingerprint (VERDICT r9 item #6): BENCH_r09's +7% uniform
+# drift took a session to re-diagnose as VM contention because the
+# artifact itself carried no single-thread reference.  Two fields make
+# the next drift self-classifying from the JSON line alone:
+#   steal_pct     -- hypervisor CPU steal over the whole timed window
+#                    (delta of /proc/stat's steal vs total jiffies);
+#   duckdb_canary -- 3 fixed oracle queries timed in DuckDB (single-
+#                    thread, warm best-of-2) in the SAME session.  If a
+#                    Spark total drifts while the canary holds parity
+#                    with prior rounds, the box's parallel throughput
+#                    moved, not the query code (the r9 signature).
+_CANARY = ["q1_pricing_summary", "q6_forecast_revenue", "events_gap_fill_hourly"]
+
+
+def _cpu_times() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat, or None off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _duckdb_canary(sf_dir: str) -> dict[str, float]:
+    """Time the canary oracles in DuckDB on the bench's own parquet."""
+    try:
+        import duckdb
+
+        from gmail_bigquery_etl_spark.queries import ALL_ORACLES
+        from gmail_bigquery_etl_spark.schemas import FIXTURE_TABLES
+
+        con = duckdb.connect()
+        for t in FIXTURE_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        out = {}
+        for name in _CANARY:
+            if name not in ALL_ORACLES:
+                continue
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(ALL_ORACLES[name]).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[name] = round(best, 3)
+        con.close()
+        return out
+    except Exception as exc:  # fingerprint must never fail the bench
+        print(f"# BENCH CANARY ERROR: {exc}", file=sys.stderr)
+        return {}
 
 
 def main() -> None:
@@ -128,6 +190,12 @@ def main() -> None:
     gate_wait = round(time.perf_counter() - gate_t0, 1)
     load_start = round(os.getloadavg()[0], 1)  # post-gate reality
 
+    # Environment fingerprint, taken post-gate so it measures the same
+    # window the timings come from: single-thread DuckDB canary first
+    # (it is itself load-sensitive), then open the steal window.
+    canary = _duckdb_canary(sf_dir)
+    cpu0 = _cpu_times()
+
     runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))
     timings: dict[str, float] = {}  # best-of-N (warm) -- the headline
     cold: dict[str, float] = {}  # first run, plan compile included
@@ -175,6 +243,14 @@ def main() -> None:
     # loadavg at start/end (vs the bench's own 32 threads) makes a
     # loaded-box run diagnosable from the recorded JSON line alone.
     load_end = round(os.getloadavg()[0], 1)
+    cpu1 = _cpu_times()
+    steal_pct = (
+        round(
+            100.0 * (cpu1[0] - cpu0[0]) / max(1, cpu1[1] - cpu0[1]), 2
+        )
+        if cpu0 and cpu1
+        else None
+    )
     full = {
         "metric": "declared-query corpus wall time (noop-materialized, "
         f"best-of-{runs} warm)",
@@ -186,6 +262,8 @@ def main() -> None:
         "sf": sf,
         "loadavg": [load_start, load_end],
         "gate_wait": gate_wait,
+        "steal_pct": steal_pct,
+        "duckdb_canary": canary,
     }
     # Full precision for humans/history: a file + stderr (NOT stdout --
     # extra stdout bytes push the parseable line out of the tail capture).
