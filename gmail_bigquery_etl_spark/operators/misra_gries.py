@@ -74,6 +74,14 @@ def mg_build(items: DataFrame, item_col: str, k: int = 64) -> DataFrame:
     return _mg_compress(counts, k)
 
 
+def mg_from_counts(counts: DataFrame, k: int = 64) -> DataFrame:
+    """Summary from an already-aggregated exact (item, c) count table --
+    the entry point when the caller shares the count aggregate with
+    other consumers (truth join, totals), so the corpus is scanned
+    once and the compress runs over the vocabulary-sized table."""
+    return _mg_compress(counts, k)
+
+
 def mg_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
     """Merge two summaries: counter-wise sum (missing = 0), then one
     compress. Commutative by construction (sum + order-free threshold),

@@ -389,4 +389,76 @@ _ROUND9_FRONT = [
 
 _rotate(_ROUND9_FRONT)
 
+
+# Round-10 rotation. Rotation debt is ZERO entering the round
+# (CORRECTNESS_r09 covered exactly the 50 never-sampled queries), so
+# per VERDICT r9 item #4 the front-50 is spent on EVIDENCE FRESHNESS:
+#   (a) queries NEW in round 10, appended as they land (the Misra-Gries
+#       promotion pair first -- VERDICT r9 item #3 -- then the
+#       training-data-assembly wave);
+#   (b) code paths CHANGED in round 10 (the ADVICE fixes: ACF floor
+#       bucketing, IND null-symmetry on the planted leg);
+#   (c) backfill by OLDEST driver evidence -- 47 queries last sampled
+#       in round 3, ~25k LoC ago (all re-verified on current code by
+#       every full local gate since; this refreshes the DRIVER record).
+# The list stays <= 50 entries; _rotate puts everything else after it
+# in prior order, so displaced entries all carry driver evidence.
+_ROUND10_FRONT = [
+    # (a) new in round 10
+    "text_mg_heavy_hitters",
+    "text_mg_merge_shards",
+    # (b) code changed in round 10
+    "events_acf_lags",
+    "profile_ind_candidates",
+    # (c) backfill: oldest driver evidence (round-3 rows), alphabetical
+    "agg_distinct_multi",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "conditional_funcs",
+    "dedup_clusters",
+    "dedup_exact_groups",
+    "dedup_exact_survivors_count",
+    "dedup_simhash_pairs_wide",
+    "dedup_survivor_stats",
+    "docs_balanced_sample",
+    "docs_stratified_split",
+    "docs_token_shards",
+    "embedding_near_dup_lsh",
+    "ingest_idempotent",
+    "ingest_incremental",
+    "ingest_point_lookup",
+    "ingest_shuffle_anti_join",
+    "ingest_via_datasource",
+    "join_anti_not_exists",
+    "join_cross_theta",
+    "join_full_outer",
+    "join_left_outer_agg",
+    "join_semi_exists",
+    "pivot_status_by_priority",
+    "q14_promo_revenue",
+    "q18_large_volume",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "scalar_array_map_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "set_ops",
+    "sort_topk_global",
+    "stream_stateful_user_counts",
+    "subquery_in",
+    "subquery_scalar_corr",
+    "text_bpe_token_stats",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_token_stats",
+    "window_lag_lead",
+    "window_ntile_stats",
+    "window_rank_topn",
+]
+
+_rotate(_ROUND10_FRONT)
+
 __all__ = ["ALL_QUERIES", "ALL_ORACLES"]

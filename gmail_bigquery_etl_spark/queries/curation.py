@@ -750,6 +750,184 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_stream(docs, extra=()):
+    """Word-bigram stream via zip_with over two token slices (the CMS
+    query's measured anti-O(tokens^2) shape). `extra` is a sequence of
+    (Column, name) pairs carried through beside the exploded bigram."""
+    ws = docs.select(
+        *[c.alias(n) for c, n in extra],
+        whitespace_tokens("text").alias("ws"),
+    ).filter(F.size("ws") >= 2)
+    return ws.select(
+        *[n for _, n in extra],
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.size("ws") - 1),
+                F.slice("ws", 2, F.size("ws") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("item"),
+    )
+
+
+@query(
+    "text_mg_heavy_hitters",
+    oracle=r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS b
+  FROM toks WHERE len(ws) >= 2
+),
+counts AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY b),
+top AS (SELECT c FROM counts ORDER BY c DESC, b LIMIT 65),
+d AS (SELECT CASE WHEN COUNT(*) > 64 THEN MIN(c) ELSE 0 END AS d FROM top)
+SELECT b AS bigram, CAST(c - d.d AS BIGINT) AS est,
+       c AS true_n, CAST(d.d AS BIGINT) AS deficit
+FROM counts, d WHERE c > d.d
+""",
+)
+def text_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (operators/misra_gries.py, the
+    mergeable-summaries formulation of Agarwal et al., PODS 2012) over
+    the word-bigram stream -- the DETERMINISTIC-error counterpart of
+    text_cms_heavy_hitters on the SAME stream: CMS overestimates with a
+    probabilistic bound, MG underestimates with the worst-case
+    guarantee est <= true <= est + (N - M)/(k + 1) and needs no hash or
+    randomness at all. Each emitted row carries the exact summary
+    counter (est), the true count, and the per-item deficit -- which
+    for a single-compress build is exactly the subtraction threshold d,
+    so the gate pins the whole compress (TakeOrdered over k+1 rows ->
+    broadcast scalar -> subtract-and-drop) value-for-value; the oracle
+    replays it as the identical unrolled CTE. Falsifiable: the bigram
+    vocabulary (~916 at every fixture scale) is 14x the k=64 budget,
+    so d > 0 and every counter is genuinely deflated (pytest pins
+    d > 0 plus the no-missed-heavy-hitter guarantee). Plan: ONE
+    tokenize/explode corpus pass into a hash aggregate, pinned, then
+    vocabulary-sized ops only -- the summary is O(k) rows,
+    broadcastable anywhere; never a global sort. At 100 TB the count
+    aggregate is the only corpus-scale stage and it is exactly the
+    word-count shape. Reference has no sketch surface (its analytics
+    live in BigQuery, survey 2.4); this extends its exact label counts
+    (etl_service/main.py:231-238) to the bounded-memory regime."""
+    from ..operators.misra_gries import mg_from_counts
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        _bigram_stream(docs)
+        .groupBy("item")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    summary = mg_from_counts(counts, k=64)
+    return summary.withColumnRenamed("c", "est").join(
+        counts.select("item", F.col("c").alias("true_n")), "item"
+    ).select(
+        F.col("item").alias("bigram"),
+        "est",
+        "true_n",
+        (F.col("true_n") - F.col("est")).cast("bigint").alias("deficit"),
+    )
+
+
+@query(
+    "text_mg_merge_shards",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id % 3 AS sh,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT sh, unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS b
+  FROM toks WHERE len(ws) >= 2
+),
+counts AS (
+  SELECT sh, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+),
+c0 AS (SELECT b, c FROM counts WHERE sh = 0),
+t0 AS (SELECT c FROM c0 ORDER BY c DESC, b LIMIT 65),
+d0 AS (SELECT CASE WHEN COUNT(*) > 64 THEN MIN(c) ELSE 0 END AS d FROM t0),
+s0 AS (SELECT b, c - d0.d AS c FROM c0, d0 WHERE c > d0.d),
+c1 AS (SELECT b, c FROM counts WHERE sh = 1),
+t1 AS (SELECT c FROM c1 ORDER BY c DESC, b LIMIT 65),
+d1 AS (SELECT CASE WHEN COUNT(*) > 64 THEN MIN(c) ELSE 0 END AS d FROM t1),
+s1 AS (SELECT b, c - d1.d AS c FROM c1, d1 WHERE c > d1.d),
+c2 AS (SELECT b, c FROM counts WHERE sh = 2),
+t2 AS (SELECT c FROM c2 ORDER BY c DESC, b LIMIT 65),
+d2 AS (SELECT CASE WHEN COUNT(*) > 64 THEN MIN(c) ELSE 0 END AS d FROM t2),
+s2 AS (SELECT b, c - d2.d AS c FROM c2, d2 WHERE c > d2.d),
+u01 AS (
+  SELECT b, CAST(SUM(c) AS BIGINT) AS c
+  FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1) GROUP BY b
+),
+t01 AS (SELECT c FROM u01 ORDER BY c DESC, b LIMIT 65),
+d01 AS (SELECT CASE WHEN COUNT(*) > 64 THEN MIN(c) ELSE 0 END AS d FROM t01),
+s01 AS (SELECT b, c - d01.d AS c FROM u01, d01 WHERE c > d01.d),
+u012 AS (
+  SELECT b, CAST(SUM(c) AS BIGINT) AS c
+  FROM (SELECT * FROM s01 UNION ALL SELECT * FROM s2) GROUP BY b
+),
+t012 AS (SELECT c FROM u012 ORDER BY c DESC, b LIMIT 65),
+d012 AS (SELECT CASE WHEN COUNT(*) > 64 THEN MIN(c) ELSE 0 END AS d
+         FROM t012),
+sfin AS (SELECT b, c - d012.d AS c FROM u012, d012 WHERE c > d012.d),
+truth AS (SELECT b, CAST(SUM(c) AS BIGINT) AS true_n FROM counts GROUP BY b)
+SELECT f.b AS bigram, CAST(f.c AS BIGINT) AS est, tr.true_n,
+       CAST(tr.true_n - f.c AS BIGINT) AS deficit
+FROM sfin f JOIN truth tr ON tr.b = f.b
+""",
+)
+def text_mg_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries MERGE gate: build one k=64 summary per doc_id%3
+    shard of the bigram stream, left-fold merge them
+    (merge(merge(s0,s1),s2) -- counter-wise sum then one compress per
+    merge, operators/misra_gries.mg_merge), and emit the final summary
+    beside the exact union counts. This is the property that makes MG
+    usable at 100 TB: per-partition summaries are O(k), merge touches
+    at most 2k rows, and the Agarwal et al. bound survives ANY merge
+    tree -- for a FIXED tree the result is fully deterministic, so the
+    oracle replays the identical unrolled CTE chain (3 shard
+    compresses + 2 merge compresses) and the hash pins every counter.
+    Unlike the single-build gate the per-item deficit now VARIES (it
+    accumulates a different subset of the five thresholds depending on
+    where the item survived), so the merge arithmetic is visible in
+    the values, not just the row set. Plan: ONE corpus pass into a
+    (shard, item) hash aggregate, pinned; every later stage is
+    vocabulary-sized or O(k). Pytest pins the worst-case bound
+    (true - est)*(k+1) <= N - M over ALL items including dropped ones,
+    and the no-missed-heavy-hitter presence guarantee. Reference has
+    no sketch surface (survey 2.4)."""
+    from ..operators.misra_gries import mg_from_counts, mg_merge
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        _bigram_stream(docs, extra=[(F.col("doc_id") % 3, "sh")])
+        .groupBy("sh", "item")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    shards = [
+        mg_from_counts(
+            counts.where(F.col("sh") == i).select("item", "c"), k=64
+        )
+        for i in range(3)
+    ]
+    merged = mg_merge(mg_merge(shards[0], shards[1], 64), shards[2], 64)
+    truth = counts.groupBy("item").agg(
+        F.sum("c").cast("bigint").alias("true_n")
+    )
+    return merged.withColumnRenamed("c", "est").join(truth, "item").select(
+        F.col("item").alias("bigram"),
+        "est",
+        "true_n",
+        (F.col("true_n") - F.col("est")).cast("bigint").alias("deficit"),
+    )
+
+
 @query(
     "curation_contamination_check",
     oracle=f"""

@@ -174,6 +174,63 @@ def test_streaming_maintenance_guarantee(spark, tmp_path):
     _assert_mg_guarantee(rows, exact, 4)
 
 
+GATE_SF = "/root/testdata/sf0.01"
+
+
+def _bigram_exact(spark, sf_dir):
+    from gmail_bigquery_etl_spark.catalog import spread
+    from gmail_bigquery_etl_spark.queries.curation import _bigram_stream
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return {
+        r.item: r.c
+        for r in _bigram_stream(docs)
+        .groupBy("item")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+
+
+def test_registry_build_gate_is_nonvacuous(spark):
+    """The oracle-gated build query must actually compress (d > 0 --
+    the bigram vocab is ~14x k=64), honor the worst-case guarantee
+    against exact counts, and carry a CONSTANT per-row deficit equal
+    to the single compress threshold."""
+    from gmail_bigquery_etl_spark.queries import ALL_QUERIES
+
+    rows = ALL_QUERIES["text_mg_heavy_hitters"](spark, GATE_SF).collect()
+    assert 0 < len(rows) <= 64
+    deficits = {r.deficit for r in rows}
+    assert deficits == {rows[0].deficit} and rows[0].deficit > 0
+    exact = _bigram_exact(spark, GATE_SF)
+    assert len(exact) > 64
+    _assert_mg_guarantee(
+        [type("R", (), {"item": r.bigram, "c": r.est}) for r in rows],
+        exact,
+        64,
+    )
+
+
+def test_registry_merge_gate_bound_and_presence(spark):
+    """The merged-shards query must satisfy the Agarwal et al. bound
+    over ALL items (dropped items estimate 0) and miss no item heavier
+    than (N - M)/(k+1); its per-item deficit must VARY (the merge
+    arithmetic is visible in values, not just the row set)."""
+    from gmail_bigquery_etl_spark.queries import ALL_QUERIES
+
+    rows = ALL_QUERIES["text_mg_merge_shards"](spark, GATE_SF).collect()
+    assert 0 < len(rows) <= 64
+    assert len({r.deficit for r in rows}) > 1
+    exact = _bigram_exact(spark, GATE_SF)
+    for r in rows:
+        assert r.true_n == exact[r.bigram]
+    _assert_mg_guarantee(
+        [type("R", (), {"item": r.bigram, "c": r.est}) for r in rows],
+        exact,
+        64,
+    )
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
