@@ -407,6 +407,10 @@ _ROUND10_FRONT = [
     # (a) new in round 10
     "text_mg_heavy_hitters",
     "text_mg_merge_shards",
+    "pipeline_pack_sequences",
+    "pipeline_pack_ffd_bins",
+    "curation_quality_battery",
+    "curation_pii_scrub",
     # (b) code changed in round 10
     "events_acf_lags",
     "profile_ind_candidates",
@@ -453,10 +457,6 @@ _ROUND10_FRONT = [
     "text_fingerprint",
     "text_lang_id",
     "text_quality_scores",
-    "text_token_stats",
-    "window_lag_lead",
-    "window_ntile_stats",
-    "window_rank_topn",
 ]
 
 _rotate(_ROUND10_FRONT)

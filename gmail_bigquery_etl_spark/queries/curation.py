@@ -1602,3 +1602,334 @@ def _aug_texts(docs: DataFrame) -> DataFrame:
         F.concat(F.col("text"), F.lit(" near dup")).alias("text"),
     )
     return spread(base.unionAll(exact).unionAll(near))
+
+
+# Planted-dirt selector shared by the quality battery (the IND /
+# duplicate-payments precedent: every natural doc in the fixture passes
+# every rule, so the gate needs KNOWN-membership failures to be
+# falsifiable). md5-selected docs get 3 symbol tokens appended.
+_QB_SEL_SQL = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 17 = 0"
+)
+# The 200-char symbol token pushes short planted docs' MEAN word length
+# above the [3, 10] band, so even that rule has real failures; long
+# planted docs still pass it, keeping the rule's verdict data-dependent.
+_QB_DIRT = " ## #### @@!! " + "#" * 200
+
+
+@query(
+    "curation_quality_battery",
+    oracle=rf"""
+WITH te AS (
+  SELECT doc_id,
+         text || CASE WHEN {_QB_SEL_SQL} THEN '{_QB_DIRT}' ELSE '' END AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len({_SQL_TOKS.format(c='t')}) AS BIGINT) AS n_tok,
+         CAST(strlen(regexp_replace(trim(lower(t)), '\s', '', 'g'))
+              AS BIGINT) AS sumlen,
+         CAST(len(list_filter({_SQL_TOKS.format(c='t')},
+                              x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop,
+         CAST(len(list_filter({_SQL_TOKS.format(c='t')},
+                              x -> regexp_matches(x, '^[a-z]+$')))
+              AS BIGINT) AS n_alpha
+  FROM te
+),
+f AS (
+  SELECT n_tok >= 50 AS r_min_tokens,
+         3 * n_tok <= sumlen AND sumlen <= 10 * n_tok AS r_mean_word_len,
+         n_stop >= 2 AS r_stopword_count,
+         n_tok - n_alpha <= 1 AS r_symbol_tokens,
+         5 * n_alpha >= 4 * n_tok AS r_alpha_fraction
+  FROM m
+)
+SELECT rule, CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+FROM (
+  SELECT 'min_tokens' AS rule, r_min_tokens AS ok FROM f
+  UNION ALL SELECT 'mean_word_len', r_mean_word_len FROM f
+  UNION ALL SELECT 'stopword_count', r_stopword_count FROM f
+  UNION ALL SELECT 'symbol_tokens', r_symbol_tokens FROM f
+  UNION ALL SELECT 'alpha_fraction', r_alpha_fraction FROM f
+  UNION ALL SELECT 'all_rules',
+    r_min_tokens AND r_mean_word_len AND r_stopword_count
+    AND r_symbol_tokens AND r_alpha_fraction FROM f
+) GROUP BY rule
+""",
+)
+def curation_quality_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality-rule battery (Rae et al. 2021 sec. A1.1;
+    Raffel et al. 2020 sec. 2.2) as ONE corpus scan emitting per-rule
+    pass/fail counts: minimum document length (>= 50 words), mean word
+    length in [3, 10] (expressed as the INTEGER inequality 3n <= L <=
+    10n -- no division, exact both engines), stopword evidence (>= 2
+    hits on the stop list), symbol-token budget (<= 1 non-alphabetic
+    token), alphabetic-token fraction >= 0.8 (as 5*n_alpha >= 4*n_tok),
+    plus the all-rules conjunction -- the verdict row a filter stage
+    would gate shipping on. Because every natural fixture doc is
+    symbol-free, an md5-selected slice gets 3 symbol tokens appended
+    (known membership, the profile_ind_candidates precedent), so
+    symbol/alpha/mean-word-len rules all have REAL failures and pytest
+    pins the planted counts. Plan: one projection computing 4 integer
+    token statistics per doc (token count, non-space length, stop hits,
+    alpha hits), a 6-way per-doc flag unpivot (constant fan-out), one
+    tiny aggregate -- at 100 TB the scan is the only corpus-scale
+    stage, shuffling 6 rule keys. Reference has no quality surface
+    (survey 2.4: its BigQuery sink stores raw messages unfiltered,
+    etl_service/main.py:231-238)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sel = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 17
+        == 0
+    )
+    te = F.concat(
+        F.col("text"), F.when(sel, F.lit(_QB_DIRT)).otherwise(F.lit(""))
+    )
+    staged = docs.select(
+        F.size(whitespace_tokens(te)).cast("bigint").alias("n_tok"),
+        F.length(
+            F.regexp_replace(F.trim(F.lower(te)), r"\s", "")
+        )
+        .cast("bigint")
+        .alias("sumlen"),
+        F.size(
+            F.filter(
+                whitespace_tokens(te), lambda x: x.isin("the", "a")
+            )
+        )
+        .cast("bigint")
+        .alias("n_stop"),
+        F.size(
+            F.filter(
+                whitespace_tokens(te), lambda x: x.rlike("^[a-z]+$")
+            )
+        )
+        .cast("bigint")
+        .alias("n_alpha"),
+    )
+    flags = staged.select(
+        (F.col("n_tok") >= 50).alias("r_min_tokens"),
+        (
+            (3 * F.col("n_tok") <= F.col("sumlen"))
+            & (F.col("sumlen") <= 10 * F.col("n_tok"))
+        ).alias("r_mean_word_len"),
+        (F.col("n_stop") >= 2).alias("r_stopword_count"),
+        (F.col("n_tok") - F.col("n_alpha") <= 1).alias("r_symbol_tokens"),
+        (5 * F.col("n_alpha") >= 4 * F.col("n_tok")).alias(
+            "r_alpha_fraction"
+        ),
+    )
+    unpiv = flags.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("min_tokens").alias("rule"),
+                    F.col("r_min_tokens").alias("ok"),
+                ),
+                F.struct(
+                    F.lit("mean_word_len").alias("rule"),
+                    F.col("r_mean_word_len").alias("ok"),
+                ),
+                F.struct(
+                    F.lit("stopword_count").alias("rule"),
+                    F.col("r_stopword_count").alias("ok"),
+                ),
+                F.struct(
+                    F.lit("symbol_tokens").alias("rule"),
+                    F.col("r_symbol_tokens").alias("ok"),
+                ),
+                F.struct(
+                    F.lit("alpha_fraction").alias("rule"),
+                    F.col("r_alpha_fraction").alias("ok"),
+                ),
+                F.struct(
+                    F.lit("all_rules").alias("rule"),
+                    (
+                        F.col("r_min_tokens")
+                        & F.col("r_mean_word_len")
+                        & F.col("r_stopword_count")
+                        & F.col("r_symbol_tokens")
+                        & F.col("r_alpha_fraction")
+                    ).alias("ok"),
+                ),
+            )
+        ).alias("rf")
+    ).select("rf.rule", "rf.ok")
+    return unpiv.groupBy("rule").agg(
+        F.sum(F.when(F.col("ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_fail"),
+    )
+
+
+# PII planting arithmetic shared by both engines (the fixture text is
+# symbol/digit-free, so detection counts have KNOWN membership): three
+# md5-selected slices get an email, a phone, and an SSN-shaped id
+# appended; slices overlap (7, 11, 13 are coprime), so multi-class docs
+# exist and the class legs must not double-count each other.
+_PII_SEL_SQL = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % {m} = 0"
+)
+_PII_TE_SQL = (
+    "text"
+    " || CASE WHEN " + _PII_SEL_SQL.format(m=7)
+    + " THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " ELSE '' END"
+    " || CASE WHEN " + _PII_SEL_SQL.format(m=11)
+    + " THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " ELSE '' END"
+    " || CASE WHEN " + _PII_SEL_SQL.format(m=13)
+    + " THEN ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " ELSE '' END"
+)
+_PII_PATTERNS = [
+    ("email", r"[a-z0-9]+@[a-z]+\.[a-z]+"),
+    ("phone", r"[0-9]{3}-[0-9]{4}"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+]
+# Scrub order: most-specific class first so the phone pattern can never
+# eat the middle of an SSN-shaped id.
+_PII_SCRUB_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(t,"
+    " '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),"
+    " '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),"
+    " '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g')"
+)
+
+
+def _pii_oracle() -> str:
+    legs = []
+    for cls, pat in _PII_PATTERNS:
+        legs.append(f"""
+SELECT '{cls}' AS pii_class,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_hit,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct_vals,
+       (SELECT CAST(COALESCE(SUM(len(regexp_extract_all(
+            {_PII_SCRUB_SQL}, '{pat}'))), 0) AS BIGINT) FROM te)
+         AS n_residual,
+       MIN(substring(md5('pii|{cls}|' || v), 1, 16)) AS min_surrogate,
+       MAX(substring(md5('pii|{cls}|' || v), 1, 16)) AS max_surrogate
+FROM (SELECT doc_id, unnest(regexp_extract_all(t, '{pat}')) AS v FROM te)
+""")
+    return (
+        f"WITH te AS (SELECT doc_id, {_PII_TE_SQL} AS t FROM documents)"
+        + "\nUNION ALL\n".join(legs)
+    )
+
+
+@query("curation_pii_scrub", oracle=_pii_oracle())
+def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect-and-scrub audit composing regex-class detection with
+    the warehouse_pseudonymize surrogate idiom: per PII class (email /
+    phone / SSN-shaped id), how many documents hit, total and distinct
+    match counts, the deterministic 16-hex md5 surrogate RANGE (min/
+    max -- the mapping-table endpoints a downstream join would use),
+    and the RESIDUAL count after the class-tag scrub pass, which must
+    be zero -- the gate a redaction stage ships on. The fixture text is
+    digit- and @-free, so three coprime md5-selected slices (7/11/13 --
+    overlapping, so multi-class docs exist) plant PII with KNOWN
+    membership, exactly the falsifiable-gate precedent of
+    profile_ind_candidates; pytest pins the planted counts and the
+    zero residual. Scrub order is most-specific-first (SSN before
+    phone) so one class can never eat another's match. Plan: per class
+    one projection + bounded explode (matches per doc <= plants) and
+    one tiny aggregate; the residual leg is a second scan emitting ONE
+    row -- at 100 TB all corpus-scale stages are scans, no joins, no
+    windows. Reference stores raw Gmail bodies into BigQuery with no
+    redaction surface at all (etl_service/main.py:231-238, survey
+    2.2)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def _sel(m: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % m
+            == 0
+        )
+
+    pad4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    te = F.concat(
+        F.col("text"),
+        F.when(
+            _sel(7),
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(_sel(11), F.concat(F.lit(" call 555-"), pad4)).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            _sel(13), F.concat(F.lit(" id 123-45-"), pad4)
+        ).otherwise(F.lit("")),
+    )
+    planted = docs.select("doc_id", te.alias("t")).localCheckpoint()
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("t"), r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"
+            ),
+            r"[0-9]{3}-[0-9]{4}",
+            "<PHONE>",
+        ),
+        r"[a-z0-9]+@[a-z]+\.[a-z]+",
+        "<EMAIL>",
+    )
+    out = None
+    for cls, pat in _PII_PATTERNS:
+        matches = planted.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.col("t"), F.lit(pat), F.lit(0))
+            ).alias("v"),
+        )
+        surr = F.substring(
+            F.md5(F.concat(F.lit(f"pii|{cls}|"), F.col("v"))), 1, 16
+        )
+        agg = matches.agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs_hit"),
+            F.count("*").cast("bigint").alias("n_matches"),
+            F.countDistinct("v").cast("bigint").alias("n_distinct_vals"),
+            F.min(surr).alias("min_surrogate"),
+            F.max(surr).alias("max_surrogate"),
+        )
+        residual = planted.agg(
+            F.coalesce(
+                F.sum(
+                    F.size(
+                        F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_residual")
+        )
+        leg = agg.crossJoin(F.broadcast(residual)).select(
+            F.lit(cls).alias("pii_class"),
+            "n_docs_hit",
+            "n_matches",
+            "n_distinct_vals",
+            "n_residual",
+            "min_surrogate",
+            "max_surrogate",
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out

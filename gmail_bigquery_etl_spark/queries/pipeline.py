@@ -494,3 +494,157 @@ def docs_weighted_sample_noreplace(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rank") <= 100)
         .select("doc_id", "n_chars", "rank")
     )
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id % 8 AS g, doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+              AS BIGINT) AS ln
+  FROM documents
+),
+pos AS (
+  SELECT g, ln,
+         CAST(COALESCE(SUM(ln) OVER (
+             PARTITION BY g ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS s
+  FROM d WHERE ln > 0
+),
+spans AS (
+  SELECT g, s, ln, s // 128 AS k0,
+         unnest(generate_series(s // 128, (s + ln - 1) // 128)) AS chunk
+  FROM pos
+),
+contrib AS (
+  SELECT g, chunk,
+         least(s + ln, (chunk + 1) * 128)
+           - greatest(s, chunk * 128) AS tok,
+         CASE WHEN k0 = chunk THEN 1 ELSE 0 END AS starts
+  FROM spans
+)
+SELECT g, chunk, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(starts) AS BIGINT) AS n_starts,
+       CAST(SUM(tok) AS BIGINT) AS fill
+FROM contrib GROUP BY 1, 2
+""",
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/seqpack.py): the
+    GPT-style pretraining default -- concatenate each packing group's
+    documents in doc_id order and cut every 128 tokens; documents
+    straddle row boundaries, so padding exists ONLY in each group's
+    tail chunk. The emitted per-chunk table (documents touching,
+    documents starting, token fill) is the packing's complete audit:
+    conservation (sum of fills == corpus token count) and the
+    zero-interior-padding law (fill == 128 off-tail) are pinned by
+    pytest, and the oracle replays the identical exclusive-prefix-sum
+    arithmetic (the layout_compaction_plan idiom) so the gate hash
+    pins every boundary. Plan: one window cumsum per group (groups are
+    doc_id % 8 -- deterministic, engine-replayable, embarrassingly
+    parallel; G scales with the cluster at 100 TB), one bounded
+    explode (a document touches ceil(len/C)+1 chunks), one aggregate.
+    No UDF, no global window. Reference has no training-data surface
+    (its pipeline ends at the BigQuery load, etl_service/main.py:
+    239-268)."""
+    from ..operators.seqpack import pack_concat_chunks
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 8).alias("g"),
+        "doc_id",
+        token_count("text").cast("bigint").alias("ln"),
+    )
+    return pack_concat_chunks(
+        docs, len_col="ln", order_col="doc_id", group_col="g",
+        context_len=128,
+    )
+
+
+@query(
+    "pipeline_pack_ffd_bins",
+    # NULLIF(list_position(...), 0) everywhere: this DuckDB returns 0
+    # (not NULL) when no element matches, and a 0 slice bound silently
+    # becomes a from-the-end index -- without the guard the fills list
+    # DOUBLES per iteration (measured: 2^k growth, a hang by depth 30).
+    oracle=r"""
+WITH RECURSIVE d AS MATERIALIZED (
+  SELECT doc_id % 8 AS g, doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+              AS BIGINT) AS ln,
+         ROW_NUMBER() OVER (
+             PARTITION BY doc_id % 8
+             ORDER BY len(regexp_split_to_array(trim(lower(text)),
+                                                '\s+')) DESC, doc_id
+         ) AS r
+  FROM documents
+),
+ffd AS (
+  SELECT g, r, ln, [ln] AS fills, CAST(0 AS BIGINT) AS bin
+  FROM d WHERE r = 1
+  UNION ALL
+  SELECT nxt.g, nxt.r, nxt.ln,
+         CASE WHEN NULLIF(list_position(
+                  list_transform(f.fills, x -> x + nxt.ln <= 128),
+                  true), 0) IS NULL
+              THEN list_append(f.fills, nxt.ln)
+              ELSE list_concat(list_concat(
+                     list_slice(f.fills, 1,
+                       NULLIF(list_position(list_transform(f.fills,
+                         x -> x + nxt.ln <= 128), true), 0) - 1),
+                     [list_extract(f.fills,
+                       NULLIF(list_position(list_transform(f.fills,
+                         x -> x + nxt.ln <= 128), true), 0)) + nxt.ln]),
+                     list_slice(f.fills,
+                       NULLIF(list_position(list_transform(f.fills,
+                         x -> x + nxt.ln <= 128), true), 0) + 1,
+                       len(f.fills)))
+         END,
+         CAST(COALESCE(
+             NULLIF(list_position(list_transform(f.fills,
+               x -> x + nxt.ln <= 128), true), 0) - 1,
+             len(f.fills)) AS BIGINT)
+  FROM ffd f JOIN d nxt ON nxt.g = f.g AND nxt.r = f.r + 1
+)
+SELECT g, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ln) AS BIGINT) AS fill,
+       CAST(128 - SUM(ln) AS BIGINT) AS pad
+FROM ffd GROUP BY 1, 2
+""",
+)
+def pipeline_pack_ffd_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing (operators/seqpack.py): the
+    no-split packing for SFT/eval rows where a document must stay
+    atomic -- sort each packing group by (length DESC, doc_id ASC) and
+    place every document in the FIRST open 128-token bin with room,
+    else open a new one (oversized documents get a bin of their own).
+    FFD's open-bin state is inherently sequential, so the Spark side is
+    the sanctioned custom-operator shape: ONE applyInPandas call per
+    deterministic doc_id%8 group (Arrow batch in, numpy-backed loop
+    inside, never per-row Python), while the ORACLE replays the exact
+    same decision sequence as a DuckDB recursive CTE whose state column
+    is the open-bin fill list -- the strongest gate in the family: a
+    single misplaced document changes some bin's (n_docs, fill) pair
+    and breaks the hash. Pytest adds the conservation law (sum of bin
+    fills == corpus token count), the hard-capacity law (fill <= 128
+    for every multi-doc bin), and an independent pure-Python FFD
+    recompute. At 100 TB the groups are embarrassingly parallel and
+    per-group state is O(open bins); G scales with the cluster.
+    Reference has no training-data surface (survey 2.4)."""
+    from ..operators.seqpack import pack_ffd_bins
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 8).alias("g"),
+        "doc_id",
+        token_count("text").cast("bigint").alias("ln"),
+    )
+    assigned = pack_ffd_bins(
+        docs, len_col="ln", order_col="doc_id", group_col="g",
+        context_len=128,
+    )
+    return assigned.groupBy("g", "bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("fill"),
+        (F.lit(128) - F.sum("n_tok")).cast("bigint").alias("pad"),
+    )
