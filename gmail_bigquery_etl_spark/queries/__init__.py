@@ -411,6 +411,7 @@ _ROUND10_FRONT = [
     "pipeline_pack_ffd_bins",
     "curation_quality_battery",
     "curation_pii_scrub",
+    "warehouse_dsar_bucketed",
     # (b) code changed in round 10
     "events_acf_lags",
     "profile_ind_candidates",
@@ -456,7 +457,6 @@ _ROUND10_FRONT = [
     "text_bpe_token_stats",
     "text_fingerprint",
     "text_lang_id",
-    "text_quality_scores",
 ]
 
 _rotate(_ROUND10_FRONT)

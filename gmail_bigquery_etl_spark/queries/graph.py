@@ -168,9 +168,17 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins) with one degree aggregate; exact integers until the single
     final divide, so the gate is bit-for-bit. Scale: same sum-of-deg^2
     join fan-out story as dedup_triangle_counts."""
+    pairs = _lsh_pairs(spark, sf_dir).select("id_a", "id_b").distinct()
+    return clustering_coeff_from_pairs(pairs)
+
+
+def clustering_coeff_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Pairs -> coefficients, factored so the scale harness can time
+    THIS operator over a materialized pair table, un-confounded from
+    the shared LSH pipeline (VERDICT r9 item #2). ``pairs`` must be
+    distinct (id_a, id_b)."""
     from ..operators.components import triangle_counts
 
-    pairs = _lsh_pairs(spark, sf_dir).select("id_a", "id_b").distinct()
     p = pairs.localCheckpoint()
     edges = p.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
         p.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
@@ -257,18 +265,24 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint per round truncates the plan like
     PageRank/components."""
     pairs = _lsh_pairs(spark, sf_dir).select("id_a", "id_b").distinct()
+    return label_propagation_from_pairs(pairs)
+
+
+def label_propagation_from_pairs(
+    pairs: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Pairs -> communities, factored for the same un-confounded
+    per-op scale measurement as clustering_coeff_from_pairs."""
     p = pairs.localCheckpoint()
     edges = (
         p.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionAll(p.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .localCheckpoint()
     )
-    from pyspark.sql import Window as W
-
     lab = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
-    for _ in range(4):
+    for _ in range(rounds):
         votes = (
             edges.join(
                 lab.select(F.col("node").alias("v"), "lbl"), "v"

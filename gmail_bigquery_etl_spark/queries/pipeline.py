@@ -568,17 +568,26 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (not NULL) when no element matches, and a 0 slice bound silently
     # becomes a from-the-end index -- without the guard the fills list
     # DOUBLES per iteration (measured: 2^k growth, a hang by depth 30).
+    # group count scales with the corpus (GREATEST(8, ceil(n/625)),
+    # derived identically on both engines -- the dbscan n_planes
+    # precedent): fixed groups made per-group FFD work quadratic in n
+    # (measured 4.93x at 10x with G=8; bounded ~625-doc groups keep
+    # per-group work constant, total linear).
     oracle=r"""
-WITH RECURSIVE d AS MATERIALIZED (
-  SELECT doc_id % 8 AS g, doc_id,
+WITH RECURSIVE gs AS (
+  SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 625.0) AS BIGINT)) AS g
+  FROM documents
+),
+d AS MATERIALIZED (
+  SELECT doc_id % gs.g AS g, doc_id,
          CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
               AS BIGINT) AS ln,
          ROW_NUMBER() OVER (
-             PARTITION BY doc_id % 8
+             PARTITION BY doc_id % gs.g
              ORDER BY len(regexp_split_to_array(trim(lower(text)),
                                                 '\s+')) DESC, doc_id
          ) AS r
-  FROM documents
+  FROM documents, gs
 ),
 ffd AS (
   SELECT g, r, ln, [ln] AS fills, CAST(0 AS BIGINT) AS bin
@@ -621,21 +630,31 @@ def pipeline_pack_ffd_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     else open a new one (oversized documents get a bin of their own).
     FFD's open-bin state is inherently sequential, so the Spark side is
     the sanctioned custom-operator shape: ONE applyInPandas call per
-    deterministic doc_id%8 group (Arrow batch in, numpy-backed loop
+    deterministic doc_id%G group (Arrow batch in, numpy-backed loop
     inside, never per-row Python), while the ORACLE replays the exact
     same decision sequence as a DuckDB recursive CTE whose state column
     is the open-bin fill list -- the strongest gate in the family: a
     single misplaced document changes some bin's (n_docs, fill) pair
-    and breaks the hash. Pytest adds the conservation law (sum of bin
-    fills == corpus token count), the hard-capacity law (fill <= 128
-    for every multi-doc bin), and an independent pure-Python FFD
-    recompute. At 100 TB the groups are embarrassingly parallel and
-    per-group state is O(open bins); G scales with the cluster.
-    Reference has no training-data surface (survey 2.4)."""
+    and breaks the hash. The group count G = max(8, ceil(n/625)) is
+    derived identically on both engines (the dbscan n_planes / conformal
+    driver-scalar precedent), bounding every group at ~625 docs: the
+    per-group FFD loop's O(docs x open-bins) work is then CONSTANT per
+    group and the total is linear -- the fixed-G first cut measured
+    4.93x at 10x (SCALE_r10), exactly the quadratic this policy
+    removes. Pytest adds the conservation law (sum of bin fills ==
+    corpus token count), the hard-capacity law (fill <= 128 for every
+    multi-doc bin), and an independent pure-Python FFD recompute. At
+    100 TB the groups are embarrassingly parallel and per-group state
+    is O(open bins). Reference has no training-data surface (survey
+    2.4)."""
     from ..operators.seqpack import pack_ffd_bins
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        (F.col("doc_id") % 8).alias("g"),
+    base = load_table(spark, sf_dir, "documents")
+    # one driver scalar (count), the allowlisted bookkeeping fetch
+    n_docs = base.count()
+    g = max(8, -(-n_docs // 625))
+    docs = base.select(
+        (F.col("doc_id") % g).alias("g"),
         "doc_id",
         token_count("text").cast("bigint").alias("ln"),
     )

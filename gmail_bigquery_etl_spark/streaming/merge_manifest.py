@@ -1044,6 +1044,41 @@ def read_manifest_bloom_lookup(
     ).drop(_BUCKET)
 
 
+def read_manifest_bloom_lookup_many(
+    spark,
+    sink_root: str,
+    column: str,
+    values: list,
+    m: int = 4096,
+    depth: int = 4,
+    version: int | None = None,
+) -> DataFrame:
+    """Multi-value Bloom lookup: the UNION of each value's candidate
+    buckets is read ONCE, then the exact IN filter applies -- never a
+    per-value scan loop, so probing a subject's k order keys costs
+    |union of candidate buckets| dirs, not k reads (the DSAR shape:
+    the probe list is small and bounded by one subject's activity, the
+    table is not). Soundness is per-value Bloom soundness: no false
+    negatives, false positives only add bucket reads."""
+    mft = _resolve_manifest(sink_root, version, None)
+    cands: set[int] = set()
+    for v in values:
+        cands.update(
+            bloom_candidate_buckets(
+                spark, sink_root, column, v, m, depth, version
+            )
+        )
+    dirs = [d for b, d in mft["buckets"].items() if int(b) in cands]
+    schema = mft["schema"]
+    if not dirs or not values:
+        return spark.createDataFrame([], schema)
+    parts = _read_bucket_dirs(spark, sink_root, dirs)
+    base = parts[0]
+    for p in parts[1:]:
+        base = base.unionByName(p, allowMissingColumns=True)
+    return base.where(F.col(column).isin(values)).drop(_BUCKET)
+
+
 # --- CLONE: zero-copy (shallow) or full-copy (deep) table duplication --------
 
 def clone_manifest(

@@ -1,0 +1,121 @@
+"""Un-confounded graph-trio scale measurement (VERDICT r9 item #2).
+
+The round-9 composite rows for clustering coefficient / LPA exceeded
+the 2x bar, with the builder's decomposition attributing the excess to
+the shared near-dup LSH pair pipeline (which carries its own
+adjudicated scale rows). This harness makes that decomposition
+MEASURED instead of credible: per scale point it materializes the
+distinct pair table to parquet ONCE, then times each graph operator
+over the materialized pairs (noop-writer, median of N runs), plus the
+pair pipeline itself as its own row.
+
+Usage: python tools/bench_graph_perop.py [--small /root/testdata/sf0.1]
+          [--big scratch/sf1] [--runs 4] [--out SCALE_r10.json]
+
+Rows merge into the --out artifact's "ops" dict under the REGISTERED
+query names (the per-op number IS the operator's scale row; the
+"protocol" field records how it was taken).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gmail_bigquery_etl_spark.session import get_spark  # noqa: E402
+
+
+def _noop_time(thunk) -> float:
+    """Time plan CONSTRUCTION + materialization: the graph operators
+    localCheckpoint intermediate rounds eagerly, so the work must start
+    inside the timer -- pass a thunk, not a built DataFrame."""
+    t0 = time.time()
+    thunk().write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def _materialize_pairs(spark, sf_dir: str, dst: str) -> tuple[float, int]:
+    from gmail_bigquery_etl_spark.queries.graph import _lsh_pairs
+
+    t0 = time.time()
+    pairs = _lsh_pairs(spark, sf_dir).select("id_a", "id_b").distinct()
+    pairs.write.mode("overwrite").parquet(dst)
+    dt = time.time() - t0
+    n = spark.read.parquet(dst).count()
+    return dt, n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", default="/root/testdata/sf0.1")
+    ap.add_argument("--big", default="scratch/sf1")
+    ap.add_argument("--runs", type=int, default=4)
+    ap.add_argument("--out", default="SCALE_r10.json")
+    args = ap.parse_args()
+
+    from gmail_bigquery_etl_spark.queries.graph import (
+        clustering_coeff_from_pairs,
+        label_propagation_from_pairs,
+    )
+
+    spark = get_spark("graph-perop", cpus=32)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    report: dict[str, dict] = {}
+
+    pair_stats = {}
+    frames = {}
+    for tag, sf_dir in (("small", args.small), ("big", args.big)):
+        dst = os.path.join(here, "scratch", f"graph_pairs_{tag}.parquet")
+        sec, n = _materialize_pairs(spark, sf_dir, dst)
+        pair_stats[tag] = {"sec": round(sec, 2), "pairs": n}
+        frames[tag] = spark.read.parquet(dst)
+    report["graph_lsh_pair_pipeline"] = {
+        "small_sec": pair_stats["small"]["sec"],
+        "big_sec": pair_stats["big"]["sec"],
+        "ratio": round(
+            pair_stats["big"]["sec"] / pair_stats["small"]["sec"], 2
+        ),
+        "small_rows": pair_stats["small"]["pairs"],
+        "big_rows": pair_stats["big"]["pairs"],
+        "protocol": "pair build + distinct + parquet write, single run",
+    }
+
+    ops = {
+        "graph_clustering_coeff": clustering_coeff_from_pairs,
+        "graph_label_propagation": label_propagation_from_pairs,
+    }
+    for name, fn in ops.items():
+        row: dict = {"protocol": f"median of {args.runs} runs over "
+                     "materialized pairs (noop-writer)"}
+        for tag in ("small", "big"):
+            samples = []
+            frame = frames[tag]
+            for _ in range(args.runs):
+                samples.append(_noop_time(lambda: fn(frame)))
+            row[f"{tag}_sec"] = round(statistics.median(samples), 2)
+            row[f"{tag}_samples"] = [round(s, 2) for s in samples]
+            row[f"{tag}_rows"] = fn(frames[tag]).count()
+        row["ratio"] = round(row["big_sec"] / row["small_sec"], 2)
+        report[name] = row
+        print(name, row["small_sec"], row["big_sec"], row["ratio"],
+              flush=True)
+
+    out_path = os.path.join(here, args.out)
+    payload = {"small": args.small, "big": args.big, "ops": {}}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            payload = json.load(fh)
+    payload.setdefault("ops", {}).update(report)
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
