@@ -193,6 +193,15 @@ _ALLOWED_NLJ = {
     # broadcast crossJoins of the 1-row weight-total and leftover-seats
     # aggregates (the mixture-allocation scalar class)
     "curation_neyman_allocation",
+    # broadcast crossJoin of the 1-row Misra-Gries compress threshold
+    # (the (k+1)-th largest count; the q22/q11 scalar class)
+    "text_mg_heavy_hitters",
+    # same 1-row compress-threshold crossJoin, 5 instances (3 shard
+    # compresses + 2 merge compresses)
+    "text_mg_merge_shards",
+    # broadcast crossJoin of the 1-row post-scrub residual-count
+    # aggregate per class leg (3 legs, each 1-row x 1-row)
+    "curation_pii_scrub",
     }
 
 # Build-side row bound for every allowlisted NLJ: the biggest legitimate
