@@ -412,6 +412,9 @@ _ROUND10_FRONT = [
     "curation_quality_battery",
     "curation_pii_scrub",
     "warehouse_dsar_bucketed",
+    "pipeline_assembly_e2e",
+    "agg_kruskal_wallis",
+    "agg_chi_square_independence",
     # (b) code changed in round 10
     "events_acf_lags",
     "profile_ind_candidates",
@@ -454,9 +457,6 @@ _ROUND10_FRONT = [
     "stream_stateful_user_counts",
     "subquery_in",
     "subquery_scalar_corr",
-    "text_bpe_token_stats",
-    "text_fingerprint",
-    "text_lang_id",
 ]
 
 _rotate(_ROUND10_FRONT)

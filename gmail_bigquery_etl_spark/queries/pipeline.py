@@ -667,3 +667,111 @@ def pipeline_pack_ffd_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("fill"),
         (F.lit(128) - F.sum("n_tok")).cast("bigint").alias("pad"),
     )
+
+
+@query(
+    "pipeline_assembly_e2e",
+    oracle=r"""
+WITH m AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+              AS BIGINT) AS n_tok,
+         CAST(strlen(regexp_replace(trim(lower(text)), '\s', '', 'g'))
+              AS BIGINT) AS sumlen,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+'),
+                              x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, text, n_tok FROM m
+  WHERE n_tok >= 50
+    AND 3 * n_tok <= sumlen AND sumlen <= 10 * n_tok
+    AND n_stop >= 2
+),
+survivors AS (
+  SELECT k.doc_id, k.n_tok FROM kept k
+  JOIN (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)) s
+    ON k.doc_id = s.doc_id
+),
+pos AS (
+  SELECT doc_id % 8 AS g, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (
+             PARTITION BY doc_id % 8 ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS s
+  FROM survivors WHERE n_tok > 0
+)
+SELECT g,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST((SUM(n_tok) + 127) // 128 AS BIGINT) AS n_chunks,
+       CAST(((SUM(n_tok) + 127) // 128) * 128 - SUM(n_tok) AS BIGINT)
+         AS pad_tokens,
+       CAST(SUM(CASE WHEN s // 128 <> (s + n_tok - 1) // 128
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+FROM pos GROUP BY g
+""",
+)
+def pipeline_assembly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data ASSEMBLY composition -- the capstone
+    that proves the round-10 stages chain as ONE lazy plan the way
+    docs_curated_pipeline proved quality->dedup->split: a Gopher-rule
+    quality gate (natural failures only -- 221 of 500 docs fail the
+    50-word floor at sf0.01, no planting needed) -> deterministic
+    exact dedup (min-id survivor per content hash) -> concat-and-chunk
+    sequence packing over the SURVIVORS, reported per packing group
+    (docs kept, token total, 128-token training rows produced, tail
+    padding, boundary-straddling docs -- the number an attention-mask
+    builder budgets). The straddler count is the part only the
+    exclusive prefix sum can produce, so the gate exercises the real
+    packing arithmetic, not just totals. Plan shape: scan -> flag
+    projection (one pass computes all three rule statistics) -> one
+    dedup window shuffle on the content hash -> one per-group window
+    cumsum -> 8-row aggregate; no materialization boundary anywhere,
+    Catalyst sees the whole chain. At 100 TB every stage is the
+    already-adjudicated shape of its standalone gate. Reference's
+    pipeline ends at a BigQuery append with no assembly surface
+    (etl_service/main.py:239-268)."""
+    from ..functions.text import whitespace_tokens
+    from ..operators.dedup import exact_dedup
+    from ..operators.seqpack import pack_concat_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    te = F.trim(F.lower(F.col("text")))
+    ws = whitespace_tokens("text")
+    m = docs.select(
+        "doc_id",
+        "text",
+        F.size(ws).cast("bigint").alias("n_tok"),
+        F.length(F.regexp_replace(te, r"\s", ""))
+        .cast("bigint")
+        .alias("sumlen"),
+        F.size(F.filter(ws, lambda x: x.isin("the", "a")))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    kept = m.where(
+        (F.col("n_tok") >= 50)
+        & (3 * F.col("n_tok") <= F.col("sumlen"))
+        & (F.col("sumlen") <= 10 * F.col("n_tok"))
+        & (F.col("n_stop") >= 2)
+    )
+    survivors = exact_dedup(kept).select(
+        (F.col("doc_id") % 8).alias("g"), "doc_id", "n_tok"
+    )
+    chunks = pack_concat_chunks(
+        survivors, len_col="n_tok", order_col="doc_id", group_col="g",
+        context_len=128,
+    )
+    return chunks.groupBy("g").agg(
+        F.sum("n_starts").cast("bigint").alias("n_docs"),
+        F.sum("fill").cast("bigint").alias("total_tokens"),
+        F.count("*").cast("bigint").alias("n_chunks"),
+        (F.count("*") * 128 - F.sum("fill")).cast("bigint").alias(
+            "pad_tokens"
+        ),
+        (F.sum("n_docs") - F.sum("n_starts"))
+        .cast("bigint")
+        .alias("n_straddlers"),
+    )

@@ -2133,3 +2133,260 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(zex, 6).alias("z"),
         (F.abs(zex) > 1.959964).alias("significant"),
     )
+
+
+@query(
+    "agg_kruskal_wallis",
+    oracle="""
+WITH vals AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS DECIMAL(38,0)) AS cr,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+              AS DECIMAL(38,0)) AS ca,
+         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+              AS DECIMAL(38,0)) AS cn
+  FROM lineitem GROUP BY 1
+),
+runs AS (
+  SELECT v, cr, ca, cn, cr + ca + cn AS c,
+         CAST(COALESCE(SUM(cr + ca + cn) OVER (
+             ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS DECIMAL(38,0)) AS m
+  FROM vals
+),
+agg AS (
+  SELECT CAST(SUM(cr) AS DECIMAL(38,0)) AS nr,
+         CAST(SUM(ca) AS DECIMAL(38,0)) AS na,
+         CAST(SUM(cn) AS DECIMAL(38,0)) AS nn,
+         CAST(SUM(cr * (2 * m + c + 1)) AS DECIMAL(38,0)) AS tr,
+         CAST(SUM(ca * (2 * m + c + 1)) AS DECIMAL(38,0)) AS ta,
+         CAST(SUM(cn * (2 * m + c + 1)) AS DECIMAL(38,0)) AS tn,
+         CAST(SUM(c * c * c - c) AS DECIMAL(38,0)) AS tie_term
+  FROM runs
+)
+SELECT CAST(nr AS BIGINT) AS n_r, CAST(na AS BIGINT) AS n_a,
+       CAST(nn AS BIGINT) AS n_n,
+       CAST(tr AS BIGINT) AS t2_r, CAST(ta AS BIGINT) AS t2_a,
+       CAST(tn AS BIGINT) AS t2_n,
+       CAST(tie_term AS BIGINT) AS tie_term,
+       ROUND(h, 6) AS h,
+       ROUND(h / (1.0 - CAST(tie_term AS DOUBLE)
+                        / (CAST(nr + na + nn AS DOUBLE)
+                           * CAST(nr + na + nn AS DOUBLE)
+                           * CAST(nr + na + nn AS DOUBLE)
+                           - CAST(nr + na + nn AS DOUBLE))), 6)
+         AS h_tie_corrected,
+       (h / (1.0 - CAST(tie_term AS DOUBLE)
+                   / (CAST(nr + na + nn AS DOUBLE)
+                      * CAST(nr + na + nn AS DOUBLE)
+                      * CAST(nr + na + nn AS DOUBLE)
+                      - CAST(nr + na + nn AS DOUBLE)))) > 5.991465
+         AS significant
+FROM (
+  SELECT *,
+         3.0 / (CAST(nr + na + nn AS DOUBLE)
+                * (CAST(nr + na + nn AS DOUBLE) + 1.0))
+         * (CAST(tr * tr AS DOUBLE) / CAST(nr AS DOUBLE)
+            + CAST(ta * ta AS DOUBLE) / CAST(na AS DOUBLE)
+            + CAST(tn * tn AS DOUBLE) / CAST(nn AS DOUBLE))
+         - 3.0 * (CAST(nr + na + nn AS DOUBLE) + 1.0) AS h
+  FROM agg
+)
+WHERE nr > 0 AND na > 0 AND nn > 0
+""",
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (Kruskal & Wallis 1952) -- the k-group
+    extension of the gated Mann-Whitney U, over l_quantity across ALL
+    THREE return flags (R/A/N): the one-way-ANOVA-shaped question
+    ("does location differ across k groups?") answered rank-based, so
+    a fat tail can't fake it. Reuses the exact tie machinery the
+    two-group gate adjudicated: ranks are never a corpus sort -- one
+    grouped count per distinct value, a running window over the
+    BOUNDED 50-value domain, doubled average ranks 2m+c+1 kept as
+    exact DECIMAL(38,0) integers per group (emitted, pinning the whole
+    ranking bit-for-bit), plus the tie-correction sum(t^3-t).
+    H = 3/(N(N+1)) * sum_g T_g^2/n_g - 3(N+1) with the doubled-rank
+    factor folded in analytically; the 3-term sum is written in FIXED
+    group order on both engines (R + A + N, no aggregate), so the one
+    double is pointwise-IEEE identical; decision vs the literal
+    chi-square(2) 5% critical value 5.991465 (the no-erf precedent).
+    Scale: one corpus hash aggregate + a 50-row window + a 1-row
+    reduce. Reference has no statistics surface (survey 2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    vals = li.groupBy(F.col("l_quantity").cast("bigint").alias("v")).agg(
+        *[
+            F.sum(F.when(F.col("l_returnflag") == g, 1).otherwise(0))
+            .cast(d38)
+            .alias(f"c{g.lower()}")
+            for g in ("R", "A", "N")
+        ]
+    )
+    c = F.col("cr") + F.col("ca") + F.col("cn")
+    runs = vals.select(
+        "v",
+        "cr",
+        "ca",
+        "cn",
+        c.alias("c"),
+        F.coalesce(
+            F.sum(c).over(
+                W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast(d38),
+        ).alias("m"),
+    )
+    dr = 2 * F.col("m") + F.col("c") + 1
+    agg = runs.agg(
+        F.sum("cr").cast(d38).alias("nr"),
+        F.sum("ca").cast(d38).alias("na"),
+        F.sum("cn").cast(d38).alias("nn"),
+        F.sum(F.col("cr") * dr).cast(d38).alias("tr"),
+        F.sum(F.col("ca") * dr).cast(d38).alias("ta"),
+        F.sum(F.col("cn") * dr).cast(d38).alias("tn"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast(d38)
+        .alias("tie_term"),
+    )
+    nd = (F.col("nr") + F.col("na") + F.col("nn")).cast("double")
+    h = (
+        3.0
+        / (nd * (nd + 1.0))
+        * (
+            (F.col("tr") * F.col("tr")).cast("double")
+            / F.col("nr").cast("double")
+            + (F.col("ta") * F.col("ta")).cast("double")
+            / F.col("na").cast("double")
+            + (F.col("tn") * F.col("tn")).cast("double")
+            / F.col("nn").cast("double")
+        )
+        - 3.0 * (nd + 1.0)
+    )
+    hc = h / (
+        1.0 - F.col("tie_term").cast("double") / (nd * nd * nd - nd)
+    )
+    return agg.where(
+        (F.col("nr") > 0) & (F.col("na") > 0) & (F.col("nn") > 0)
+    ).select(
+        F.col("nr").cast("bigint").alias("n_r"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nn").cast("bigint").alias("n_n"),
+        F.col("tr").cast("bigint").alias("t2_r"),
+        F.col("ta").cast("bigint").alias("t2_a"),
+        F.col("tn").cast("bigint").alias("t2_n"),
+        F.col("tie_term").cast("bigint").alias("tie_term"),
+        F.round(h, 6).alias("h"),
+        F.round(hc, 6).alias("h_tie_corrected"),
+        (hc > 5.991465).alias("significant"),
+    )
+
+
+@query(
+    "agg_chi_square_independence",
+    oracle="""
+WITH cells AS (
+  SELECT o_orderpriority AS priority, o_orderstatus AS status,
+         CAST(COUNT(*) AS BIGINT) AS observed
+  FROM orders GROUP BY 1, 2
+),
+margins AS (
+  SELECT *,
+         CAST(SUM(observed) OVER (PARTITION BY priority) AS BIGINT) AS rt,
+         CAST(SUM(observed) OVER (PARTITION BY status) AS BIGINT) AS ct,
+         CAST(SUM(observed) OVER () AS BIGINT) AS n
+  FROM cells
+),
+terms AS (
+  SELECT priority, status, observed, rt, ct, n,
+         ROUND(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+               / CAST(n AS DOUBLE), 6) AS expected,
+         CAST(ROUND(
+           (CAST(observed AS DOUBLE)
+            - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(observed AS DOUBLE)
+              - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)),
+           9) AS DECIMAL(18,9)) AS term
+  FROM margins
+),
+tot AS (
+  SELECT CAST(SUM(term) AS DECIMAL(18,9)) AS chi2_dec,
+         CAST((COUNT(DISTINCT priority) - 1)
+              * (COUNT(DISTINCT status) - 1) AS BIGINT) AS dof
+  FROM terms
+)
+SELECT t.priority, t.status, t.observed, t.expected,
+       CAST(t.term AS DOUBLE) AS chi2_term,
+       ROUND(CAST(tot.chi2_dec AS DOUBLE), 6) AS chi2_total,
+       tot.dof,
+       CAST(tot.chi2_dec AS DOUBLE) > 15.507313 AS significant
+FROM terms t CROSS JOIN tot
+""",
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence (1900) between order
+    priority (5 levels) and order status (3 levels) -- the categorical
+    association test beside the rank tests (Mann-Whitney /
+    Kruskal-Wallis) and the correlation pair (Pearson/Spearman): is the
+    15-cell contingency table consistent with independent margins? Per
+    cell: observed count (exact), expected = rt*ct/N (one double from
+    exact integers, identical expression both engines), and the
+    (O-E)^2/E contribution quantized to DECIMAL(18,9) BEFORE the total
+    sum, so chi2_total is addition-order-free -- the decimal-sum
+    determinism rule. Decision vs the literal chi-square(dof=8) 5%
+    critical value 15.507313 (the no-CDF precedent). Plan: one grouped
+    count (the corpus pass), margin windows over the 15-row bounded
+    cell table, a 1-row total broadcast back to the cells. Reference
+    outsources all analytics to BigQuery (survey 2.4)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count("*").cast("bigint").alias("observed"))
+    margins = (
+        cells.withColumn(
+            "rt", F.sum("observed").over(W.partitionBy("priority"))
+        )
+        .withColumn("ct", F.sum("observed").over(W.partitionBy("status")))
+        .withColumn("n", F.sum("observed").over(W.partitionBy()))
+    )
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    terms = margins.select(
+        "priority",
+        "status",
+        "observed",
+        F.round(e, 6).alias("expected"),
+        F.round(
+            (F.col("observed").cast("double") - e)
+            * (F.col("observed").cast("double") - e)
+            / e,
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("term"),
+    )
+    tot = terms.agg(
+        F.sum("term").cast("decimal(18,9)").alias("chi2_dec"),
+        (
+            (F.countDistinct("priority") - 1)
+            * (F.countDistinct("status") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+    )
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "priority",
+        "status",
+        "observed",
+        "expected",
+        F.col("term").cast("double").alias("chi2_term"),
+        F.round(F.col("chi2_dec").cast("double"), 6).alias("chi2_total"),
+        "dof",
+        (F.col("chi2_dec").cast("double") > 15.507313).alias("significant"),
+    )

@@ -202,6 +202,9 @@ _ALLOWED_NLJ = {
     # broadcast crossJoin of the 1-row post-scrub residual-count
     # aggregate per class leg (3 legs, each 1-row x 1-row)
     "curation_pii_scrub",
+    # broadcast crossJoin of the 1-row (chi2 total, dof) aggregate
+    # back against the 15-row cell table
+    "agg_chi_square_independence",
     }
 
 # Build-side row bound for every allowlisted NLJ: the biggest legitimate
