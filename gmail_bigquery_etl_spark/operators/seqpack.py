@@ -55,9 +55,13 @@ def pack_concat_chunks(
 ) -> DataFrame:
     """Per-chunk table for concat-and-chunk packing.
 
-    Returns (g, chunk, n_docs, n_starts, fill): for every packing group
-    and every C-token output row, how many documents contribute tokens
-    to it, how many START in it, and its token fill (== C everywhere
+    Returns (g, chunk, n_docs, n_starts, n_whole, fill): for every
+    packing group and every C-token output row, how many documents
+    contribute tokens to it, how many START in it, how many lie WHOLLY
+    inside it (start AND end there -- so a group's distinct straddler
+    count is sum(n_starts) - sum(n_whole), exact even for documents
+    spanning more than two chunks, where crossings sum(n_docs) -
+    sum(n_starts) over-counts), and its token fill (== C everywhere
     except each group's tail chunk). Exact integer arithmetic
     throughout: a document occupying global offsets [s, s+len) within
     its group touches chunks floor(s/C) .. floor((s+len-1)/C) and
@@ -86,6 +90,7 @@ def pack_concat_chunks(
         "_s",
         "_len",
         "_k0",
+        "_k1",
         F.explode(F.sequence("_k0", "_k1")).alias("chunk"),
     )
     contrib = spans.select(
@@ -98,10 +103,14 @@ def pack_concat_chunks(
         .cast("bigint")
         .alias("_tok"),
         (F.col("_k0") == F.col("chunk")).cast("bigint").alias("_starts"),
+        ((F.col("_k0") == F.col("chunk")) & (F.col("_k1") == F.col("chunk")))
+        .cast("bigint")
+        .alias("_whole"),
     )
     return contrib.groupBy("g", "chunk").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("_starts").cast("bigint").alias("n_starts"),
+        F.sum("_whole").cast("bigint").alias("n_whole"),
         F.sum("_tok").cast("bigint").alias("fill"),
     )
 

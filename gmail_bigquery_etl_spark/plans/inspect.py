@@ -54,6 +54,32 @@ def broadcast_subtrees(df: DataFrame, full_metadata: bool = True) -> list[str]:
     return out
 
 
+_ROW_PRESERVING_OR_REDUCING = ("Filter", "Project", "ColumnarToRow", "InputAdapter")
+_GLOBAL_AGG = re.compile(
+    r"^(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]"
+)
+
+
+def global_agg_root(subtree: str) -> bool:
+    """True iff a BroadcastExchange subtree's root operator is a GLOBAL
+    aggregate (keys=[]), possibly under row-preserving-or-reducing wrappers
+    (Filter/Project): such a subtree materializes exactly one row at every
+    scale factor, so broadcasting it is the standard scalar-carry and never
+    a fact-table broadcast -- even when the scan feeding the aggregate is a
+    fact table. Used by the fact-broadcast plan lint."""
+    for raw in subtree.splitlines():
+        line = raw.strip()
+        # strip tree-drawing prefixes and the WholeStageCodegen "*(n) " tag
+        line = re.sub(r"^[:+\-| ]*", "", line)
+        line = re.sub(r"^\*\(\d+\)\s*", "", line)
+        if not line or line.startswith("BroadcastExchange"):
+            continue
+        if line.split("(")[0].split(" ")[0] in _ROW_PRESERVING_OR_REDUCING:
+            continue
+        return bool(_GLOBAL_AGG.match(line))
+    return False
+
+
 def _resolve(node):
     """Unwrap plan-tree indirections that hide the real operator: the
     adaptive root, query-stage wrappers, exchange reuse, and codegen

@@ -1607,7 +1607,8 @@ def _aug_texts(docs: DataFrame) -> DataFrame:
 # Planted-dirt selector shared by the quality battery (the IND /
 # duplicate-payments precedent: every natural doc in the fixture passes
 # every rule, so the gate needs KNOWN-membership failures to be
-# falsifiable). md5-selected docs get 3 symbol tokens appended.
+# falsifiable). md5-selected docs get 4 symbol tokens appended
+# ('##', '####', '@@!!', and the 200-char '#' run below).
 _QB_SEL_SQL = (
     "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
     "AS BIGINT) % 17 = 0"
@@ -1670,7 +1671,7 @@ def curation_quality_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     token), alphabetic-token fraction >= 0.8 (as 5*n_alpha >= 4*n_tok),
     plus the all-rules conjunction -- the verdict row a filter stage
     would gate shipping on. Because every natural fixture doc is
-    symbol-free, an md5-selected slice gets 3 symbol tokens appended
+    symbol-free, an md5-selected slice gets 4 symbol tokens appended
     (known membership, the profile_ind_candidates precedent), so
     symbol/alpha/mean-word-len rules all have REAL failures and pytest
     pins the planted counts. Plan: one projection computing 4 integer

@@ -514,7 +514,7 @@ pos AS (
   FROM d WHERE ln > 0
 ),
 spans AS (
-  SELECT g, s, ln, s // 128 AS k0,
+  SELECT g, s, ln, s // 128 AS k0, (s + ln - 1) // 128 AS k1,
          unnest(generate_series(s // 128, (s + ln - 1) // 128)) AS chunk
   FROM pos
 ),
@@ -522,11 +522,13 @@ contrib AS (
   SELECT g, chunk,
          least(s + ln, (chunk + 1) * 128)
            - greatest(s, chunk * 128) AS tok,
-         CASE WHEN k0 = chunk THEN 1 ELSE 0 END AS starts
+         CASE WHEN k0 = chunk THEN 1 ELSE 0 END AS starts,
+         CASE WHEN k0 = chunk AND k1 = chunk THEN 1 ELSE 0 END AS whole
   FROM spans
 )
 SELECT g, chunk, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(starts) AS BIGINT) AS n_starts,
+       CAST(SUM(whole) AS BIGINT) AS n_whole,
        CAST(SUM(tok) AS BIGINT) AS fill
 FROM contrib GROUP BY 1, 2
 """,
@@ -771,7 +773,11 @@ def pipeline_assembly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") * 128 - F.sum("fill")).cast("bigint").alias(
             "pad_tokens"
         ),
-        (F.sum("n_docs") - F.sum("n_starts"))
+        # distinct documents crossing >=1 boundary: every doc starts
+        # exactly once, so starts - wholly-contained = straddlers. NOT
+        # sum(n_docs) - sum(n_starts): that counts boundary CROSSINGS
+        # and over-counts any doc spanning >2 chunks.
+        (F.sum("n_starts") - F.sum("n_whole"))
         .cast("bigint")
         .alias("n_straddlers"),
     )

@@ -1059,15 +1059,41 @@ def read_manifest_bloom_lookup_many(
     |union of candidate buckets| dirs, not k reads (the DSAR shape:
     the probe list is small and bounded by one subject's activity, the
     table is not). Soundness is per-value Bloom soundness: no false
-    negatives, false positives only add bucket reads."""
+    negatives, false positives only add bucket reads.
+
+    The sidecar itself is also read ONCE: all values' probe bits are
+    computed up front (driver-side md5, identical to the build hash),
+    the sidecar is filtered to the UNION of probe bits in a single
+    job, and per-value all-bits-present resolution happens over that
+    bounded collect (<= n_buckets x |values| x depth rows) -- one
+    Spark job for k probe values, not k job launches (each sidecar
+    job is tiny, but k driver-side launches dominate latency for a
+    multi-key subject)."""
     mft = _resolve_manifest(sink_root, version, None)
     cands: set[int] = set()
-    for v in values:
-        cands.update(
-            bloom_candidate_buckets(
-                spark, sink_root, column, v, m, depth, version
+    if values:
+        idx = _bloom_index_dir(sink_root, mft["batch_id"], column)
+        if not os.path.isdir(idx):
+            raise ValueError(
+                f"no bloom index for column {column!r} at version "
+                f"{mft['batch_id']} -- run build_bloom_index first"
             )
-        )
+        probes = {v: set(_bloom_probe_bits(v, m, depth)) for v in values}
+        union_bits = sorted(set().union(*probes.values()))
+        have: dict[int, set[int]] = {}
+        for r in (
+            spark.read.parquet(idx)
+            .where(F.col("bit").isin(union_bits))
+            .select("bucket", "bit")
+            .distinct()
+            .collect()
+        ):
+            have.setdefault(r.bucket, set()).add(r.bit)
+        cands = {
+            b
+            for b, bits in have.items()
+            if any(p <= bits for p in probes.values())
+        }
     dirs = [d for b, d in mft["buckets"].items() if int(b) in cands]
     schema = mft["schema"]
     if not dirs or not values:

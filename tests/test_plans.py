@@ -276,6 +276,42 @@ def test_broadcast_subtrees_sees_forced_broadcast_under_aqe(spark):
     assert any("region.parquet" in s for s in subs), subs[:1]
 
 
+def test_global_agg_root_classifier(spark):
+    """Non-vacuity for the scalar-carry exemption: a 1-row global
+    aggregate of a fact table passes, a hint-forced broadcast of the raw
+    fact table does NOT -- the exemption can never swallow the lint."""
+    from gmail_bigquery_etl_spark.plans.inspect import (
+        broadcast_subtrees,
+        global_agg_root,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        n = spark.read.parquet(f"{SF}/nation.parquet")
+        scalar = o.agg(F.sum("o_totalprice").alias("t"))
+        good = broadcast_subtrees(n.crossJoin(F.broadcast(scalar)))
+        assert good and all(global_agg_root(s) for s in good), good[:1]
+        bad = broadcast_subtrees(
+            n.join(F.broadcast(o), n.n_nationkey == o.o_custkey)
+        )
+        assert bad and not any(global_agg_root(s) for s in bad), bad[:1]
+        # Filter/Project wrappers over the scalar still classify as bounded
+        wrapped = broadcast_subtrees(
+            n.crossJoin(
+                F.broadcast(
+                    scalar.where(F.col("t").isNotNull()).select(
+                        (F.col("t") * 2).alias("t2")
+                    )
+                )
+            )
+        )
+        assert wrapped and all(global_agg_root(s) for s in wrapped), wrapped[:1]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_no_forced_broadcast_of_fact_tables(spark):
     """No SF-scaling relation (lineitem/orders/customer/part/supplier) may
     sit under a BroadcastExchange that comes from an explicit hint.
@@ -285,7 +321,10 @@ def test_no_forced_broadcast_of_fact_tables(spark):
     Hints are reserved for true fixed-size dimensions (region/nation, 5/25
     rows at every SF); part (200k x SF) and supplier (10k x SF) grow with
     the data and a forced broadcast of either is a driver OOM at sf100+."""
-    from gmail_bigquery_etl_spark.plans.inspect import broadcast_subtrees
+    from gmail_bigquery_etl_spark.plans.inspect import (
+        broadcast_subtrees,
+        global_agg_root as _global_agg_root,
+    )
 
     fact_markers = (
         "lineitem",
@@ -304,20 +343,23 @@ def test_no_forced_broadcast_of_fact_tables(spark):
             for subtree in broadcast_subtrees(fn(spark, SF)):
                 low = subtree.lower()
                 hits = [m for m in fact_markers if m in low]
-                # A broadcast subtree that AGGREGATES a fact table down to
-                # a BOUNDED relation ships O(1)-or-domain-bounded rows at
-                # every SF; the marker match is the scan feeding the
-                # aggregate, not the fact table itself. Declared instances:
-                # q22's 1-row acctbal threshold, q11's 1-row global
-                # inventory total, and market basket's per-item counts
-                # (item = l_partkey % 1000: a fixed 1000-row domain) plus
-                # its 1-row basket total.
-                scalar_of_fact = {
-                    "q22_dormant_customers",
-                    "q11_important_stock",
-                    "orders_market_basket",
-                }
-                if hits and name in scalar_of_fact and "hashaggregate" in low:
+                # A broadcast subtree whose ROOT is a GLOBAL aggregate
+                # (keys=[]) ships exactly one row at every SF -- the
+                # standard scalar-carry (q22's acctbal threshold, q11's
+                # inventory total, chi-square's chi2 total, ...); the
+                # marker match is the scan FEEDING the aggregate, not the
+                # fact table itself. _global_agg_root checks the subtree
+                # structurally so new scalar-carry queries never need a
+                # named exemption.
+                if hits and _global_agg_root(subtree):
+                    continue
+                # Domain-bounded keyed aggregates need a declaration: the
+                # key's cardinality bound is a query-level fact the plan
+                # string can't prove. Declared: market basket's per-item
+                # counts (item = l_partkey % 1000, a fixed 1000-row
+                # domain).
+                domain_bounded = {"orders_market_basket"}
+                if hits and name in domain_bounded and "hashaggregate(keys=[" in low:
                     continue
                 if hits:
                     offenders.append((name, hits))

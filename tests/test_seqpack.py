@@ -101,3 +101,30 @@ def test_ffd_fit_oversized_and_order():
     assert ffd_fit([100, 60, 50, 40, 20], 128) == [0, 1, 1, 2, 0]
     assert ffd_fit([], 128) == []
     assert ffd_fit([128, 128], 128) == [0, 1]
+
+
+def test_concat_chunks_distinct_straddlers_multi_chunk_doc(spark):
+    """A document spanning MORE than two chunks is one straddler, not
+    k0!=k1 crossings: sum(n_starts) - sum(n_whole) must equal the number
+    of distinct boundary-crossing documents. Synthetic group: lengths
+    (300, 20, 100) at C=128 -> doc 1 spans chunks 0-2 (2 crossings, 1
+    straddler), doc 2 sits wholly in chunk 2, doc 3 crosses 2->3."""
+    from gmail_bigquery_etl_spark.operators.seqpack import pack_concat_chunks
+
+    docs = spark.createDataFrame(
+        [(0, 1, 300), (0, 2, 20), (0, 3, 100)], "g long, doc_id long, ln long"
+    )
+    rows = pack_concat_chunks(
+        docs, len_col="ln", order_col="doc_id", group_col="g",
+        context_len=128,
+    ).collect()
+    n_starts = sum(r.n_starts for r in rows)
+    n_whole = sum(r.n_whole for r in rows)
+    n_docs = sum(r.n_docs for r in rows)
+    assert n_starts == 3
+    assert n_starts - n_whole == 2          # distinct straddlers
+    assert n_docs - n_starts == 3           # crossings over-count: 2+0+1
+    assert sum(r.fill for r in rows) == 420
+    by_chunk = {r.chunk: r for r in rows}
+    assert by_chunk[2].n_whole == 1         # the 20-token doc
+    assert by_chunk[0].n_starts == 1 and by_chunk[1].n_starts == 0
