@@ -535,6 +535,30 @@ def simhash_pairs(
     bucket saturates the cap. The fingerprint is a single bigint, so wider
     costs nothing structurally (bits <= 62 keeps the top bit clear).
     """
+    fp = df.select(
+        F.col(id_col).alias("_id"), simhash(text_col, bits).alias("_fp")
+    )
+    return hamming_pairs_from_fingerprints(
+        fp, bits=bits, max_distance=max_distance, bands=bands,
+        max_bucket=max_bucket,
+    )
+
+
+def hamming_pairs_from_fingerprints(
+    fp: DataFrame,
+    bits: int,
+    max_distance: int = 3,
+    bands: int | None = None,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The banded Hamming self-join of ``simhash_pairs`` over
+    ALREADY-COMPUTED fingerprints (columns ``_id``, ``_fp``): any
+    bounded-width integer fingerprint -- SimHash, image dHash/aHash --
+    shares the same pigeonhole candidate generation and exact
+    bit_count(xor) verification, so the join is factored out of the
+    text-specific fingerprint construction. Semantics, skew cap, and the
+    leftmost-band exactly-once emission are documented on
+    ``simhash_pairs``."""
     if bands is None:
         bands = max_distance + 1
     if bands > bits:
@@ -547,11 +571,8 @@ def simhash_pairs(
     if bits % bands:
         raise ValueError(f"bits={bits} must divide evenly into bands={bands}")
     r = bits // bands
-    fp = df.select(
-        F.col(id_col).alias("_id"), simhash(text_col, bits).alias("_fp")
-    )
     band_dim = F.broadcast(
-        df.sparkSession.createDataFrame([(b,) for b in range(bands)], "band int")
+        fp.sparkSession.createDataFrame([(b,) for b in range(bands)], "band int")
     )
     banded = fp.crossJoin(band_dim).select(
         "_id",

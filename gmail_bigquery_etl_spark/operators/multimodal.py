@@ -921,3 +921,66 @@ def png_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(extract, PNG_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def dhash_from_raster(width: int, height: int, raster: bytes) -> int:
+    """Difference hash (dHash, the standard perceptual image fingerprint)
+    over an 8-bit RGB raster: gray = R channel, bit (x, y) set iff
+    gray(x+1, y) > gray(x, y); bit index y*(width-1) + x. A width-9
+    image yields 8 bits per row -- the classic 9-wide dHash layout.
+    (width-1)*height must stay <= 62 so the BIGINT fingerprint keeps the
+    sign bit clear for the banded Hamming join."""
+    nbits = (width - 1) * height
+    if nbits > 62:
+        raise ValueError(
+            f"dhash needs (width-1)*height <= 62 bits, got {nbits}"
+        )
+    h = 0
+    for y in range(height):
+        row = y * width * 3
+        for x in range(width - 1):
+            if raster[row + (x + 1) * 3] > raster[row + x * 3]:
+                h |= 1 << (y * (width - 1) + x)
+    return h
+
+
+def dhash_features(media: DataFrame) -> DataFrame:
+    """Perceptual-hash extraction through the REAL decode path: each
+    binary payload runs the pure-Python P6 parser (``parse_ppm_raster``
+    -- header walk + raster validation, no codec libs) and the decoded
+    raster is dHashed row-batch-at-a-time via mapInPandas (Arrow). The
+    dimensions and the hash both come from the BYTES the decoder read,
+    so a decode bug cannot cancel out of a downstream comparison against
+    an oracle that predicts the hash analytically."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        none3 = (None, None, None)
+
+        def one(b) -> tuple[int | None, int | None, int | None]:
+            if b is None:
+                return none3
+            w, h, raster = parse_ppm_raster(bytes(b))
+            return w, h, dhash_from_raster(w, h, raster)
+
+        for pdf in batches:
+            metas = pdf["payload"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": metas.map(lambda t: t[0]),
+                    "height": metas.map(lambda t: t[1]),
+                    "dhash": metas.map(lambda t: t[2]),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(extract, DHASH_SCHEMA)

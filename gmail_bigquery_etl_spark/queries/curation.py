@@ -322,9 +322,14 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic -- no explode, no shuffle before the final per-source
     rollup; the repeated-gram counter is size(grams) - size(distinct)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # stage the token split as its OWN attribute before the shingle HOF:
+    # inline, the slice lambda re-splits the text per shingle (the
+    # documented O(tokens^2)-per-row hazard caught on the novelty curve's
+    # volume leg); as an attribute it is multi-referenced, so
+    # CollapseProject keeps it staged.
     staged = docs.select(
-        "source", ngram_shingles_from_tokens(whitespace_tokens("text"), 5).alias("grams")
-    )
+        "source", whitespace_tokens("text").alias("ws")
+    ).select("source", ngram_shingles_from_tokens("ws", 5).alias("grams"))
     scored = staged.select(
         "source",
         F.size("grams").alias("n_grams"),
@@ -1934,3 +1939,140 @@ def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+# fastText-style linear quality classifier: V hashed-bigram buckets, a
+# broadcast weight table, a relational dot product. Weights are
+# md5-derived integers in [-1000, 1000] milli-units -- a deterministic
+# stand-in for trained parameters (training is out of scope; the
+# operator under test is the SCORING plan, which is identical for any
+# weight vector an offline trainer ships).
+_QC_V = 512
+_QC_MD5I = "CAST(('0x' || substring(md5({e}), 1, 8)) AS BIGINT)"
+
+
+@query(
+    "curation_quality_classifier",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_SQL_TOKS.format(c='text')} AS ws FROM documents
+  WHERE trim(lower(text)) <> ''
+),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS gram
+  FROM toks WHERE len(ws) >= 2
+),
+feat AS (
+  SELECT doc_id, lang,
+         {_QC_MD5I.format(e='gram')} % {_QC_V} AS fid,
+         COUNT(*) AS tf
+  FROM bg GROUP BY 1, 2, 3
+),
+weights AS (
+  SELECT f AS fid,
+         {_QC_MD5I.format(e="'w:' || CAST(f AS VARCHAR)")} % 2001 - 1000
+           AS w_milli
+  FROM generate_series(0, {_QC_V - 1}) AS t(f)
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         CAST(SUM(tf * w_milli) AS BIGINT) AS w_sum_milli
+  FROM feat JOIN weights USING (fid)
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_bigrams, w_sum_milli,
+       ROUND(1.0 / (1.0 + EXP(-(CAST(w_sum_milli AS DOUBLE)
+                                / (1000.0 * n_bigrams)))), 6) AS prob,
+       w_sum_milli > 0 AS keep
+FROM scored
+""",
+)
+def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier (Joulin et al. 2016 --
+    the model class behind CCNet/GPT-3-era quality filters), scored
+    relationally: lowercase whitespace bigrams hash into V=512 buckets
+    (first 8 md5 hex chars mod V -- the posting-key idiom), a V-row
+    md5-derived weight table joins in BY BROADCAST, and the per-doc
+    logit is an exact-integer dot product SUM(tf * w_milli) in
+    milli-units. The mean-pooled logit z = w_sum / (1000 * n_bigrams)
+    (fastText averages feature vectors) goes through a 6dp-rounded
+    sigmoid for the reported probability, while the KEEP decision is
+    the integer sign test w_sum > 0 -- float-free, so the decision
+    column can never diverge across engines. Per-doc output keeps the
+    gate hash over every score. Plan: one bigram explode (zip_with
+    over slices), a (doc, fid) partial aggregate BEFORE the join so
+    the broadcast join input is bounded by docs x V not bigram volume,
+    one broadcast join against the 512-row weight table, one per-doc
+    aggregate. 100 TB: the weight table is O(V) on every executor,
+    everything else is one linear pass + one doc-keyed shuffle; the
+    learned-classifier face of curation_quality_battery. Reference
+    outsources all analytics to BigQuery (SURVEY 2.4)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = (
+        docs.where(F.trim(F.lower(F.col("text"))) != "")
+        .select("doc_id", "lang", whitespace_tokens("text").alias("ws"))
+        .filter(F.size("ws") >= 2)
+    )
+    bg = ws.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.size("ws") - 1),
+                F.slice("ws", 2, F.size("ws") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("gram"),
+    )
+    feat = bg.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+            % _QC_V
+        ).alias("fid"),
+    ).groupBy("doc_id", "lang", "fid").agg(F.count("*").alias("tf"))
+    weights = (
+        spark.range(_QC_V)
+        .select(F.col("id").cast("bigint").alias("fid"))
+        .select(
+            "fid",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("w:"), F.col("fid").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2001
+                - 1000
+            ).alias("w_milli"),
+        )
+    )
+    scored = (
+        feat.join(F.broadcast(weights), "fid")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("w_milli")).cast("bigint").alias(
+                "w_sum_milli"
+            ),
+        )
+    )
+    z = F.col("w_sum_milli").cast("double") / (
+        F.lit(1000.0) * F.col("n_bigrams")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "w_sum_milli",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("prob"),
+        (F.col("w_sum_milli") > 0).alias("keep"),
+    )

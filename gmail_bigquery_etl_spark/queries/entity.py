@@ -387,8 +387,13 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_table(spark, sf_dir, "part")
     names = part.groupBy("p_name").agg(F.min("p_partkey").alias("master_id"))
+    # no broadcast HINT on names: it is a distinct over part, so it
+    # GROWS with SF (64 names at sf0.1 -> 640 at sf1 in the fixtures).
+    # Under the size-picked threshold it still broadcasts at bench
+    # scales, but at 100 TB the optimizer can fall back to a shuffle
+    # join instead of OOMing the driver on a forced hint.
     master = part.join(
-        F.broadcast(names.select("master_id")),
+        names.select("master_id"),
         part["p_partkey"] == F.col("master_id"),
     ).select(
         "master_id",
@@ -398,7 +403,7 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").alias("m_size"),
     )
     pos = "(p_partkey * 7) % greatest(length(p_name), 1)"
-    dirty = part.join(F.broadcast(names), "p_name").select(
+    dirty = part.join(names, "p_name").select(
         F.col("p_partkey").alias("dirty_id"),
         F.col("master_id").alias("true_master_id"),
         F.concat(

@@ -1250,8 +1250,11 @@ def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (best-of-3 noop, 32 cores): sf0.1 self-join 2.81 s vs arrays
     # 2.15 s; sf1 statistically tied (8.07 vs 8.85, inside the box's
     # +/-20% noise band) -- so arrays win the corpus bench and the 10x
-    # ratio both. Recorded curve: SCALE_r9 ratio 1.0 (was 2.15 in r8's
-    # SCALE_fix_check with the self-join).
+    # ratio both. Durable curve: SCALE_r11 2.1x idle median (band
+    # 1.51-3.24 -- the small side alone swings 2.4x between idle
+    # sequences while the known-linear control reads 0.62x, so the
+    # ratio carries the instrument's band; earlier 1.0x/2.41x prose
+    # readings were single-instance samples of the same spread).
     posts = w.groupBy("term").agg(
         F.array_sort(
             F.collect_list(F.struct("doc_id", "w6"))
@@ -1726,15 +1729,17 @@ def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-treading the same n-grams (diminishing returns for training --
     the corpus-level twin of the per-doc repetition scores).
     First-occurrence is one MIN aggregate per gram; gram VOLUME per
-    decile needs no explode at all (it is the shingle-list LENGTH
-    summed per doc, so the explode feeds only the first-occurrence
-    aggregate); deciles come from the max-doc-id 1-row broadcast; the
-    cumulative vocabulary is a 10-row window. Exact integers plus one
-    rounded rate. Scale: ONE linear explode + hash-keyed MIN aggregate
-    is the whole cost (1.08x wall at 10x rows on fixed cores, median
-    of 4 idle runs, band 0.86-1.45 -- a first single-run 2.51x reading
-    was load noise; the 10-row output and 8-byte shuffle keys leave
-    nothing structural to cap)."""
+    decile needs no explode at all -- and no ARRAY at all: shingle-list
+    length is pure token-count arithmetic, max(k-2, 1) (r10's form
+    built the shingle array from an inline token expression just to
+    size() it -- the documented O(tokens^2)-per-row HOF hazard, and
+    that one leg was the real super-linear term behind the 2.39-3.94x
+    r9-r11 scale readings); deciles come from the max-doc-id 1-row
+    broadcast; the cumulative vocabulary is a 10-row window. Exact
+    integers plus one rounded rate. Scale: ONE linear explode +
+    hash-keyed MIN aggregate is the whole cost (SCALE_r11 post-fix
+    1.75x idle median at 10x, sf1 wall 3.52 -> 1.96 s; the 10-row
+    output and 8-byte shuffle keys leave nothing structural to cap)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     from ..functions.text import ngram_shingles_from_tokens, whitespace_tokens
 
@@ -1764,11 +1769,19 @@ def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("new_grams"))
     )
+    # shingle-list LENGTH is pure arithmetic on the token count --
+    # max(k-2, 1) for k >= 1, and 1 for k == 0 (the whole-text shingle
+    # of ngram_shingles_from_tokens) -- so the volume leg builds NO
+    # array at all. The r10 form called ngram_shingles_from_tokens on
+    # an INLINE whitespace_tokens and took size(): the documented HOF
+    # hazard (the lambda re-splits the text per shingle, O(tokens^2)
+    # per row), measured 0.67 s -> 2.2 s at 10x as the super-linear
+    # term behind SCALE_r09/r10's 2.39-3.94x novelty readings.
     vol = (
         docs.select(
             "doc_id",
-            F.size(
-                ngram_shingles_from_tokens(whitespace_tokens("text"), 3)
+            F.greatest(
+                F.size(whitespace_tokens("text")) - 2, F.lit(1)
             ).alias("n_grams"),
         )
         .crossJoin(F.broadcast(nd))

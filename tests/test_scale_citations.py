@@ -72,3 +72,54 @@ def test_scale_artifacts_are_wellformed():
                 rnd,
                 name,
             )
+
+
+_CANON = re.compile(r"SCALE_r(\d+)(?:\.json)?\s+(\d+(?:\.\d+)?)[x×]")
+
+
+def test_canonical_scale_citations_match_artifact_ratios():
+    """Numeric-agreement ratchet (VERDICT r10 item #4): a canonical
+    ``SCALE_rNN <ratio>x`` citation must quote the committed artifact's
+    ratio for an operator named on the same line -- prose and artifact
+    can no longer diverge (round 10's 1.0-claimed vs 2.41-committed
+    class becomes a lint red, not a judge finding). Historical narrative
+    ratios without the canonical form are out of scope: they describe
+    superseded measurements, not the durable record."""
+    artifacts = _artifacts()
+    failures = []
+    for doc in ("COVERAGE.md", "BASELINE.md"):
+        with open(os.path.join(REPO, doc)) as fh:
+            for lineno, line in enumerate(fh, 1):
+                for m in _CANON.finditer(line):
+                    rnd, claimed = int(m.group(1)), float(m.group(2))
+                    art = artifacts.get(rnd)
+                    if art is None:
+                        failures.append((doc, lineno, rnd, "no artifact"))
+                        continue
+                    ops_on_line = [
+                        n for n in art.get("ops", {}) if n in line
+                    ]
+                    if not ops_on_line:
+                        # covered by the existence lint when COVERAGE
+                        # cites per-op rows; skew-section cites carry
+                        # multiple ratios per slice and are exempt here
+                        continue
+                    ok = any(
+                        abs(claimed - float(art["ops"][n]["ratio"])) < 0.006
+                        for n in ops_on_line
+                        if art["ops"][n].get("ratio") is not None
+                    )
+                    if not ok:
+                        failures.append(
+                            (
+                                doc,
+                                lineno,
+                                f"claims SCALE_r{rnd:02d} {claimed}x but "
+                                f"artifact has "
+                                + ", ".join(
+                                    f"{n}={art['ops'][n].get('ratio')}"
+                                    for n in ops_on_line
+                                ),
+                            )
+                        )
+    assert not failures, failures

@@ -51,16 +51,44 @@ def _materialize_pairs(spark, sf_dir: str, dst: str) -> tuple[float, int]:
     return dt, n
 
 
+def _materialize_purchase_edges(spark, sf_dir: str, dst: str) -> tuple[float, int]:
+    """HITS runs on the bipartite customer->part purchase graph, not the
+    LSH dup graph; its un-confounded input is the distinct (cust, item)
+    edge list with the orders join already paid."""
+    from pyspark.sql import functions as F
+
+    from gmail_bigquery_etl_spark.catalog import load_table
+
+    t0 = time.time()
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    e.write.mode("overwrite").parquet(dst)
+    dt = time.time() - t0
+    n = spark.read.parquet(dst).count()
+    return dt, n
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", default="/root/testdata/sf0.1")
     ap.add_argument("--big", default="scratch/sf1")
     ap.add_argument("--runs", type=int, default=4)
     ap.add_argument("--out", default="SCALE_r10.json")
+    ap.add_argument(
+        "--ops",
+        default="",
+        help="comma list of per-op names to run (default: all)",
+    )
     args = ap.parse_args()
 
     from gmail_bigquery_etl_spark.queries.graph import (
         clustering_coeff_from_pairs,
+        hits_from_edges,
         label_propagation_from_pairs,
     )
 
@@ -68,36 +96,49 @@ def main() -> None:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     report: dict[str, dict] = {}
 
-    pair_stats = {}
-    frames = {}
-    for tag, sf_dir in (("small", args.small), ("big", args.big)):
-        dst = os.path.join(here, "scratch", f"graph_pairs_{tag}.parquet")
-        sec, n = _materialize_pairs(spark, sf_dir, dst)
-        pair_stats[tag] = {"sec": round(sec, 2), "pairs": n}
-        frames[tag] = spark.read.parquet(dst)
-    report["graph_lsh_pair_pipeline"] = {
-        "small_sec": pair_stats["small"]["sec"],
-        "big_sec": pair_stats["big"]["sec"],
-        "ratio": round(
-            pair_stats["big"]["sec"] / pair_stats["small"]["sec"], 2
-        ),
-        "small_rows": pair_stats["small"]["pairs"],
-        "big_rows": pair_stats["big"]["pairs"],
-        "protocol": "pair build + distinct + parquet write, single run",
+    all_ops = {
+        "graph_clustering_coeff": ("lsh_pairs", clustering_coeff_from_pairs),
+        "graph_label_propagation": ("lsh_pairs", label_propagation_from_pairs),
+        "graph_hits_scores": ("purchase_edges", hits_from_edges),
     }
+    wanted = [o for o in args.ops.split(",") if o] or list(all_ops)
+    ops = {k: v for k, v in all_ops.items() if k in wanted}
+    kinds = {kind for kind, _ in ops.values()}
 
-    ops = {
-        "graph_clustering_coeff": clustering_coeff_from_pairs,
-        "graph_label_propagation": label_propagation_from_pairs,
+    # one materialized-input family per op kind; the build is reported
+    # as its own (confounded-by-design) pipeline row
+    frames: dict[tuple[str, str], object] = {}
+    builders = {
+        "lsh_pairs": ("graph_pairs", _materialize_pairs,
+                      "graph_lsh_pair_pipeline"),
+        "purchase_edges": ("hits_edges", _materialize_purchase_edges,
+                           "graph_hits_edge_pipeline"),
     }
-    for name, fn in ops.items():
+    for kind in sorted(kinds):
+        prefix, build, row_name = builders[kind]
+        stats = {}
+        for tag, sf_dir in (("small", args.small), ("big", args.big)):
+            dst = os.path.join(here, "scratch", f"{prefix}_{tag}.parquet")
+            sec, n = build(spark, sf_dir, dst)
+            stats[tag] = {"sec": round(sec, 2), "rows": n}
+            frames[(kind, tag)] = spark.read.parquet(dst)
+        report[row_name] = {
+            "small_sec": stats["small"]["sec"],
+            "big_sec": stats["big"]["sec"],
+            "ratio": round(stats["big"]["sec"] / stats["small"]["sec"], 2),
+            "small_rows": stats["small"]["rows"],
+            "big_rows": stats["big"]["rows"],
+            "protocol": "input build + distinct + parquet write, single run",
+        }
+
+    for name, (kind, fn) in ops.items():
         row: dict = {"protocol": f"median of {args.runs} runs over "
-                     "materialized pairs (noop-writer); rows from a "
+                     f"materialized {kind} (noop-writer); rows from a "
                      "parquet spill of the LAST sample, not an extra "
                      "untimed re-execution"}
         for tag in ("small", "big"):
             samples = []
-            frame = frames[tag]
+            frame = frames[(kind, tag)]
             for _ in range(args.runs - 1):
                 samples.append(_noop_time(lambda: fn(frame)))
             # final sample doubles as the row-count source: same timed
