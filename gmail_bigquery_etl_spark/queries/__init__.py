@@ -461,4 +461,75 @@ _ROUND10_FRONT = [
 
 _rotate(_ROUND10_FRONT)
 
+# Round-11 rotation. Rotation debt ZERO entering the round (r01-r10
+# driver-green union = 297/297). Front-50 spends on:
+#   (a) queries NEW in round 11 (the model-based-curation wave:
+#       linear quality classifier, perceptual-hash image near-dup,
+#       unigram-LM tokenizer prune);
+#   (b) queries whose OUTPUT or PLAN changed in round 11 (straddler
+#       semantics + n_whole column, the HOF-hazard fixes, the HITS
+#       shuffle-hash fixed-point, the FS size-picked names join, the
+#       single-sidecar-read DSAR bloom probe);
+#   (c) backfill by OLDEST driver evidence: all 9 remaining r3-era rows
+#       + the first 31 r4-era rows alphabetically (15 r4 rows remain
+#       for round 12).
+_ROUND11_FRONT = [
+    # (a) new in round 11
+    "curation_quality_classifier",
+    "multimodal_dhash_near_dup",
+    "text_unigram_tokenizer",
+    # (b) output/plan changed in round 11
+    "pipeline_pack_sequences",
+    "pipeline_assembly_e2e",
+    "text_novelty_curve",
+    "text_repetition_scores",
+    "graph_hits_scores",
+    "er_fellegi_sunter",
+    "warehouse_dsar_bucketed",
+    # (c) backfill: oldest driver evidence (9 x r3, then r4 alphabetical)
+    "text_bpe_token_stats",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_token_stats",
+    "window_lag_lead",
+    "window_ntile_stats",
+    "window_rank_topn",
+    "window_running_sum",
+    "agg_equidepth_histogram",
+    "agg_exact_moments",
+    "agg_mad_robust",
+    "agg_percentiles",
+    "agg_price_histogram",
+    "ann_index_build_stats",
+    "ann_ivf_sq8_topk",
+    "ann_pq_rerank",
+    "ann_pq_topk",
+    "ann_rrf_fusion",
+    "ann_sq8_topk",
+    "dedup_containment_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_triangle_counts",
+    "docs_chunk_windows",
+    "docs_contamination_check",
+    "docs_curated_pipeline",
+    "docs_domain_mixture",
+    "docs_epoch_shuffle",
+    "docs_repeated_chunks",
+    "docs_weighted_sample",
+    "docs_weighted_sample_noreplace",
+    "embedding_dup_clusters",
+    "events_anomaly_zscore",
+    "events_cohort_retention",
+    "events_funnel_conversion",
+    "events_gap_fill_hourly",
+    "events_hll_daily_rollup",
+    "events_interval_join",
+    "events_interval_join_outer",
+    "events_posexplode_props",
+]
+
+_rotate(_ROUND11_FRONT)
+
 __all__ = ["ALL_QUERIES", "ALL_ORACLES"]
+

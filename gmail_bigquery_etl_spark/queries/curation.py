@@ -2076,3 +2076,93 @@ def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("prob"),
         (F.col("w_sum_milli") > 0).alias("keep"),
     )
+
+
+def _unigram_oracle(max_piece: int = 4, sizes: tuple[int, ...] = (40, 28, 16)) -> str:
+    """Unrolled-CTE DuckDB twin of the unigram-LM prune loop
+    (operators/unigram_lm.py): seed -> (greedy-segment, usage, prune)
+    per round, final round's usage emitted. Greedy longest-match
+    segmentation is a per-word RECURSIVE walk over character positions;
+    the CASE tests k = max_piece..2 in the same order as the Spark fold
+    and advances by the TEST length (both engines' substr clamps at the
+    word end identically, so no end guard on either side). Vocabulary
+    CTEs are MATERIALIZED -- a plain CTE referenced from a recursive
+    term re-evaluates per iteration (the FFD-oracle lesson)."""
+    parts = [r"""
+WITH RECURSIVE words AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents WHERE trim(lower(text)) <> ''
+  ) WHERE len(w) >= 1 GROUP BY w
+),
+v0 AS MATERIALIZED (
+  SELECT piece FROM (
+    SELECT piece, SUM(f) AS cnt FROM (
+      SELECT f, unnest(list_transform(generate_series(1, len(w) - ln + 1),
+                                      s -> substr(w, s, ln))) AS piece
+      FROM words,
+           generate_series(2, """ + str(max_piece) + r""") AS t(ln)
+    ) WHERE len(piece) >= 2 GROUP BY piece
+  ) ORDER BY cnt DESC, piece LIMIT """ + str(sizes[0]) + r"""
+)"""]
+    n_rounds = len(sizes)  # segmentations: one per prune + the final one
+    for r in range(n_rounds):
+        k_case = " ".join(
+            f"WHEN substr(w, CAST(pos AS INT), {k}) IN "
+            f"(SELECT piece FROM v{r}) THEN {k}"
+            for k in range(max_piece, 1, -1)
+        )
+        parts.append(f""",
+walk{r} AS (
+  SELECT w, f, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS ps
+  FROM words
+  UNION ALL
+  SELECT w, f, pos + k,
+         list_append(ps, substr(w, CAST(pos AS INT), CAST(k AS INT)))
+  FROM (
+    SELECT w, f, pos, ps, CASE {k_case} ELSE 1 END AS k
+    FROM walk{r} WHERE pos <= len(w)
+  )
+),
+u{r} AS MATERIALIZED (
+  SELECT piece, CAST(SUM(f) AS BIGINT) AS usage FROM (
+    SELECT f, unnest(ps) AS piece FROM walk{r} WHERE pos > len(w)
+  ) GROUP BY piece
+)""")
+        if r + 1 < n_rounds:
+            parts.append(f""",
+v{r + 1} AS MATERIALIZED (
+  SELECT piece FROM u{r} WHERE len(piece) >= 2
+  ORDER BY usage DESC, piece LIMIT {sizes[r + 1]}
+)""")
+    parts.append(f"""
+SELECT piece, CAST(len(piece) AS INT) AS piece_len, usage
+FROM u{n_rounds - 1}""")
+    return "".join(parts)
+
+
+@query("text_unigram_tokenizer", oracle=_unigram_oracle())
+def text_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer learning by iterative prune -- the
+    SentencePiece-family counterpart of text_bpe_learn (BPE grows a
+    vocabulary by merges; unigram SHRINKS a seeded one by pruning the
+    least-useful pieces). Deterministic throughout: substring seeding
+    with frequency weights (top-40 by count desc, piece asc), greedy
+    longest-match segmentation (maximal munch, SentencePiece's
+    non-Viterbi inference mode -- integer/string-exact, so no libm and
+    no float tie anywhere), usage re-estimation, prune to 28 then 16
+    multi-char pieces, and a final segmentation whose per-piece
+    frequency-weighted usage table is the gated answer (alphabet
+    singles included). Plan per round: one codegen'd fold projection
+    over the DISTINCT-WORD table (vocabulary-sized, never
+    corpus-sized), one explode + piece-keyed aggregate, a TakeOrdered
+    prune; driver state is the O(40) piece list per round (the
+    quantizer-table convention) and the word table is checkpointed
+    once. The oracle unrolls all three rounds as chained CTEs with a
+    recursive maximal-munch walk. 100 TB: word-table construction is
+    the only corpus pass; everything after is vocabulary-sized.
+    Reference outsources all analytics to BigQuery (SURVEY 2.4)."""
+    from ..operators.unigram_lm import learn_unigram_vocab
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("text")
+    return learn_unigram_vocab(docs, sizes=(40, 28, 16))

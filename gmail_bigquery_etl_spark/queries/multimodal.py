@@ -506,3 +506,158 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = d.select("media_id", F.unhex(hex_payload).alias("payload"))
     return audio_window_stats(media, window=16)
+
+
+_DH_HDR_HEX = "P6\n9 7\n255\n".encode().hex().upper()
+
+
+@query(
+    "multimodal_dhash_near_dup",
+    oracle=f"""
+WITH nd AS (SELECT GREATEST(97, COUNT(*) // 64) AS g FROM documents),
+base AS (
+  SELECT doc_id, doc_id % g AS grp, (doc_id * 31) % 63 AS p
+  FROM documents CROSS JOIN nd
+),
+rowhex AS (
+  SELECT doc_id, p, y,
+         md5('img:' || CAST(grp AS VARCHAR) || ':' || CAST(y AS VARCHAR) || ':0')
+         || md5('img:' || CAST(grp AS VARCHAR) || ':' || CAST(y AS VARCHAR) || ':1')
+           AS hx
+  FROM base, generate_series(0, 6) AS t(y)
+),
+px AS (
+  SELECT doc_id, y, x,
+         (CAST(('0x' || substr(hx, x * 6 + 1, 2)) AS BIGINT)
+          + CASE WHEN y * 9 + x = p THEN 128 ELSE 0 END) % 256 AS v
+  FROM rowhex, generate_series(0, 8) AS s(x)
+),
+bits AS (
+  SELECT a.doc_id, a.y, a.x,
+         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8
+),
+dh AS (
+  SELECT doc_id, CAST(SUM(bit << (y * 8 + x)) AS BIGINT) AS dhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+""",
+)
+def multimodal_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-duplicate pairs -- the MULTIMODAL leg
+    of the dedup family: per-document 9x7 RGB P6 images are synthesized
+    engine-side (md5-derived pixels; documents in the same planted
+    cluster share a base image, each perturbed at one doc-specific
+    pixel), pushed through the REAL pure-Python PPM decode
+    (operators/multimodal.parse_ppm_raster via mapInPandas -- the hash
+    is computed from bytes the DECODER read, so a codec bug cannot
+    cancel out), dHashed (gray = R channel, 8 column comparisons x 7
+    rows = 56 bits, sign bit clear), and paired with the banded Hamming
+    self-join factored out of SimHash
+    (operators/dedup.hamming_pairs_from_fingerprints: 4 x 14-bit bands,
+    pigeonhole-exact for hamming <= 3, exact bit_count(xor) verify,
+    leftmost-band exactly-once emission). The oracle predicts every
+    pixel, hash, and pair ANALYTICALLY from the generation formula --
+    DuckDB never sees a PPM byte -- so the gate pins the whole
+    decode -> fingerprint -> banded-join pipeline. Cluster width is
+    corpus-derived (G = max(97, n/64), the FFD group-count precedent),
+    so planted clusters -- and therefore Hamming buckets -- stay
+    O(64)-bounded at any scale; candidate generation is never
+    all-pairs. A doc's single-pixel perturbation flips <= 2 of its
+    row's dhash bits, so intra-cluster pairs land at hamming <= 4 --
+    the <= 3 threshold keeps some in and some out (non-vacuous both
+    ways) on both engines. Reference stores media ids only, never
+    pixels (SURVEY 2.2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # cluster count derives from COUNT, not max id (sf1 fixture ids are
+    # SPARSE -- 0..9M over 50k rows -- and a max-id G made every cluster
+    # a singleton); bounded ~64-doc clusters keep Hamming buckets O(64)
+    # and pair volume LINEAR in the corpus at any scale
+    nd = docs.agg(
+        F.greatest(
+            F.lit(97).cast("bigint"),
+            (F.count("*") / 64).cast("bigint"),
+        ).alias("g")
+    )
+    base = docs.select("doc_id").crossJoin(F.broadcast(nd)).select(
+        "doc_id",
+        (F.col("doc_id") % F.col("g")).alias("grp"),
+        ((F.col("doc_id") * 31) % 63).alias("p"),
+    )
+    rows = base.select(
+        "doc_id",
+        "p",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("y"),
+        F.col("grp"),
+    ).select(
+        "doc_id",
+        "p",
+        "y",
+        F.concat(
+            F.md5(F.concat_ws(":", F.lit("img"), "grp", "y", F.lit("0"))),
+            F.md5(F.concat_ws(":", F.lit("img"), "grp", "y", F.lit("1"))),
+        ).alias("hx"),
+    )
+    # 27 raster bytes per row: hex pair j of hx, +128 (mod 256) on every
+    # channel of the doc's perturbed pixel. hx is an ATTRIBUTE here, so
+    # the per-byte lambda does not re-evaluate the md5s (the staged-HOF
+    # rule).
+    row_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(26)),
+            lambda j: F.lpad(
+                F.hex(
+                    (
+                        F.conv(F.substring("hx", j * 2 + 1, 2), 16, 10).cast(
+                            "bigint"
+                        )
+                        + F.when(
+                            F.col("y") * 9 + (j / 3).cast("bigint")
+                            == F.col("p"),
+                            F.lit(128),
+                        ).otherwise(F.lit(0))
+                    )
+                    % 256
+                ),
+                2,
+                "0",
+            ),
+        ),
+        "",
+    )
+    payload = (
+        rows.select("doc_id", "y", row_hex.alias("rh"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("y", "rh"))),
+                    lambda s: s["rh"],
+                ),
+                "",
+            ).alias("raster_hex")
+        )
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.unhex(F.concat(F.lit(_DH_HDR_HEX), F.col("raster_hex"))).alias(
+                "payload"
+            ),
+        )
+    )
+    from ..operators.dedup import hamming_pairs_from_fingerprints
+    from ..operators.multimodal import dhash_features
+
+    fp = dhash_features(payload).select(
+        F.col("media_id").alias("_id"), F.col("dhash").alias("_fp")
+    )
+    pairs = hamming_pairs_from_fingerprints(
+        fp, bits=56, max_distance=3, bands=4, max_bucket=1000
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
