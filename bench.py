@@ -267,11 +267,22 @@ def main() -> None:
     }
     # Full precision for humans/history: a file + stderr (NOT stdout --
     # extra stdout bytes push the parseable line out of the tail capture).
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json"),
-        "w",
-    ) as fh:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_results.json"), "w") as fh:
         json.dump(full, fh, indent=1)
+    # Committed per-run HISTORY of the complete per-query map (VERDICT
+    # r10 item #7): the stdout line folds the fast tail into one bucket
+    # under its 2 KB budget, which made a 3x regression of any
+    # under-the-cutoff query invisible in the driver record. One JSONL
+    # row per run keeps every query diagnosable across rounds.
+    with open(os.path.join(here, "BENCH_DETAIL.jsonl"), "a") as fh:
+        fh.write(
+            json.dumps(
+                {**full, "ts": time.strftime("%Y-%m-%dT%H:%M:%S")},
+                separators=(",", ":"),
+            )
+            + "\n"
+        )
     print(json.dumps(full), file=sys.stderr)
     print(compact_line(full))
 
