@@ -82,3 +82,57 @@ def assign_token_shards(
         .withColumn("shard", F.floor(start / F.lit(budget)))
         .drop("_pid", "_local_cum", "_offset")
     )
+
+
+def grouped_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    group_cols: list[str] | None = None,
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ROW_NUMBER() OVER (PARTITION BY group ORDER BY order) with
+    NO single-partition sort -- the ranking twin of the distributed
+    prefix sum above. A plain global (or few-groups) rank window plans
+    as one sort task per window partition, serializing the corpus
+    through <= |groups| cores; this form is the classic two-pass shape:
+    range-partition by (group, order), row_number WITHIN each physical
+    partition in parallel, then add each (group, partition) slice's
+    starting offset back via a broadcast of O(partitions x groups) rows.
+    Range partitioning puts every row of a group in partition i ahead of
+    its rows in partition j > i, so offset + local rank IS the exact
+    per-group global rank; ties are impossible when order_cols is a
+    total order (callers must pass one -- same contract as the plain
+    window form). The ranged frame is localCheckpointed for the same
+    boundary-stability reason as assign_token_shards."""
+    group_cols = list(group_cols or [])
+    sess = df.sparkSession
+    n = num_partitions or sess.sparkContext.defaultParallelism
+    keys = [F.col(c) for c in group_cols + list(order_cols)]
+    ranged = (
+        df.repartitionByRange(n, *keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = W.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
+    counts = local.groupBy("_pid", *group_cols).agg(
+        F.count("*").alias("_pcnt")
+    )
+    w_prefix = (
+        W.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_pcnt").over(w_prefix), F.lit(0))
+        .cast("bigint")
+        .alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )

@@ -160,7 +160,15 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH near-dup pairs as reusable CTE text: shared by the pairs query and
 # the semantic-dedup cluster query (whose oracle closes the pair graph
 # transitively), mirroring text.py's _SQL_LSH_CTES pattern.
-_SQL_EMB_LSH_CTES = f"""corpus AS (
+# plane count is CORPUS-DERIVED (the dbscan corpus-sized-grid precedent):
+# npl = max(8, len(bin(n // 16))) keeps expected bucket occupancy ~16 at
+# any scale -- a FIXED 8-plane grid (256 buckets) measured 2.9x at 10x
+# in the r11 sweep because in-bucket candidate work grows ~n^2/2^planes.
+# Integer-exact on both engines: bin()/bit_length, never a float log2.
+_SQL_EMB_LSH_CTES = f"""np AS (
+  SELECT GREATEST(8, LENGTH(bin(COUNT(*) // 16))) AS npl FROM embeddings
+),
+corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   UNION ALL
   SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
@@ -169,7 +177,7 @@ _SQL_EMB_LSH_CTES = f"""corpus AS (
 planes AS (
   SELECT p, list_transform(generate_series(0, 63),
            j -> CAST((CAST(('0x' || substring(md5(CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000) AS DOUBLE) / 1000.0) AS w
-  FROM generate_series(0, 7) AS t(p)
+  FROM (SELECT unnest(generate_series(0, npl - 1)) AS p FROM np)
 ),
 bits AS (
   SELECT c.vec_id, pl.p,
@@ -187,7 +195,8 @@ probes AS (
          substring(bucket, 1, i - 1)
            || (CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
            || substring(bucket, i + 1) AS bucket
-  FROM buckets, generate_series(1, 8) AS t(i)
+  FROM (SELECT vec_id, bucket, unnest(generate_series(1, npl)) AS i
+        FROM buckets CROSS JOIN np)
 ),
 cand AS (
   SELECT p.vec_id AS id_a, b.vec_id AS id_b
@@ -216,15 +225,27 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_near_dup_pairs). Same augmented corpus as the baseline; the oracle
     replicates the identical md5-derived bucketing, probe expansion, and
     sequential-fold cosine, so candidate generation itself is gated
-    bit-exactly -- and recall vs brute force is additionally pytest-gated."""
+    bit-exactly -- and recall vs brute force is additionally pytest-gated.
+
+    The plane count is CORPUS-DERIVED: npl = max(8, bit_length(n/16))
+    keeps expected bucket occupancy ~16 at any scale (integer-exact on
+    both engines; 8 at both gate scales, so gate answers are unchanged).
+    The r11 sweep measured the fixed 8-plane grid at 2.9x on 10x
+    vectors -- in-bucket candidate work grows ~n^2/2^planes when the
+    key space is fixed (the dbscan corpus-sized-grid precedent). Sign
+    buckets are invariant to the planted positive-scaling near-dups,
+    and a 0.999-cosine pair flips a plane with p ~= 0.005, so Hamming-1
+    probing holds recall as the grid grows (pytest-gated)."""
     from ..catalog import spread
     from ..operators.similarity import lsh_near_dup_pairs
 
     # spread(): the fixture is a 2-split file and the per-candidate dot
     # folds inherit scan parallelism through the bucket join -- widen it
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    base = load_table(spark, sf_dir, "embeddings")
+    npl = max(8, (base.count() // 16).bit_length())
+    emb = spread(base)
     corpus = augmented_embeddings(emb)
-    pairs = lsh_near_dup_pairs(corpus, threshold=0.999, n_planes=8, dim=64)
+    pairs = lsh_near_dup_pairs(corpus, threshold=0.999, n_planes=npl, dim=64)
     return pairs.select("id_a", "id_b", F.round("score", 6).alias("score"))
 
 
@@ -261,9 +282,12 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
     from ..operators.similarity import lsh_near_dup_pairs
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    base = load_table(spark, sf_dir, "embeddings")
+    # corpus-derived grid, same derivation as embedding_near_dup_lsh
+    npl = max(8, (base.count() // 16).bit_length())
+    emb = spread(base)
     corpus = augmented_embeddings(emb)
-    pairs = lsh_near_dup_pairs(corpus, threshold=0.999, n_planes=8, dim=64)
+    pairs = lsh_near_dup_pairs(corpus, threshold=0.999, n_planes=npl, dim=64)
     return connected_components(pairs.select("id_a", "id_b"))
 
 

@@ -581,7 +581,7 @@ tok AS (
 bits AS (
   SELECT doc_id, j,
          SUM(((({_SQL_HASH.format(s='t')}) >> j) & 1) * 2 - 1) AS s
-  FROM tok, generate_series(0, 47) AS g(j)
+  FROM tok, generate_series(0, 59) AS g(j)
   GROUP BY doc_id, j
 ),
 fp AS (
@@ -597,15 +597,19 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 )
 def dedup_simhash_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-scale SimHash sizing (operators/dedup.py simhash_pairs
-    sizing note): 48-bit fingerprints with 4 bands give r=12-bit band keys
-    -> 4096 buckets per band instead of the 32-bit config's 256, so bucket
-    occupancy -- and with it the quadratic in-bucket candidate work --
-    collapses while the pigeonhole recall guarantee (d <= 3) is unchanged.
-    Same brute-force all-pairs oracle, at 48 bits."""
+    sizing note): 60-bit fingerprints with 4 bands give r=15-bit band
+    keys -> 32,768 buckets per band (the 32-bit config has 256), so
+    bucket occupancy -- and with it the quadratic-in-occupancy in-bucket
+    candidate work -- stays O(1) per bucket at bench scales. The r11
+    sweep measured the previous 48-bit sizing (4096 buckets/band) at
+    3.06x on 10x docs: LSH candidate work grows ~n^2/2^r whenever the
+    key space is FIXED, so 'corpus-scale' means r must grow with the
+    corpus; 60 bits is the widest 4-band width that keeps the BIGINT
+    sign bit clear. Same brute-force all-pairs oracle, at 60 bits."""
     from ..operators.dedup import simhash_pairs
 
     corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
-    return simhash_pairs(corpus, max_distance=3, bits=48).select(
+    return simhash_pairs(corpus, max_distance=3, bits=60).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
 

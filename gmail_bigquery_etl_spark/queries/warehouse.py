@@ -448,18 +448,40 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries) -- the optimizer-statistics twin of the equal-width
     agg_price_histogram, and what selectivity estimation actually wants
     under skew (equal-width buckets collapse to one hot bucket). NTILE
-    over a fully-tiebroken order assigns buckets deterministically; the
-    bucket boundary columns (lo/hi) read off as MIN/MAX. The global-sort
-    window is the known cost: at warehouse scale the same statistics come
-    from approx_percentile boundaries (agg_approx_tolerance's sketch),
-    and this exact form is the small-dimension/verification path."""
-    orders = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window as W
+    semantics over a fully-tiebroken order, but NOT as a global-sort
+    window (that plans as ONE sort task holding the whole table --
+    measured 5.8x at 10x, the r11 sweep): ranks come from the
+    distributed two-pass row_number (operators/packing.
+    grouped_row_number -- range partition + per-partition offsets) and
+    the NTILE bucket is closed-form arithmetic on (rank, n): with
+    q = n div k and rem = n mod k, the first rem buckets carry q+1 rows
+    -- bit-identical to the window NTILE both engines run."""
+    from ..operators.packing import grouped_row_number
 
-    b = orders.select(
+    orders = load_table(spark, sf_dir, "orders")
+    ranked = grouped_row_number(
+        orders.select("o_totalprice", "o_orderkey"),
+        order_cols=["o_totalprice", "o_orderkey"],
+        out_col="rn",
+    )
+    nrow = ranked.agg(F.count("*").cast("bigint").alias("n"))
+    rem = F.col("n") % 10
+    thr = rem * (F.expr("n div 10") + 1)
+    b = ranked.crossJoin(F.broadcast(nrow)).select(
         "o_totalprice",
-        F.ntile(10)
-        .over(W.orderBy("o_totalprice", "o_orderkey"))
+        F.when(
+            F.col("rn") <= thr,
+            F.expr("(rn - 1) div (n div 10 + 1)") + 1,
+        )
+        .otherwise(
+            rem
+            + F.expr(
+                "(rn - (n % 10) * (n div 10 + 1) - 1) "
+                "div greatest(n div 10, 1)"
+            )
+            + 1
+        )
+        .cast("int")
         .alias("bucket"),
     )
     return b.groupBy("bucket").agg(
@@ -568,20 +590,33 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     RANK-based in exact integers: drop the bottom and top ceil(n/20)
     ranks under a total order (price, orderkey, linenumber), so both
     engines cut identical row sets -- no float percentile boundary to
-    disagree on -- then exact decimal mean over the kept rows. One
-    shuffle for the per-group sort window, one for the rollup."""
-    from pyspark.sql import Window as W
+    disagree on -- then exact decimal mean over the kept rows. Ranks
+    come from the distributed two-pass row_number (operators/packing.
+    grouped_row_number): the plain per-flag window serialized 6M sf1
+    rows through THREE sort tasks (one per return flag, 4.8x at 10x --
+    the r11 sweep); range partitioning by (flag, price, keys) sorts all
+    32 ways and a broadcast of O(partitions x 3) offsets restores the
+    exact per-flag rank."""
+    from ..operators.packing import grouped_row_number
 
     li = load_table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ranked0 = grouped_row_number(
+        li.select(
+            "l_returnflag",
+            F.col("l_extendedprice").cast("decimal(18,4)").alias("p"),
+            "l_extendedprice",
+            "l_orderkey",
+            "l_linenumber",
+        ),
+        order_cols=["l_extendedprice", "l_orderkey", "l_linenumber"],
+        group_cols=["l_returnflag"],
+        out_col="rn",
     )
-    wn = W.partitionBy("l_returnflag")
-    ranked = li.select(
-        "l_returnflag",
-        F.col("l_extendedprice").cast("decimal(18,4)").alias("p"),
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+    nper = ranked0.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    ranked = ranked0.join(F.broadcast(nper), "l_returnflag").select(
+        "l_returnflag", "p", "rn", "n"
     )
     cut = F.expr("(n + 19) div 20")
     kept = ranked.where((F.col("rn") > cut) & (F.col("rn") <= F.col("n") - cut))
