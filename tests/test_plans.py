@@ -77,6 +77,7 @@ _ALLOWED_NLJ = {
         "ann_pq_rerank",
         "embedding_near_dup",
         "dedup_exact_survivors_count",  # crossJoin of two 1-row aggregates
+        "agg_equidepth_histogram",  # broadcast crossJoin of the 1-row count
         "text_tfidf_top_terms",  # broadcast crossJoin of the 1-row doc count
         "text_unigram_logprob",  # broadcast crossJoin of the 1-row token total
         "q22_dormant_customers",  # broadcast crossJoin of the 1-row threshold
@@ -87,6 +88,9 @@ _ALLOWED_NLJ = {
         "dedup_minhash_lsh_pairs",
         "ingest_near_dup_incremental",  # same band/coeff dim crossJoins
         "dedup_simhash_pairs",
+        # 1-row corpus-count crossJoin + the 4-row band dim (the simhash
+        # pattern over decoded image fingerprints)
+        "multimodal_dhash_near_dup",
         "dedup_simhash_pairs_wide",
         # broadcast crossJoin of the 16-row salts dim (small-side replication)
         "join_salted_skew",
@@ -512,18 +516,42 @@ def test_bm25_inverted_join_is_hash_not_nlj(spark):
     assert "Join" in plan
 
 
-def test_trimmed_mean_single_sort_exchange(spark):
-    """The rank-trim runs both windows (row_number + count) on ONE
-    l_returnflag exchange: no second shuffle for the rollup's input."""
+def test_trimmed_mean_distributed_rank(spark):
+    """The rank-trim sorts via the two-pass distributed row_number
+    (grouped_row_number), never a per-flag window: the full table moves
+    through a 32-way RANGE exchange and the local rank window partitions
+    by the physical partition id -- a plain per-flag sort window would
+    serialize the corpus through |flags| = 3 tasks (measured 4.8x at
+    10x, the r11 sweep)."""
     plan = _plan(spark, "agg_trimmed_mean")
-    n_flag_exchanges = len(
-        [
-            ln
-            for ln in plan.splitlines()
-            if "Exchange hashpartitioning(l_returnflag" in ln
-        ]
-    )
-    assert n_flag_exchanges == 1, plan[:1500]
+    # the range exchange itself runs inside grouped_row_number's eager
+    # localCheckpoint, so the final plan reads from the pinned RDD; the
+    # visible contract is that every rank window carries the physical
+    # partition id -- a row_number window whose ONLY partition key is
+    # the flag (the pre-fix 3-task shape) must not come back
+    assert "existingrdd" in plan.lower(), plan[:1500]
+    saw_rank = False
+    for ln in plan.splitlines():
+        if "row_number()" in ln and "windowspecdefinition" in ln:
+            saw_rank = True
+            assert "_pid" in ln, ln
+    assert saw_rank, plan[:1500]
+
+
+def test_equidepth_histogram_distributed_rank(spark):
+    """Same pin for the equi-depth histogram's global NTILE: ranks come
+    from the range-partitioned two-pass row_number, and no window in the
+    plan runs over a single unpartitioned exchange of the full table
+    (the pre-fix single-task global sort, 5.8x at 10x)."""
+    plan = _plan(spark, "agg_equidepth_histogram")
+    assert "existingrdd" in plan.lower(), plan[:1500]
+    saw_rank = False
+    for ln in plan.splitlines():
+        if "row_number()" in ln and "windowspecdefinition" in ln:
+            saw_rank = True
+            assert "_pid" in ln, ln
+        assert "ntile(" not in ln.lower(), ln
+    assert saw_rank, plan[:1500]
 
 
 def test_auto_anti_join_regimes(spark):
