@@ -225,6 +225,97 @@ def pagerank_units(
     return pr.select(F.col("u").alias("node"), F.col("pr").alias("pr_units"))
 
 
+def ppr_units(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 5,
+    damping_pct: int = 85,
+    unit: int = 10**12,
+) -> DataFrame:
+    """PERSONALIZED PageRank over the undirected pair graph (Page et al.
+    1999 sec. 6; random walk with restart): identical integer
+    fixed-point to :func:`pagerank_units`, except the restart mass
+    lands only on the ``seeds`` node set (one ``u`` column) instead of
+    uniformly — r_{{k+1}}(v) = ((100-d)·[v∈S]·(unit div |S|) +
+    d·inflow(v)) div 100. The curation read: given a trusted seed
+    slice, ppr_units ranks every document by proximity to the seeds
+    through the duplicate/similarity graph — the seed-expansion
+    selection WebText-style pipelines run (quality via links to a
+    trusted set), here over the near-dup graph.
+
+    Plan hardening from the r11 HITS lesson (hits_from_edges): every
+    checkpointed score table is key-repartitioned BEFORE the
+    checkpoint and joins the edge list under a SHUFFLE_HASH hint, so
+    AQE can never coalesce it to one partition and flip the planner
+    into broadcasting the fact-sized edge list. Floats never appear;
+    the unrolled-CTE oracle matches bit-for-bit. Output: (node,
+    ppr_units, is_seed) for every graph node, zeros included — stable
+    schema, deterministic."""
+    p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    edges = (
+        p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        edges.groupBy("u")
+        .agg(F.count("*").alias("deg"))
+        .join(seeds.select("u").distinct().withColumn("s", F.lit(True)), "u", "left")
+        .select("u", "deg", F.coalesce(F.col("s"), F.lit(False)).alias("s"))
+        .repartition(F.col("u"))
+        .localCheckpoint()
+    )
+    ns = deg.where("s").count()  # driver-side scalars: seed count only
+    if ns == 0:
+        return deg.select(
+            F.col("u").alias("node"),
+            F.lit(0).cast("bigint").alias("ppr_units"),
+            F.col("s").alias("is_seed"),
+        )
+    init = unit // ns
+    base = (100 - damping_pct) * init
+    pr = deg.select(
+        "u",
+        F.when(F.col("s"), F.lit(init)).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("pr"),
+    )
+    for _ in range(iters):
+        contrib = pr.join(deg.hint("SHUFFLE_HASH"), "u").select(
+            "u", F.expr("pr div deg").alias("c")
+        )
+        inflow = (
+            edges.join(contrib.hint("SHUFFLE_HASH"), "u")
+            .groupBy("v")
+            .agg(F.sum("c").alias("inflow"))
+            .withColumnRenamed("v", "u")
+        )
+        pr = (
+            inflow.join(deg.hint("SHUFFLE_HASH"), "u")
+            .select(
+                "u",
+                F.expr(
+                    f"(CASE WHEN s THEN {base} ELSE 0 END "
+                    f"+ {damping_pct} * inflow) div 100"
+                )
+                .cast("bigint")
+                .alias("pr"),
+            )
+            .repartition(F.col("u"))
+            .localCheckpoint()
+        )
+    return (
+        pr.join(deg.hint("SHUFFLE_HASH"), "u")
+        .select(
+            F.col("u").alias("node"),
+            F.col("pr").alias("ppr_units"),
+            F.col("s").alias("is_seed"),
+        )
+    )
+
+
 def bfs_hops(
     pairs: DataFrame,
     src: str = "id_a",

@@ -24,6 +24,7 @@ from . import tpch as _tpch  # noqa: E402,F401
 from . import pipeline as _pipeline  # noqa: E402,F401  (split/shard assembly)
 from . import warehouse as _warehouse  # noqa: E402,F401  (merge/SCD2/profiling)
 from . import curation as _curation  # noqa: E402,F401  (corpus curation ops)
+from . import webcorpus as _webcorpus  # noqa: E402,F401  (HTML extract, CCNet dedup)
 from . import entity as _entity  # noqa: E402,F401  (fuzzy entity resolution)
 from . import graph as _graph  # noqa: E402,F401  (BFS/k-core over dup pairs)
 from . import retrieval as _retrieval  # noqa: E402,F401  (BM25 ranked search)
@@ -471,13 +472,20 @@ _rotate(_ROUND10_FRONT)
 #       shuffle-hash fixed-point, the FS size-picked names join, the
 #       single-sidecar-read DSAR bloom probe);
 #   (c) backfill by OLDEST driver evidence: all 9 remaining r3-era rows
-#       + the first 31 r4-era rows alphabetically (15 r4 rows remain
-#       for round 12).
+#       + the first 28 r4-era rows alphabetically (18 r4 rows remain
+#       for round 12 — 3 slots yielded to the second-session
+#       web-corpus wave, displacing rows that keep r4 evidence).
 _ROUND11_FRONT = [
     # (a) new in round 11
     "curation_quality_classifier",
     "multimodal_dhash_near_dup",
     "text_unigram_tokenizer",
+    # (a') new in round 11's second session (web-corpus wave); the three
+    # displaced (c) rows at the tail all hold r4 driver evidence and
+    # rejoin the r12 backfill with the other 15 r4-era rows
+    "curation_line_dedup",
+    "curation_html_extract",
+    "graph_ppr_seed_expand",
     # (b) output/plan changed in round 11
     "pipeline_pack_sequences",
     "pipeline_assembly_e2e",
@@ -524,9 +532,6 @@ _ROUND11_FRONT = [
     "events_funnel_conversion",
     "events_gap_fill_hourly",
     "events_hll_daily_rollup",
-    "events_interval_join",
-    "events_interval_join_outer",
-    "events_posexplode_props",
 ]
 
 _rotate(_ROUND11_FRONT)

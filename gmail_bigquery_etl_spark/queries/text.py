@@ -917,6 +917,78 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_units(pairs.select("id_a", "id_b"))
 
 
+def _ppr_oracle(
+    iters: int = 5, damping_pct: int = 85, unit: int = 10**12
+) -> str:
+    """Unrolled-CTE twin of operators/components.ppr_units: the
+    _pagerank_oracle unroll with the restart mass confined to the seed
+    slice (original docs with doc_id % 10 = 0 — the nodes whose exact
+    copies guarantee graph membership). Bigint floor division
+    throughout, so cells match Spark bit-for-bit."""
+    head = f"""WITH {_SQL_LSH_CTES},
+pairs AS ({_SQL_LSH_SELECT}),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+deg AS MATERIALIZED (
+  SELECT u, COUNT(*) AS deg, (u % 10 = 0 AND u < 100000) AS s
+  FROM edges GROUP BY u
+),
+ns AS MATERIALIZED (
+  SELECT CAST({unit} AS BIGINT) // COUNT(*) AS init FROM deg WHERE s
+),
+pr0 AS MATERIALIZED (
+  SELECT u, CASE WHEN s THEN ns.init ELSE CAST(0 AS BIGINT) END AS pr
+  FROM deg, ns
+)"""
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f""",
+pr{k} AS MATERIALIZED (
+  SELECT i.u,
+         (CASE WHEN d2.s THEN {100 - damping_pct} * ns.init ELSE 0 END
+          + {damping_pct} * i.inflow) // 100 AS pr
+  FROM (
+    SELECT e.v AS u, SUM(p.pr // d.deg) AS inflow
+    FROM edges e
+    JOIN pr{k - 1} p ON p.u = e.u
+    JOIN deg d ON d.u = e.u
+    GROUP BY e.v
+  ) i JOIN deg d2 ON d2.u = i.u, ns
+)""")
+    tail = f"""
+SELECT d.u AS node, CAST(p.pr AS BIGINT) AS ppr_units, d.s AS is_seed
+FROM pr{iters} p JOIN deg d ON d.u = p.u"""
+    return head + "".join(rounds) + tail
+
+
+@query("graph_ppr_seed_expand", oracle=_ppr_oracle(5))
+def graph_ppr_seed_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seed expansion over the near-dup graph
+    (operators/components.ppr_units): restart mass on the TRUSTED slice
+    (original docs with doc_id % 10 == 0), rank = proximity to that
+    slice through the similarity graph — the WebText-style
+    curate-by-association selection (documents similar to a vetted
+    set score high; isolated or far documents decay geometrically),
+    complementing global PageRank's topic-free centrality. Same exact
+    integer fixed-point family as dedup_pagerank (unit = 1e12, 5
+    rounds, bigint floor divisions), so the k=5 unrolled-CTE oracle is
+    a bit-for-bit match; join strategy pinned SHUFFLE_HASH with
+    key-repartitioned checkpoints (the r11 HITS broadcast-flip
+    lesson)."""
+    from ..operators.components import ppr_units
+    from ..operators.dedup import near_dup_pairs
+
+    corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = near_dup_pairs(corpus, threshold=0.5, num_hashes=16, bands=4)
+    seeds = corpus.where(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
+    ).select(F.col("doc_id").alias("u"))
+    return ppr_units(pairs.select("id_a", "id_b"), seeds)
+
+
 @query(
     "dedup_jaccard_prefix_filter",
     oracle=f"""
