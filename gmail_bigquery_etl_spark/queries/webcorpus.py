@@ -58,8 +58,9 @@ from .text import _SQL_AUGMENTED, _augmented_corpus
 # -- CCNet paragraph dedup ------------------------------------------------
 
 # Paragraph grid: consecutive 10-token chunks of the lowercased
-# whitespace tokenization (the docs_repeated_chunks grid, one size up).
-_PARA_TOKENS = 10
+# whitespace tokenization (the docs_repeated_chunks grid, one size up),
+# shared with the streaming index via operators/paragraphs.py.
+from ..operators.paragraphs import PARA_TOKENS as _PARA_TOKENS  # noqa: E402
 
 # Two planted boilerplate paragraphs (newsletter plug / legal footer),
 # appended as WHOLE paragraphs after chunking so they are bit-identical
@@ -153,23 +154,15 @@ def curation_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(doc-length) structs per doc (the pack_sequences bounded-group
     contract). Paragraph keys are compared as the full string on both
     engines — no hash function to disagree on."""
+    from ..operators.paragraphs import para_arrays
+
     corpus = _augmented_corpus(load_table(spark, sf_dir, "documents"))
-    tok = corpus.select(
-        "doc_id", whitespace_tokens("text").alias("toks")
-    )
-    # n_par staged alongside paras0: the second `toks` reference keeps
-    # the token array an attribute (CollapseProject would otherwise
-    # inline the split into the transform lambda — the documented
-    # O(tokens^2) HOF re-evaluation hazard, queries/text.py novelty fix)
-    chunked = tok.select(
+    # the paragraph grid is the SHARED operator (operators/paragraphs.py,
+    # HOF-hazard-staged there) so the streaming first-occurrence index
+    # (streaming/para_dedup.py) chunks bit-identically
+    chunked = para_arrays(corpus, para_tokens=_PARA_TOKENS).select(
         "doc_id",
-        F.expr(
-            f"CASE WHEN size(toks) = 0 THEN CAST(array() AS ARRAY<STRING>) "
-            f"ELSE transform(sequence(1, (size(toks) + {_PARA_TOKENS - 1}) "
-            f"div {_PARA_TOKENS}), "
-            f"i -> array_join(slice(toks, (i-1)*{_PARA_TOKENS}+1, "
-            f"{_PARA_TOKENS}), ' ')) END"
-        ).alias("paras0"),
+        F.col("paras").alias("paras0"),
         (
             F.conv(
                 F.substring(
@@ -194,9 +187,9 @@ def curation_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("paras0"))
         .alias("paras"),
     )
-    p = planted.select(
-        "doc_id", F.posexplode("paras").alias("pos0", "para")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "para")
+    from ..operators.paragraphs import explode_paras
+
+    p = explode_paras(planted)
     first = p.groupBy("para").agg(
         F.min(F.struct("doc_id", "pos")).alias("k")
     )
