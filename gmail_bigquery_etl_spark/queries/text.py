@@ -865,18 +865,19 @@ def dedup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs.select("id_a", "id_b"))
 
 
-def _pagerank_oracle(iters: int = 5, damping_pct: int = 85, unit: int = 10**12) -> str:
-    """Unrolled-CTE twin of operators/components.pagerank_units: the k
-    integer fixed-point rounds chain as CTEs (deterministic like the BPE
-    unroll -- DuckDB's `//` IS the bigint floor division `div` Spark
-    runs, so cells match bit-for-bit, no float tolerance)."""
-    head = f"""WITH {_SQL_LSH_CTES},
-pairs AS ({_SQL_LSH_SELECT}),
-edges AS MATERIALIZED (
-  SELECT id_a AS u, id_b AS v FROM pairs
-  UNION
-  SELECT id_b AS u, id_a AS v FROM pairs
-),
+def pagerank_rounds_sql(
+    edges_head: str,
+    iters: int = 5,
+    damping_pct: int = 85,
+    unit: int = 10**12,
+) -> str:
+    """Unrolled-CTE twin of operators/components.pagerank_units over ANY
+    edge source: ``edges_head`` is the `WITH ...` prefix that must end by
+    defining `edges(u, v)` symmetrized-distinct; the deg/init/round CTEs
+    and final select are shared (deterministic like the BPE unroll --
+    DuckDB's `//` IS the bigint floor division `div` Spark runs, so
+    cells match bit-for-bit, no float tolerance)."""
+    head = f"""{edges_head},
 deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
 nn AS MATERIALIZED (SELECT CAST({unit} AS BIGINT) // COUNT(*) AS init FROM deg),
 pr0 AS MATERIALIZED (SELECT u, nn.init AS pr FROM deg, nn)"""
@@ -897,6 +898,18 @@ pr{k} AS MATERIALIZED (
     tail = f"""
 SELECT u AS node, CAST(pr AS BIGINT) AS pr_units FROM pr{iters}"""
     return head + "".join(rounds) + tail
+
+
+def _pagerank_oracle(iters: int = 5, damping_pct: int = 85, unit: int = 10**12) -> str:
+    """The LSH-near-dup-graph instantiation of pagerank_rounds_sql."""
+    head = f"""WITH {_SQL_LSH_CTES},
+pairs AS ({_SQL_LSH_SELECT}),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+)"""
+    return pagerank_rounds_sql(head, iters, damping_pct, unit)
 
 
 @query("dedup_pagerank", oracle=_pagerank_oracle(5))

@@ -454,3 +454,126 @@ def curation_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("extracted").alias("extract_hash"),
         (F.col("extracted") == F.col("orig_norm")).alias("lossless"),
     )
+
+
+# -- hyperlink graph extraction + PageRank --------------------------------
+
+# Each page carries a planted "related" list of 3 outlinks whose targets
+# are md5-derived pseudo-random doc_ids mod the corpus size — a
+# deterministic, corpus-derived link graph both engines can predict
+# analytically (the dHash raster precedent: the ORACLE never parses a
+# page; the Spark side must extract every edge from the markup).
+_N_OUTLINKS = 3
+
+_SQL_LINK_EDGES_HEAD = f"""WITH nd AS (SELECT COUNT(*) AS n FROM documents),
+t AS (SELECT doc_id, unnest([{", ".join(str(k) for k in range(1, _N_OUTLINKS + 1))}]) AS k
+      FROM documents),
+e0 AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT doc_id AS u,
+           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % nd.n AS v
+    FROM t, nd
+  ) WHERE v <> u
+),
+edges AS MATERIALIZED (
+  SELECT u, v FROM e0
+  UNION
+  SELECT v, u FROM e0
+)"""
+
+
+def _link_rank_oracle() -> str:
+    from .text import pagerank_rounds_sql
+
+    return pagerank_rounds_sql(_SQL_LINK_EDGES_HEAD, iters=5)
+
+
+@query("webcorpus_link_rank", oracle=_link_rank_oracle())
+def webcorpus_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink-graph selection, WebText-style (Radford et al. 2019
+    built WebText from link popularity; Page et al. 1999 is the
+    centrality): pages -> EXTRACT the anchor targets from the markup ->
+    link graph -> integer fixed-point PageRank, one lazy plan. Each
+    planted page carries a related-links organ with 3 md5-derived
+    outlink targets; the Spark side must recover every edge by parsing
+    `<a href="/doc/N">` out of the full page (nav/ads links don't match
+    the doc-link pattern — extraction has to discriminate), while the
+    oracle predicts the same edge set analytically and replays the
+    pagerank_units rounds as unrolled CTEs, bit-for-bit.
+
+    Plan: page build + regex extraction are one scan-bound projection;
+    the corpus size enters as a broadcast 1-row aggregate (the
+    scalar-carry idiom), never a driver constant; the fixed-point is
+    pagerank_units' checkpointed rounds. At 100 TB the extraction stage
+    is the same map-only pass and the graph rounds shuffle on node id."""
+    from ..operators.components import pagerank_units
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", whitespace_tokens("text").alias("toks"), "source"
+    )
+    nd = tok.agg(F.count("*").alias("n"))
+    ks = F.array(*[F.lit(k) for k in range(1, _N_OUTLINKS + 1)])
+    link_items = F.array_join(
+        F.transform(
+            ks,
+            lambda k: F.concat(
+                F.lit('<li><a href="/doc/'),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("doc_id").cast("string"),
+                                    F.lit(":"),
+                                    k.cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % F.col("n")
+                ).cast("string"),
+                F.lit('">related</a></li>'),
+            ),
+        ),
+        "",
+    )
+    page = tok.crossJoin(F.broadcast(nd)).select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>"),
+            F.col("source"),
+            F.lit(
+                "</title></head><body>"
+                '<nav><a href="/">home</a> <a href="/about">about us</a></nav>'
+                '<div class="ads"><a href="/buy">buy now</a>'
+                ' limited time offer</div><ul class="related">'
+            ),
+            link_items,
+            F.lit("</ul><p>"),
+            F.array_join(F.slice("toks", 1, _HTML_BLOCK_TOKENS), " "),
+            F.lit("</p><footer>copyright example corp</footer></body></html>"),
+        ).alias("html"),
+    )
+    hrefs = page.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html"), F.lit('<a href="/doc/([0-9]+)">'), F.lit(1)
+            )
+        ).alias("dst"),
+    )
+    edges = (
+        hrefs.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("dst").cast("bigint").alias("id_b"),
+        )
+        .where(F.col("id_b") != F.col("id_a"))
+        .distinct()
+    )
+    return pagerank_units(edges)

@@ -287,3 +287,56 @@ def test_ppr_no_seeds_in_graph_returns_zeros(spark):
     edges = [(0, 1)]
     got = _run_ppr(spark, edges, [99])
     assert got == {0: (0, False), 1: (0, False)}
+
+
+# --- webcorpus_link_rank -------------------------------------------------
+
+def _pagerank_python(edges, iters=5, d=85, unit=10**12):
+    """Integer fixed-point twin of operators/components.pagerank_units
+    (uniform restart)."""
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    adj = {u: sorted(set(vs)) for u, vs in adj.items()}
+    init = unit // len(adj)
+    base = (100 - d) * init
+    pr = {u: init for u in adj}
+    for _ in range(iters):
+        inflow = {u: 0 for u in adj}
+        for u, vs in adj.items():
+            c = pr[u] // len(vs)
+            for v in vs:
+                inflow[v] += c
+        pr = {u: (base + d * inflow[u]) // 100 for u in adj}
+    return pr
+
+
+def test_link_rank_extraction_and_pagerank_recompute(spark):
+    """The whole chain pinned: the analytic md5 edge set (recomputed in
+    Python) must produce, through the Python PageRank twin, exactly the
+    values the Spark side gets by EXTRACTING anchors from the planted
+    markup and running pagerank_units — extraction can't silently drop
+    or invent an edge without a value diff."""
+    rows = load_table(spark, SF, "documents").select("doc_id").collect()
+    n = len(rows)
+    edges = set()
+    for r in rows:
+        for k in (1, 2, 3):
+            v = (
+                int(
+                    hashlib.md5(f"{r.doc_id}:{k}".encode()).hexdigest()[:15],
+                    16,
+                )
+                % n
+            )
+            if v != r.doc_id:
+                edges.add((r.doc_id, v))
+    want = _pagerank_python(edges)
+    got = {
+        r.node: r.pr_units
+        for r in ALL_QUERIES["webcorpus_link_rank"](spark, SF).collect()
+    }
+    assert got == want
+    # every document participates (3 outlinks each, self-loop odds nil)
+    assert len(got) == n
