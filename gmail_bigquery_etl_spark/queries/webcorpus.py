@@ -29,8 +29,16 @@ corpus-level paragraph deduplication.
                            the boilerplate mass dedups corpus-wide to its
                            two first occurrences.
 
-Scale posture (100 TB): both are one corpus scan + constant-fan-out
-explode. html-extract is scan-bound (regex battery + one per-doc
+  webcorpus_link_rank   -- hyperlink-graph selection (WebText-style,
+                           Radford et al. 2019): anchor targets
+                           EXTRACTED from the planted markup become the
+                           link graph; integer fixed-point PageRank
+                           (pagerank_units) ranks documents by link
+                           centrality, one lazy plan from page bytes to
+                           scores.
+
+Scale posture (100 TB): extraction stages are one corpus scan +
+constant-fan-out explode. html-extract is scan-bound (regex battery + one per-doc
 re-aggregation; zero joins). line-dedup's first-occurrence table is a
 map-side-combinable MIN aggregate on the paragraph string — the
 boilerplate mega-key partial-aggregates per task, so the hot key ships
@@ -474,7 +482,7 @@ e0 AS (
            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
                  CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % nd.n AS v
     FROM t, nd
-  ) WHERE v <> u
+  ) WHERE v <> u AND v IN (SELECT doc_id FROM documents)
 ),
 edges AS MATERIALIZED (
   SELECT u, v FROM e0
@@ -568,12 +576,22 @@ def webcorpus_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dst"),
     )
+    # resolve anchors against the corpus: out-of-corpus targets are
+    # dropped (real crawls link outside the crawl; with sparse doc_id
+    # spaces -- scratch/sf1 -- the mod-n draw lands on ids that do not
+    # exist, and un-resolved they would inflate the graph with phantom
+    # nodes). Hash semi-join on the uniform doc_id key, linear.
     edges = (
         hrefs.select(
             F.col("doc_id").alias("id_a"),
             F.col("dst").cast("bigint").alias("id_b"),
         )
         .where(F.col("id_b") != F.col("id_a"))
+        .join(
+            docs.select(F.col("doc_id").alias("id_b")),
+            "id_b",
+            "left_semi",
+        )
         .distinct()
     )
     return pagerank_units(edges)

@@ -320,6 +320,7 @@ def test_link_rank_extraction_and_pagerank_recompute(spark):
     or invent an edge without a value diff."""
     rows = load_table(spark, SF, "documents").select("doc_id").collect()
     n = len(rows)
+    ids = {r.doc_id for r in rows}
     edges = set()
     for r in rows:
         for k in (1, 2, 3):
@@ -330,7 +331,10 @@ def test_link_rank_extraction_and_pagerank_recompute(spark):
                 )
                 % n
             )
-            if v != r.doc_id:
+            # out-of-corpus targets are dropped by the resolution
+            # semi-join (vacuous on the dense sf0.01 id space, load-
+            # bearing on sparse id spaces like scratch/sf1)
+            if v != r.doc_id and v in ids:
                 edges.add((r.doc_id, v))
     want = _pagerank_python(edges)
     got = {
