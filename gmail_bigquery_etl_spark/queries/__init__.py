@@ -472,8 +472,8 @@ _rotate(_ROUND10_FRONT)
 #       shuffle-hash fixed-point, the FS size-picked names join, the
 #       single-sidecar-read DSAR bloom probe);
 #   (c) backfill by OLDEST driver evidence: all 9 remaining r3-era rows
-#       + the first 27 r4-era rows alphabetically (19 r4 rows remain
-#       for round 12 — 4 slots yielded to the second-session
+#       + the first 26 r4-era rows alphabetically (20 r4 rows remain
+#       for round 12 — 5 slots yielded to the second-session
 #       web-corpus wave, displacing rows that keep r4 evidence).
 _ROUND11_FRONT = [
     # (a) new in round 11
@@ -487,6 +487,7 @@ _ROUND11_FRONT = [
     "curation_html_extract",
     "graph_ppr_seed_expand",
     "webcorpus_link_rank",
+    "curation_data_budget",
     # (b) output/plan changed in round 11
     "pipeline_pack_sequences",
     "pipeline_assembly_e2e",
@@ -531,7 +532,6 @@ _ROUND11_FRONT = [
     "events_anomaly_zscore",
     "events_cohort_retention",
     "events_funnel_conversion",
-    "events_gap_fill_hourly",
 ]
 
 _rotate(_ROUND11_FRONT)

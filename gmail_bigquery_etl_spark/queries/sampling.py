@@ -782,3 +782,202 @@ def curation_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_prop"),
     )
+
+
+_SQL_TOKCNT = r"len(regexp_split_to_array(trim(lower(text)), '\s+'))"
+
+
+@query(
+    "curation_data_budget",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                       ELSE {_SQL_TOKCNT} END) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+capped AS (
+  SELECT source, n_tokens,
+         1 + CAST(('0x' || substring(md5(source), 1, 15)) AS BIGINT) % 5
+           AS repeat_cap,
+         n_tokens *
+         (1 + CAST(('0x' || substring(md5(source), 1, 15)) AS BIGINT) % 5)
+           AS cap_tokens
+  FROM per_src
+),
+tot AS (SELECT 2 * SUM(n_tokens) AS budget, COUNT(*) AS s FROM capped),
+ranked AS (
+  SELECT capped.*, tot.budget, tot.s,
+         ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS rnk,
+         SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
+                               ROWS UNBOUNDED PRECEDING) AS pfx
+  FROM capped, tot
+),
+sat AS (
+  SELECT *,
+         cap_tokens <= (budget - (pfx - cap_tokens)) // (s - rnk + 1)
+           AS saturated
+  FROM ranked
+),
+stats AS (
+  SELECT CAST(SUM(CASE WHEN saturated THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         CAST(SUM(CASE WHEN saturated THEN cap_tokens ELSE 0 END)
+              AS BIGINT) AS pk
+  FROM sat
+),
+lvl AS (
+  SELECT sat.*, stats.k,
+         stats.s2 AS m, stats.rem,
+         CASE WHEN stats.s2 = 0 THEN 0
+              ELSE stats.rem // stats.s2 END AS lam,
+         CASE WHEN stats.s2 = 0 THEN 0
+              ELSE stats.rem % stats.s2 END AS r
+  FROM sat, (SELECT k, pk, (SELECT s FROM tot) - k AS s2,
+                    (SELECT budget FROM tot) - pk AS rem
+             FROM stats) stats
+),
+unsat_rn AS (
+  SELECT *,
+         CASE WHEN saturated THEN CAST(0 AS BIGINT)
+              ELSE ROW_NUMBER() OVER (PARTITION BY saturated
+                                      ORDER BY source) END AS urn
+  FROM lvl
+)
+SELECT source, n_tokens, CAST(repeat_cap AS BIGINT) AS repeat_cap,
+       CAST(cap_tokens AS BIGINT) AS cap_tokens,
+       CAST(CASE WHEN saturated THEN cap_tokens
+                 ELSE lam + CASE WHEN urn <= r THEN 1 ELSE 0 END
+            END AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+                 ELSE (CASE WHEN saturated THEN cap_tokens
+                            ELSE lam + CASE WHEN urn <= r THEN 1 ELSE 0 END
+                       END) * 1000 // n_tokens END AS BIGINT)
+         AS epochs_milli,
+       saturated
+FROM unsat_rn
+""",
+)
+def curation_data_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-capped token-budget allocation across sources — the
+    data-constrained-scaling mix step (Muennighoff et al. 2023: when
+    the budget exceeds unique data, sources repeat up to a per-source
+    epoch cap; Hoffmann-style budgets decide how much of each source to
+    actually draw). Each source carries a deterministic repeat
+    tolerance R in [1, 5] (md5-derived policy stand-in: wiki-class
+    sources tolerate many epochs, crawl-class few), capping its
+    contribution at R * n_tokens; the total budget B = 2x the unique
+    corpus is WATER-FILLED: small-cap sources saturate, the rest share
+    the remainder equally (largest-remainder seats by source name).
+    Output per source: unique tokens, cap, allocated tokens, epochs in
+    milli (alloc*1000 div n), and the saturated flag.
+
+    The saturation set is computed RELATIONALLY on the cap-sorted dim:
+    source i is saturated iff cap_i <= (B - prefix_{{i-1}}) div
+    (S-i+1); for any i past the true boundary k, B - prefix_{{i-1}} <
+    lambda*(S-i+1) (each skipped cap exceeds lambda), so the test is
+    provably false there — the prefix test IS the exact water-fill,
+    no iteration. Conservation: allocations sum to exactly B while any
+    source is unsaturated, else to the cap total (reported, not
+    padded). All integer arithmetic; the oracle mirrors every floor
+    division. Plan: ONE corpus scan for per-source token sums, then
+    windows over the O(sources) dim — at 100 TB the scan is the only
+    corpus-scale stage (the mixture/Neyman-allocation contract)."""
+    from ..functions.text import whitespace_tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    per_src = (
+        docs.select(
+            "source", F.size(whitespace_tokens("text")).alias("nt")
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+    )
+    capped = per_src.select(
+        "source",
+        "n_tokens",
+        (
+            1
+            + F.conv(F.substring(F.md5("source"), 1, 15), 16, 10)
+            .cast("bigint")
+            % 5
+        ).alias("repeat_cap"),
+    ).select(
+        "*", (F.col("n_tokens") * F.col("repeat_cap")).alias("cap_tokens")
+    )
+    cc = capped.localCheckpoint()
+    tot = cc.agg(
+        (2 * F.sum("n_tokens")).alias("budget"),
+        F.count("*").alias("s"),
+    )
+    from pyspark.sql import Window as W
+
+    # bounded-dim windows: the frame is the O(sources) policy table,
+    # never the corpus (the mixture/Neyman single-partition contract)
+    order = W.orderBy("cap_tokens", "source")
+    ranked = cc.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.row_number().over(order).alias("rnk"),
+        F.sum("cap_tokens").over(order.rowsBetween(W.unboundedPreceding, 0)).alias("pfx"),
+    )
+    sat = ranked.select(
+        "*",
+        (
+            F.col("cap_tokens")
+            <= F.expr("(budget - (pfx - cap_tokens)) div (s - rnk + 1)")
+        ).alias("saturated"),
+    )
+    sc = sat.localCheckpoint()
+    stats = sc.agg(
+        F.sum(F.when(F.col("saturated"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+        F.sum(F.when(F.col("saturated"), F.col("cap_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("pk"),
+    )
+    lvl = sc.crossJoin(F.broadcast(stats)).select(
+        "*",
+        (F.col("s") - F.col("k")).alias("m"),
+        (F.col("budget") - F.col("pk")).alias("rem"),
+    ).select(
+        "*",
+        F.when(F.col("m") == 0, F.lit(0))
+        .otherwise(F.expr("rem div m"))
+        .alias("lam"),
+        F.when(F.col("m") == 0, F.lit(0))
+        .otherwise(F.expr("rem % m"))
+        .alias("r"),
+    )
+    urn = lvl.select(
+        "*",
+        F.when(F.col("saturated"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.row_number()
+            .over(W.partitionBy("saturated").orderBy("source"))
+            .cast("bigint")
+        )
+        .alias("urn"),
+    )
+    alloc = F.when(F.col("saturated"), F.col("cap_tokens")).otherwise(
+        F.col("lam") + F.when(F.col("urn") <= F.col("r"), 1).otherwise(0)
+    )
+    allocated = urn.select(
+        "source",
+        "n_tokens",
+        F.col("repeat_cap").cast("bigint").alias("repeat_cap"),
+        F.col("cap_tokens").cast("bigint").alias("cap_tokens"),
+        alloc.cast("bigint").alias("alloc_tokens"),
+        "saturated",
+    )
+    return allocated.select(
+        "source",
+        "n_tokens",
+        "repeat_cap",
+        "cap_tokens",
+        "alloc_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("alloc_tokens * 1000 div n_tokens"))
+        .cast("bigint")
+        .alias("epochs_milli"),
+        "saturated",
+    )

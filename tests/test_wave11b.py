@@ -312,6 +312,68 @@ def _pagerank_python(edges, iters=5, d=85, unit=10**12):
     return pr
 
 
+def _water_fill(caps_by_source: dict[str, int], budget: int):
+    """Literal water-fill twin of curation_data_budget: saturate caps
+    ascending while cap <= remaining//remaining_sources, then split the
+    rest equally with largest-remainder seats by source name."""
+    order = sorted(caps_by_source.items(), key=lambda kv: (kv[1], kv[0]))
+    s = len(order)
+    alloc, rem, left = {}, budget, s
+    unsat = []
+    for src, cap in order:
+        if cap <= rem // left:
+            alloc[src] = cap
+            rem -= cap
+            left -= 1
+        else:
+            unsat.append(src)
+    if unsat:
+        lam, r = rem // len(unsat), rem % len(unsat)
+        for i, src in enumerate(sorted(unsat), start=1):
+            alloc[src] = lam + (1 if i <= r else 0)
+    return alloc
+
+
+def test_data_budget_recompute_and_invariants(spark):
+    rows = (
+        load_table(spark, SF, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    n_tok: dict[str, int] = {}
+    for r in rows:
+        n_tok[r.source] = n_tok.get(r.source, 0) + len(
+            r.text.strip().lower().split()
+        )
+    caps = {
+        s: n
+        * (1 + int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 5)
+        for s, n in n_tok.items()
+    }
+    budget = 2 * sum(n_tok.values())
+    want = _water_fill(caps, budget)
+    out = {
+        r.source: r
+        for r in ALL_QUERIES["curation_data_budget"](spark, SF).collect()
+    }
+    assert set(out) == set(want)
+    for s, r in out.items():
+        assert r.n_tokens == n_tok[s]
+        assert r.cap_tokens == caps[s]
+        assert r.alloc_tokens == want[s], s
+        assert r.saturated == (want[s] == caps[s])
+        assert r.epochs_milli == r.alloc_tokens * 1000 // r.n_tokens
+        assert r.alloc_tokens <= r.cap_tokens
+    # conservation: the budget is spent exactly while anyone is
+    # unsaturated; both saturation outcomes present (non-vacuous)
+    assert sum(r.alloc_tokens for r in out.values()) == budget
+    outcomes = {r.saturated for r in out.values()}
+    assert outcomes == {True, False}
+    # unsaturated shares are equal within the largest-remainder seat
+    un = [r.alloc_tokens for r in out.values() if not r.saturated]
+    assert max(un) - min(un) <= 1
+
+
 def test_link_rank_extraction_and_pagerank_recompute(spark):
     """The whole chain pinned: the analytic md5 edge set (recomputed in
     Python) must produce, through the Python PageRank twin, exactly the
