@@ -138,6 +138,12 @@ _ALLOWED_NLJ = {
     # broadcast crossJoin of the 3-row out_dim dim table against the
     # linear consecutive-pair panel
     "ann_jl_distortion",
+    # broadcast crossJoin of the 1-row corpus-count agg (outlink targets
+    # are hash mod n; the scalar-carry idiom)
+    "webcorpus_link_rank",
+    # broadcast crossJoins of two 1-row aggregates (budget/source-count,
+    # then saturation stats) against the O(sources) policy dim
+    "curation_data_budget",
     # broadcast crossJoin of the 1-row corpus-doc-count aggregate (the
     # corpus-relative df cap), same class as the BM25/TF-IDF scalars
     "text_sparse_cosine_topk",
