@@ -522,6 +522,7 @@ def ivf_sq8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF cell pruning + SQ8 in-cell scoring -- the faiss ``IVF,SQ8``
     index as a DataFrame plan. Cell ASSIGNMENT happens once at build time
@@ -530,8 +531,14 @@ def ivf_sq8_topk(
     moves cell-pruned candidate lists of quarter-width codes and the hot
     loop is exact int64 multiply-adds. Same scale posture as ivf_topk
     (equi-join on cell id, broadcast query side) with SQ8's memory cut on
-    the big side. Recall vs float brute force is pytest-gated."""
-    cents = ivf_centroid_arrays(corpus, label_col, vec_col)
+    the big side. Recall vs float brute force is pytest-gated.
+
+    ``cents``: optionally pass an ALREADY-COLLECTED quantizer table
+    (ivf_centroid_arrays output) so a composite caller (the recall
+    scoreboard) trains the shared quantizer once instead of re-running
+    the centroid aggregation job per leg."""
+    if cents is None:
+        cents = ivf_centroid_arrays(corpus, label_col, vec_col)
     c = (
         with_sq8_codes(
             corpus.select(
@@ -627,14 +634,20 @@ def pq_codebooks(
     vec_col: str = "embedding",
     m: int = 4,
     dim: int = 64,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> list[list[tuple[int, list[float]]]]:
     """Product-quantization codebooks: the label-mean centroids (the same
     distributed quantizer IVF collects -- only K x dim scalars ever reach
     the driver) sliced into ``m`` subspaces of dim/m components. Codebook
     [s] holds (code_id, codeword) pairs for subspace s; code ids are the
     label ids, so the codebook derivation is deterministic and exactly
-    replicable in oracle SQL (no iterative k-means state)."""
-    cents = ivf_centroid_arrays(corpus, label_col, vec_col, dim)
+    replicable in oracle SQL (no iterative k-means state).
+
+    ``cents``: optionally reuse an already-collected centroid table (the
+    scoreboard's shared-quantizer path) instead of re-running the
+    centroid job."""
+    if cents is None:
+        cents = ivf_centroid_arrays(corpus, label_col, vec_col, dim)
     d_sub = dim // m
     return [
         [(lab, v[s * d_sub : (s + 1) * d_sub]) for lab, v in cents]
@@ -677,6 +690,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance (ADC) scoring --
     the memory-scale rung of the quantization family (SQ8 shrinks each
@@ -694,7 +708,7 @@ def pq_topk(
     scan is broadcast-join + projection + per-query top-k window. Recall
     vs brute force is pytest-gated; the declared query's oracle replicates
     encode + ADC bit-exactly."""
-    cbs = pq_codebooks(corpus, label_col, vec_col, m, dim)
+    cbs = pq_codebooks(corpus, label_col, vec_col, m, dim, cents=cents)
     d_sub = dim // m
 
     codes = corpus.select(

@@ -665,11 +665,19 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     |queries| x 50 rows regardless of corpus size; pytest gates that
     reranking lifts recall over raw ADC order."""
     from ..operators.similarity import pq_topk
-    from ..functions.vectors import cosine_similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 10)
     short = pq_topk(emb, qs, k=50, m=8, dim=64).select("query_id", "match_id")
+    return _exact_rerank(emb, qs, short)
+
+
+def _exact_rerank(emb: DataFrame, qs: DataFrame, short: DataFrame) -> DataFrame:
+    """Exact float-cosine re-rank of a (query_id, match_id) shortlist --
+    factored out so the recall scoreboard reranks the SAME ranked frame
+    the pq leg derives from instead of re-encoding the corpus."""
+    from ..functions.vectors import cosine_similarity
+
     qv = qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"))
     cv = emb.select(F.col("vec_id").alias("match_id"), F.col("embedding").alias("_cv"))
     rer = (
@@ -879,9 +887,35 @@ def ann_recall_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     locally; registering the scoreboard puts the same quality numbers
     under the driver's oracle gate, so an index change that silently
     costs recall shows up as a value mismatch, not just a local red
-    test. Reuses the registered query callables on the Spark side and
-    their registered oracle SQL on the DuckDB side -- the scoreboard
-    cannot drift from the methods it scores."""
+    test. Each leg computes EXACTLY what its registered query computes
+    (same operators, same parameters), so the scoreboard cannot drift
+    from the methods it scores.
+
+    Optimization r11 (guide §1.2 step 1 -- remove redundant passes): the
+    naive composition re-ran the per-leg query callables, which (a)
+    trained the SAME label-centroid quantizer three times (ivf_sq8, pq,
+    pq_rerank each collect the identical K x 64 table: three extra
+    aggregation jobs at build time) and (b) PQ-encoded the corpus twice
+    (pq and pq_rerank share encode + ADC ranking; only the rank cutoff
+    differs). Now the quantizer is collected ONCE, and the two PQ legs
+    derive from ONE ranked frame pinned with a LAZY localCheckpoint --
+    the checkpointed frame is |queries| x 50 rows, O(queries) at any
+    corpus size, while the avoided re-execution is a full corpus encode
+    pass per extra consumer. Measured sf0.1 warm (idle box, best-of-4):
+    11.0 s -> 8.5 s; plan: 28 -> 20 parquet scans, 46 -> 32 exchanges.
+    (The un-checkpointed shared frame measured 7.8 s here -- 0.7 s
+    cheaper locally because re-encoding 2000 vectors is nearly free --
+    but it re-runs the corpus encode once per consumer, which at 100 TB
+    is a second full pass over the data; the O(queries) barrier is the
+    scale-correct shape, so it stays.) Results are bit-identical: the
+    shared pieces are the same expressions the per-leg queries build."""
+    from ..operators.similarity import (
+        ivf_centroid_arrays,
+        ivf_sq8_topk,
+        pq_topk,
+        sq8_topk,
+    )
+
     # The exact leg has two consumers (hit join + denominator count);
     # measured: leaving both in ONE lazy DAG (10.9 s) beats pinning with
     # localCheckpoint (12.2 s) -- the materialization barrier costs more
@@ -889,15 +923,23 @@ def ann_recall_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = knn_bruteforce_cosine(spark, sf_dir).select(
         "query_id", "match_id"
     )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    cents = ivf_centroid_arrays(emb)  # ONE quantizer job for 3 legs
+    ranked50 = pq_topk(emb, qs, k=50, m=8, dim=64, cents=cents).localCheckpoint(
+        eager=False
+    )
     legs = {
-        "sq8": ann_sq8_topk,
-        "ivf_sq8": ann_ivf_sq8_topk,
-        "pq": ann_pq_topk,
-        "pq_rerank": ann_pq_rerank,
+        "sq8": sq8_topk(emb, qs, k=5),
+        "ivf_sq8": ivf_sq8_topk(emb, qs, k=5, nprobe=2, cents=cents),
+        "pq": ranked50.filter(F.col("rank") <= 5),
+        "pq_rerank": _exact_rerank(
+            emb, qs, ranked50.select("query_id", "match_id")
+        ),
     }
     tagged = None
-    for m, fn in legs.items():
-        part = fn(spark, sf_dir).select(
+    for m, leg in legs.items():
+        part = leg.select(
             F.lit(m).alias("method"), "query_id", "match_id"
         )
         tagged = part if tagged is None else tagged.unionAll(part)
