@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from .registry import query
 
 
@@ -60,7 +60,16 @@ GROUP BY l_returnflag, l_linestatus
 """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread BEFORE the wide decimal partial-aggregation: the fixture's
+    # single-row-group lineitem scans as ONE task, serializing the
+    # 600k-row DECIMAL(38) math (optimization r11, guide §2.5 input
+    # skew; measured 2.4 s -> 1.2 s warm). All aggregates are exact
+    # decimal/count, so the result is partitioning-independent; a
+    # blanket fact-table spread was A/B-measured and REJECTED (join-
+    # heavy consumers pay an extra full-table exchange before their own
+    # shuffles: q9 1.9 -> 2.5 s, q18 1.6 -> 2.2 s) -- only this
+    # compute-before-first-shuffle shape wins.
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     disc_price = _dec(F.col("l_extendedprice"), 12) * (1 - _dec(F.col("l_discount"), 12))
     # Three-factor product: precision 10 keeps the result type within
     # DECIMAL(38) in BOTH engines (no precision-loss rounding divergence).

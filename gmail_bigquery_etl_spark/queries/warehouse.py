@@ -194,8 +194,15 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     max in ONE aggregate over the table (not one scan per column), then an
     unpivot to long form. Numeric extremes stay DOUBLE and string extremes
     stay VARCHAR so no engine-specific double-to-string formatting enters
-    the comparison."""
-    orders = load_table(spark, sf_dir, "orders")
+    the comparison.
+
+    spread before the aggregate (the q1 note): the single-row-group scan
+    otherwise runs the per-column countDistinct expand single-task
+    (measured 2.8 -> 2.4 s); every aggregate here is exact and
+    partitioning-independent."""
+    from ..catalog import spread
+
+    orders = spread(load_table(spark, sf_dir, "orders"))
     aggs: list[F.Column] = [F.count("*").alias("n_rows")]
     for i, c in enumerate(_PROFILE_NUM):
         aggs += [
