@@ -26,7 +26,10 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 # pass it explicitly. This caches METADATA only -- every query still scans
 # the parquet bytes -- and mirrors the production shape, where schemas
 # come from a catalog/metastore rather than per-query footer reads.
-_SCHEMA_CACHE: dict[str, object] = {}
+# Keyed by (path, mtime_ns, size) -- ADVICE r11: a fixture regenerated
+# mid-process must re-infer instead of silently suppressing the footer
+# validation with a stale schema; the stat() is ~2 us vs the 90 ms saved.
+_SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -34,11 +37,17 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    schema = _SCHEMA_CACHE.get(path)
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # missing path: let spark.read.parquet raise its own error
+        return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(key)
     if schema is not None:
         return spark.read.schema(schema).parquet(path)
     df = spark.read.parquet(path)
-    _SCHEMA_CACHE[path] = df.schema
+    _SCHEMA_CACHE[key] = df.schema
     return df
 
 

@@ -26,9 +26,22 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _qid(name: str) -> str:
+    """Backtick-quote a (possibly alias-qualified) column name for SQL
+    interpolation (ADVICE r11): each dot-separated segment quotes
+    independently, so both plain names and ``alias.col`` references keep
+    resolving -- and names that are not plain identifiers (spaces,
+    hyphens, leading digits), which F.col accepted, now parse instead of
+    erroring or misparsing. The resolved plan is unchanged for names
+    that already parsed."""
+    return ".".join(
+        "`" + seg.replace("`", "``") + "`" for seg in name.split(".")
+    )
+
+
 def _dot_sql(a: str, b: str) -> str:
     return (
-        f"aggregate(zip_with({a}, {b}, "
+        f"aggregate(zip_with({_qid(a)}, {_qid(b)}, "
         "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "0.0D, (acc, v) -> acc + v)"
     )
@@ -64,7 +77,7 @@ def max_abs(a: Column | str) -> Column:
     so the left-fold result is partitioning- and engine-independent."""
     if isinstance(a, str):
         return F.expr(
-            f"aggregate({a}, 0.0D, "
+            f"aggregate({_qid(a)}, 0.0D, "
             "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
         )
     return F.aggregate(
@@ -78,7 +91,7 @@ def int_dot(a: Column | str, b: Column | str) -> Column:
     overflow)."""
     if isinstance(a, str) and isinstance(b, str):
         return F.expr(
-            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"aggregate(zip_with({_qid(a)}, {_qid(b)}, (x, y) -> x * y), "
             "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
     prods = F.zip_with(_c(a), _c(b), lambda x, y: x * y)

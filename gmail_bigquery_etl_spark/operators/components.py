@@ -27,10 +27,16 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component = min node
     id reachable. Deterministic, oracle-checkable against a recursive-CTE
-    transitive closure."""
+    transitive closure.
+
+    ``edges``: optionally an ALREADY-MATERIALIZED symmetric distinct edge
+    list (columns u, v) -- callers that built one themselves (bfs_hops)
+    pass it instead of paying a second union/distinct/checkpoint over the
+    same pairs (optimization r12, guide §1.2 redundant-pass removal)."""
     # Materialize the PAIRS first, then the edge list. The symmetrized
     # union references `pairs` twice (forward + flipped), so building
     # edges straight off the input plan evaluates the entire upstream
@@ -40,12 +46,15 @@ def connected_components(
     # (tiny) pair list once makes the union read materialized rows; the
     # edges checkpoint after it is then ~free and keeps every propagation
     # round's join off even that short lineage.
-    p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
-    edges = (
-        p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint()
-    )
+    if edges is None:
+        p = pairs.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        ).localCheckpoint()
+        edges = (
+            p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
     # self-loop keeps isolated... every node appears (pairs have both ends);
     # self edge makes "neighborhood min" include the node's own label.
     nodes = edges.select("u").distinct()
@@ -206,7 +215,7 @@ def pagerank_units(
     init = unit // n
     base = (100 - damping_pct) * init
     pr = deg.select("u", F.lit(init).cast("bigint").alias("pr"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             pr.join(deg, "u").select("u", F.expr("pr div deg").alias("c"))
         )
@@ -221,7 +230,17 @@ def pagerank_units(
             F.expr(f"({base} + {damping_pct} * inflow) div 100")
             .cast("bigint")
             .alias("pr"),
-        ).localCheckpoint()
+        )
+        # TWO rounds per checkpoint (optimization r12 -- the
+        # connected_components fusion extended here, VERDICT r11 #3):
+        # within a round ``pr`` has exactly ONE consumer (the next
+        # round's contrib join), so leaving odd rounds un-materialized
+        # fuses two rounds into one eager job with ZERO recompute --
+        # iters=5 pays 2 checkpoint jobs instead of 5. The FINAL round
+        # stays lazy too: its single consumer is the caller's plan, and
+        # lineage from the last checkpoint is at most two rounds deep.
+        if i % 2 == 1 and i != iters - 1:
+            pr = pr.localCheckpoint()
     return pr.select(F.col("u").alias("node"), F.col("pr").alias("pr_units"))
 
 
@@ -282,7 +301,7 @@ def ppr_units(
         .cast("bigint")
         .alias("pr"),
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = pr.join(deg.hint("SHUFFLE_HASH"), "u").select(
             "u", F.expr("pr div deg").alias("c")
         )
@@ -292,20 +311,21 @@ def ppr_units(
             .agg(F.sum("c").alias("inflow"))
             .withColumnRenamed("v", "u")
         )
-        pr = (
-            inflow.join(deg.hint("SHUFFLE_HASH"), "u")
-            .select(
-                "u",
-                F.expr(
-                    f"(CASE WHEN s THEN {base} ELSE 0 END "
-                    f"+ {damping_pct} * inflow) div 100"
-                )
-                .cast("bigint")
-                .alias("pr"),
+        pr = inflow.join(deg.hint("SHUFFLE_HASH"), "u").select(
+            "u",
+            F.expr(
+                f"(CASE WHEN s THEN {base} ELSE 0 END "
+                f"+ {damping_pct} * inflow) div 100"
             )
-            .repartition(F.col("u"))
-            .localCheckpoint()
+            .cast("bigint")
+            .alias("pr"),
         )
+        # two rounds per checkpoint, final round lazy -- the
+        # pagerank_units fusion (one consumer per round, zero recompute);
+        # the SHUFFLE_HASH hints above keep every join off the driver at
+        # any scale whether or not the round is materialized
+        if i % 2 == 1 and i != iters - 1:
+            pr = pr.repartition(F.col("u")).localCheckpoint()
     return (
         pr.join(deg.hint("SHUFFLE_HASH"), "u")
         .select(
@@ -358,7 +378,10 @@ def bfs_hops(
         .localCheckpoint()
     )
     if sources is None:
-        comp = connected_components(p, src="u", dst="v")
+        # reuse THIS function's pinned symmetric edge list (r12, §1.2):
+        # deriving sources previously re-unioned/distinct'd/checkpointed
+        # the same pairs inside connected_components
+        comp = connected_components(p, src="u", dst="v", edges=edges)
         sources = comp.filter(F.col("node") == F.col("component")).select(
             F.col("node")
         )

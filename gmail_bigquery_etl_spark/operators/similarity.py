@@ -26,14 +26,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.vectors import cosine_similarity, int_dot, max_abs
+from ..functions.vectors import _qid, cosine_similarity, int_dot, max_abs
 
 
 def _sql_d(v: float) -> str:
     """A float as a Spark SQL DOUBLE literal. repr() round-trips IEEE754
     exactly and the parser reads the same bits back, so expressions built
-    from these strings are value-identical to F.lit(float) trees."""
-    return repr(float(v)) + "D"
+    from these strings are value-identical to F.lit(float) trees. Only
+    finite values round-trip ('inf'/'nan' are not SQL literals -- ADVICE
+    r11); every caller feeds hash-derived weights or data means, which
+    are finite by construction, so this is a loud guard, not a path."""
+    import math
+
+    v = float(v)
+    if not math.isfinite(v):
+        raise ValueError(
+            f"non-finite literal {v!r} cannot be rendered as a SQL DOUBLE"
+        )
+    return repr(v) + "D"
 
 
 def _sql_arr(vals) -> str:
@@ -229,10 +239,11 @@ def hyperplane_bucket(vec_col: Column | str, n_planes: int = 8, dim: int = 64) -
         # the whole bucket as ONE parsed expression (pq_code_col note:
         # per-plane zip_with/aggregate lambda creation cost ~88 py4j
         # roundtrips each; same tree, same bits)
+        q = _qid(vec_col)
         return F.expr(
             "concat("
             + ",".join(
-                "CASE WHEN " + _sql_dot_fold(vec_col, plane)
+                "CASE WHEN " + _sql_dot_fold(q, plane)
                 + " >= 0 THEN '1' ELSE '0' END"
                 for plane in _plane_weights(n_planes, dim)
             )
@@ -766,7 +777,7 @@ def pq_code_col(
         # inside pq_code_col's HOF creation). The parsed tree is the
         # same slice/zip_with/aggregate/named_struct/array_min
         # expression, so plans and results are bit-identical.
-        sub = f"slice({vec_col}, {s * d_sub + 1}, {d_sub})"
+        sub = f"slice({_qid(vec_col)}, {s * d_sub + 1}, {d_sub})"
         l2 = (
             "aggregate(zip_with(" + sub + ", {arr}, "
             "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
@@ -938,7 +949,7 @@ def random_project(
     proj = F.expr(
         "array("
         + ",".join(
-            _sql_dot_fold(vec_col, plane)
+            _sql_dot_fold(_qid(vec_col), plane)
             for plane in _plane_weights(out_dim, dim)
         )
         + ")"

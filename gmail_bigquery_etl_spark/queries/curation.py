@@ -1010,13 +1010,15 @@ def curation_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_grams = grams_stage(
         corpus.where(~is_eval), "text", "doc_id", 5
     ).select("doc_id", F.explode("_grams").alias("gram"))
-    # broadcast the eval index (optimization r11, guide §3.1): it is the
-    # SMALL side by design (benchmarks are small; distinct grams of the
-    # eval slice), while train_grams is the exploded 5-gram posting list
-    # of the whole training corpus -- the side that must never shuffle.
-    # Plan: SortMergeJoin (2 exchanges on gram) -> BroadcastHashJoin
-    # (train side stays where it was scanned). Left join semantics and
-    # counts unchanged (each train gram matches at most one index row).
+    # Explicit broadcast of the eval index (r11, guide §3.1) -- evidence
+    # CORRECTION per VERDICT r11 item #2: the committed before/after
+    # plans are structurally IDENTICAL (AQE/stats already planned this
+    # join as BroadcastHashJoin BuildRight at bench scale), so the r11
+    # claim of an SMJ->BHJ conversion was wrong and the local delta was
+    # noise. The hint is kept as a SCALE-ROBUSTNESS PIN only: it
+    # guarantees the small-by-design eval index is always the build side
+    # and the exploded train-posting stream never shuffles, independent
+    # of size estimates. Left join semantics and counts unchanged.
     counts = (
         train_grams.join(F.broadcast(eval_grams), "gram", "left")
         .groupBy("doc_id")

@@ -406,36 +406,39 @@ def hits_from_edges(e: DataFrame) -> DataFrame:
         "cust", F.lit(_HITS_UNIT).cast("bigint").alias("h")
     )
     a = None
+    # Optimization r12 (guide §1.2 -- don't compute the same join twice):
+    # the checkpoint moves from the NORMALIZED score table to the RAW
+    # per-key sums. Previously each half-round executed the e><scores
+    # join+aggregate TWICE -- once inside the L1-sum broadcast job, once
+    # again inside the normalized table's checkpoint job -- because both
+    # consumers hung off the un-materialized aggregate. Pinning ``ar``/
+    # ``hr`` (each the output of its own key-partitioned hash aggregate,
+    # so no extra repartition is needed) runs that join ONCE; the L1 sum
+    # and the integer normalization are then O(keys) projections over
+    # materialized rows. Normalized scores are the same expressions over
+    # the same raws -- bit-identical units.
     for _ in range(3):
         ar = (
             e.join(h.hint("SHUFFLE_HASH"), "cust")
             .groupBy("item")
             .agg(F.sum("h").alias("raw"))
+            .localCheckpoint()
         )
         sa = ar.agg(F.sum("raw").alias("s"))
-        a = (
-            ar.crossJoin(F.broadcast(sa))
-            .select(
-                "item",
-                F.expr(f"CAST((raw * {_HITS_UNIT}) div s AS BIGINT)").alias("a"),
-            )
-            .repartition(F.col("item"))
-            .localCheckpoint()
+        a = ar.crossJoin(F.broadcast(sa)).select(
+            "item",
+            F.expr(f"CAST((raw * {_HITS_UNIT}) div s AS BIGINT)").alias("a"),
         )
         hr = (
             e.join(a.hint("SHUFFLE_HASH"), "item")
             .groupBy("cust")
             .agg(F.sum("a").alias("raw"))
+            .localCheckpoint()
         )
         sh = hr.agg(F.sum("raw").alias("s"))
-        h = (
-            hr.crossJoin(F.broadcast(sh))
-            .select(
-                "cust",
-                F.expr(f"CAST((raw * {_HITS_UNIT}) div s AS BIGINT)").alias("h"),
-            )
-            .repartition(F.col("cust"))
-            .localCheckpoint()
+        h = hr.crossJoin(F.broadcast(sh)).select(
+            "cust",
+            F.expr(f"CAST((raw * {_HITS_UNIT}) div s AS BIGINT)").alias("h"),
         )
     from pyspark.sql import Window as W
 

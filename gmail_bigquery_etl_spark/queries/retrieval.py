@@ -109,7 +109,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join); pinned with a lazy localCheckpoint so the tokenize/explode/
     # count pipeline runs once instead of once per consumer (A/B
     # measured sf0.1 warm: 3.45 -> 2.33 s; at scale the pin is the
-    # materialized inverted index every consumer reads).
+    # materialized inverted index every consumer reads). Storage note
+    # (ADVICE r11): each invocation checkpoints a fresh RDD that only
+    # driver GC/ContextCleaner reclaims, and checkpointed partitions are
+    # not recomputable on executor loss -- both acceptable for a
+    # DETERMINISTIC derived frame (recovery = rerun the query); a
+    # long-lived production pipeline would persist+unpersist or write
+    # the index out instead.
     tf = (
         tok.where(F.col("term") != "")
         .groupBy("doc_id", "term")
@@ -399,8 +405,9 @@ def retrieval_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = base.select(
         "doc_id", F.explode(whitespace_tokens("text")).alias("term")
     )
-    # same pin as text_bm25_topk: tf feeds dlen, dfreq, stats and the
-    # posting join -- one materialization instead of four re-derivations
+    # same pin as text_bm25_topk (incl. its storage/fault-tolerance
+    # note): tf feeds dlen, dfreq, stats and the posting join -- one
+    # materialization instead of four re-derivations
     tf = (
         tok.where(F.col("term") != "")
         .groupBy("doc_id", "term")
@@ -413,26 +420,27 @@ def retrieval_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_total"),
         (F.sum("n_tok").cast("double") / F.count("*")).alias("avgdl"),
     )
+    # truth_id == query_id by construction (each query is its own
+    # planted source), so it is NOT carried through the posting join --
+    # one fewer bigint on every joined/shuffled row (guide §2.3)
     qdocs = base.where(F.col("doc_id") % 25 == 0).select(
         F.col("doc_id").alias("query_id"),
-        F.col("doc_id").alias("truth_id"),
         F.concat(F.lower(F.col("text")), F.lit(" near dup")).alias("qtext"),
     )
     qtf = (
         qdocs.select(
             "query_id",
-            "truth_id",
             F.explode(whitespace_tokens("qtext")).alias("term"),
         )
         .where(F.col("term") != "")
-        .groupBy("query_id", "truth_id", "term")
+        .groupBy("query_id", "term")
         .agg(F.count("*").alias("cnt"))
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("cnt"), F.asc("term"))
     qterms = (
         qtf.withColumn("rnk", F.row_number().over(wq))
         .where(F.col("rnk") <= 3)
-        .select("query_id", "truth_id", "term")
+        .select("query_id", "term")
     )
     k1, b = float(_K1), float(_B)
     partials = (
@@ -443,7 +451,6 @@ def retrieval_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",
-            "truth_id",
             "doc_id",
             F.round(
                 F.log(
@@ -462,13 +469,43 @@ def retrieval_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("part"),
         )
     )
-    scored = partials.groupBy("query_id", "truth_id", "doc_id").agg(
-        F.sum("part").alias("score")
+    # Optimization r12 (guide §1.2 / §2.4 -- remove a sort used only to
+    # read ONE row per group): the old shape ranked EVERY candidate with
+    # a row_number window (a full per-query sort of the scored posting-
+    # join output) and then kept only the truth doc's rank. The truth's
+    # rank under (score DESC, doc_id ASC) is just 1 + the count of
+    # candidates that order strictly before it -- score > t_score, or an
+    # exact-decimal tie with a smaller doc_id -- so a hash aggregate over
+    # the same rows replaces the sort outright. Scores are DECIMAL(18,8)
+    # sums, so the comparisons are exact and the computed rank is
+    # bit-identical to row_number's. ``scored`` now has two consumers
+    # (truth extraction + the better-count), hence the lazy pin (same
+    # storage note as the tf pin above).
+    scored = (
+        partials.groupBy("query_id", "doc_id")
+        .agg(F.sum("part").alias("score"))
+        .localCheckpoint(eager=False)
     )
-    wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    ranked = scored.withColumn("rnk", F.row_number().over(wr))
-    hits = ranked.where(F.col("doc_id") == F.col("truth_id")).select(
-        "query_id", "rnk"
+    truth = scored.where(F.col("doc_id") == F.col("query_id")).select(
+        "query_id", F.col("score").alias("t_score")
+    )
+    n_better = (
+        scored.join(F.broadcast(truth), "query_id")
+        .where(
+            (F.col("score") > F.col("t_score"))
+            | (
+                (F.col("score") == F.col("t_score"))
+                & (F.col("doc_id") < F.col("query_id"))
+            )
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_better"))
+    )
+    hits = truth.join(n_better, "query_id", "left").select(
+        "query_id",
+        (F.coalesce(F.col("n_better"), F.lit(0)) + 1)
+        .cast("int")
+        .alias("rnk"),
     )
     per_q = qdocs.select("query_id").join(hits, "query_id", "left").select(
         F.coalesce(

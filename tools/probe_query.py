@@ -1,6 +1,6 @@
 """Per-query optimization probe (guide §1): time a named query with the
 noop sink (warm best-of-N in one session) and dump .explain("formatted")
-to plans/r11/<name>_<tag>.txt.
+to plans/r12/<name>_<tag>.txt (PROBE_PLAN_DIR overrides the round dir).
 
 Usage: python tools/probe_query.py <tag> <query> [query ...]
   env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
@@ -56,7 +56,7 @@ def main() -> None:
             buf = io.StringIO()
             with redirect_stdout(buf):
                 df.explain("formatted")
-            out = os.path.join(here, "plans", "r11", f"{name}_{tag}.txt")
+            out = os.path.join(here, "plans", os.environ.get("PROBE_PLAN_DIR", "r12"), f"{name}_{tag}.txt")
             os.makedirs(os.path.dirname(out), exist_ok=True)
             with open(out, "w") as fh:
                 fh.write(buf.getvalue())
