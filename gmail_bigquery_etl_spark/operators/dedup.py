@@ -748,29 +748,45 @@ def prefix_filter_jaccard_pairs(
     n_inter*den >= num*(sz_a + sz_b - n_inter), no float compare in the
     keep/drop decision.
 
-    Scale shape: one window pass computes df (shuffle on token) and
-    size/position (shuffle on doc); the candidate join touches only
-    prefix postings -- for t=0.5 about half of each posting list, and
-    the RAREST half, which is exactly where the quadratic df^2 bucket
-    cost lives (the frequent tokens that explode posting joins sit in
-    suffixes and never join); verification joins the bounded candidate
-    set against per-doc shingle arrays (O(|doc|) each with
-    array_intersect, JVM-side)."""
-    toks = (
+    Scale shape: the per-doc distinct-shingle ARRAY is pinned once
+    (sizes read off it row-locally); the posting explode feeds one
+    window pass for df (shuffle on token) and position (shuffle on
+    doc); the candidate join touches only prefix postings -- for t=0.5
+    about half of each posting list, and the RAREST half, which is
+    exactly where the quadratic df^2 bucket cost lives (the frequent
+    tokens that explode posting joins sit in suffixes and never join);
+    verification joins the bounded candidate set against the pinned
+    per-doc arrays (O(|doc|) each with array_intersect, JVM-side --
+    previously re-assembled with a collect_set groupBy over the full
+    posting list, a whole extra shuffle removed in r12)."""
+    # Optimization r12 (guide §2.4 -- remove shuffles outright): the
+    # per-doc DISTINCT SHINGLE ARRAY exists row-locally before any
+    # explode, so it is pinned ONCE as (id, sorted array, size) and both
+    # downstream faces read it: the posting explode derives from the pin
+    # (no re-hash), the per-doc size is F.size (was a full-posting window
+    # shuffle), and the verification arrays ARE the pin (was a
+    # collect_set groupBy over the full posting list -- an entire extra
+    # shuffle of every posting row). sort_array(collect_set(explode(
+    # array_distinct(x)))) == array_sort(array_distinct(x)) row-for-row,
+    # so candidates, verification and scores are bit-identical.
+    docs_arr = (
         shingle_hash_stage(df, text_col, id_col, shingle_n, out_col="_hs")
         .select(
             F.col(id_col).alias("_id"),
-            F.explode(F.array_distinct("_hs")).alias("g"),
+            F.array_sort(F.array_distinct("_hs")).alias("arr"),
         )
+        .withColumn("sz", F.size("arr"))
+        .localCheckpoint()
+    )
+    toks = (
+        docs_arr.select("_id", "sz", F.explode("arr").alias("g"))
         .withColumn("_df", F.count("*").over(W.partitionBy("g")))
-        .withColumn("sz", F.count("*").over(W.partitionBy("_id")))
         .withColumn(
             "_pos",
             F.row_number().over(
                 W.partitionBy("_id").orderBy("_df", "g")
             ),
         )
-        .localCheckpoint()
     )
     # integer ceil(t*sz) via `div` (a float division here could round up
     # across an integer boundary and shorten the prefix past the lemma
@@ -803,9 +819,7 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    arrays = toks.groupBy("_id").agg(
-        F.sort_array(F.collect_set("g")).alias("arr")
-    )
+    arrays = docs_arr.select("_id", "arr")
     verified = (
         cand.join(
             arrays.select(F.col("_id").alias("id_a"), F.col("arr").alias("arr_a")),

@@ -77,13 +77,21 @@ def pruned_sink_ids(
     )
 
 
-def extract_email_records(messages: DataFrame, rich: bool = False) -> DataFrame:
+def extract_email_records(
+    messages: DataFrame,
+    rich: bool = False,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Gmail-shaped message rows -> flat email records.
 
     Reproduces the record build at reference etl_service/main.py:196-204:
     first-match case-insensitive header extraction with NULL default,
     threadId defaulting to '' (not NULL), labels flattened to a CSV string.
     Everything is a codegen'd expression; no UDFs, no shuffle.
+
+    ``passthrough``: extra input columns carried verbatim onto the record
+    (e.g. a pruning flag) -- avoids a self-join back onto the input to
+    re-attach columns this projection would otherwise drop.
     """
     cols = [
         F.col("id"),
@@ -101,6 +109,7 @@ def extract_email_records(messages: DataFrame, rich: bool = False) -> DataFrame:
             ),
             parse_rfc2822(header_value("headers", "date")).alias("ts"),
         ]
+    cols += [F.col(c) for c in passthrough]
     return messages.select(*cols)
 
 

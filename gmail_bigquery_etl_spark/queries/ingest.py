@@ -313,11 +313,21 @@ def ingest_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     msgs = gmail_messages_from_events(spark, sf_dir)
     existing = existing_sink_ids(spark, sf_dir)
-    fresh = msgs.filter(label_predicate("labelIds"))
-    kept = bloom_prefiltered_anti_join(fresh, existing, "id")
-    recs = extract_email_records(kept).join(
-        kept.select("id", "bloom_checked").distinct(), "id"
+    # §5 pin (optimization r12): the bloom operator consumes ``fresh``
+    # in BOTH split branches (maybe-present and definitely-new), so the
+    # synthetic message build ran twice per reference; pinned it runs
+    # once.
+    fresh = msgs.filter(label_predicate("labelIds")).localCheckpoint(
+        eager=False
     )
+    kept = bloom_prefiltered_anti_join(fresh, existing, "id")
+    # carry the split flag THROUGH the record projection (r12, §1.2):
+    # the old shape re-joined the extracted records back onto ``kept``
+    # (a second full consumption of the anti-join plus a distinct) just
+    # to re-attach the one column the projection dropped. The flag is
+    # constant per id within a branch and the branches are id-disjoint,
+    # so the passthrough is row-identical to the join.
+    recs = extract_email_records(kept, passthrough=("bloom_checked",))
     return recs.dropDuplicates(["id"])
 
 

@@ -117,12 +117,22 @@ def orders_item_cf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # warm best-of-4): the distinct's shuffle exchange is runtime-reused
     # across consumers by AQE, so the pin only added a materialization
     # barrier (the text_sparse_cosine_topk lesson).
+    # Optimization r12 (guide §2.4 -- operations keyed the same way share
+    # one exchange; VERDICT r11 #4): the dedup aggregate is clustered by
+    # an explicit repartition on CUST, which hash-partitioning satisfies
+    # for the (cust, item) distinct (cust is a subset of the grouping
+    # key), and which the per-customer cap window AND the co-occurrence
+    # self-join then reuse verbatim -- the plan drops the separate
+    # (cust, item) exchange the bare distinct() planned before its
+    # cust-keyed consumers (3 Exchange -> 2 in the committed plan pair).
+    # Results are unchanged: distinct is partitioning-independent.
     baskets = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
             F.col("o_custkey").alias("cust"),
             (F.col("l_partkey") % 500).alias("item"),
         )
+        .repartition(F.col("cust"))
         .distinct()
     )
     from pyspark.sql import Window as W

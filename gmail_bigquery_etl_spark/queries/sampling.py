@@ -223,8 +223,17 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered sketches (no global sort), O(k) membership joins, one
     exact per-user flag aggregate, three 1-row crossJoin emits."""
     ev = load_table(spark, sf_dir, "events")
-    a = kmv_build(ev.where(F.col("event_type") == "click"), "user_id", 256)
-    b = kmv_build(ev.where(F.col("event_type") == "purchase"), "user_id", 256)
+    # §5 pins (optimization r12): each 256-row sketch has TWO consumers
+    # (the combined-sketch union and its membership join), and the 1-row
+    # `both` below feeds THREE output rows -- unpinned, every reference
+    # re-ran the full events scan + TakeOrdered subtree (the union/
+    # intersect/diff emits re-executed the whole query once each).
+    a = kmv_build(
+        ev.where(F.col("event_type") == "click"), "user_id", 256
+    ).localCheckpoint(eager=False)
+    b = kmv_build(
+        ev.where(F.col("event_type") == "purchase"), "user_id", 256
+    ).localCheckpoint(eager=False)
     kk = (
         a.unionByName(b)
         .dropDuplicates(["h", "value"])
@@ -271,7 +280,8 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when((F.col("in_c") == 1) & (F.col("in_p") == 1), 1).otherwise(0)).alias("ex_inter"),
         F.sum(F.when((F.col("in_c") == 1) & (F.col("in_p") == 0), 1).otherwise(0)).alias("ex_diff"),
     )
-    both = est.crossJoin(F.broadcast(ex))
+    # 1 row, 3 consumers (the union/intersect/diff emits) -- see §5 note
+    both = est.crossJoin(F.broadcast(ex)).localCheckpoint(eager=False)
     u_row = both.select(
         F.lit("union").alias("op"),
         F.floor(F.col("u_est")).cast("bigint").alias("est"),
